@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the training-data pipeline extension
+  * (BASELINE.json north_star): tokenization, token counting, language ID,
+  * quality scoring, fingerprinting, shingling.
+  *
+  * Every function is built from codegen'd built-ins (no UDFs) so the hot
+  * path stays inside whole-stage codegen at scale. Each Spark definition has
+  * a `...Sql` twin emitting the equivalent DuckDB expression for the oracle;
+  * the two must mirror the same operation tree so double arithmetic is
+  * bit-identical across engines.
+  */
+object TextFns {
+
+  // ---- tokenization ----------------------------------------------------
+
+  /** Whitespace tokens; empty/blank text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokensSql(col: String): String =
+    s"CASE WHEN length(trim($col)) = 0 THEN [] ELSE regexp_split_to_array(trim($col), '\\s+') END"
+
+  /** Whitespace token count (long, to match DuckDB len()). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  def tokenCountSql(col: String): String = s"len(${tokensSql(col)})"
+
+  /** BPE-ish subword-ish count: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token (ASCII classes only so
+    * Java regex and RE2 agree).
+    */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpePattern)).cast("long")
+
+  def bpeTokenCountSql(col: String): String =
+    s"len(regexp_extract_all($col, '$BpePattern'))"
+
+  // ---- language ID (n-gram/stopword heuristic) -------------------------
+
+  /** Stopword tables per language, checked in declaration (priority) order. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "se"),
+    "fr" -> Seq("le", "les", "de", "et", "des", "un", "une", "du", "est", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+  )
+
+  /** Occurrence count (with multiplicity) of `words` among the tokens. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  def stopwordHitsSql(toksSql: String, words: Seq[String]): String = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksSql, t -> t IN ($inList)))"
+  }
+
+  /** Heuristic language ID: argmax of stopword hits, priority-ordered
+    * tie-break, 'und' when no list matches at all.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangStopwords.map { case (lang, ws) => lang -> stopwordHits(toks, ws) }
+    val total = scores.map(_._2).reduce(_ + _)
+    // first language whose score >= every later language's score wins
+    val chain = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, sc), i), els) =>
+        val later = scores.drop(i + 1).map(_._2)
+        when(later.map(sc >= _).reduce(_ && _), lit(lang)).otherwise(els)
+    }
+    when(total === 0, lit("und")).otherwise(chain)
+  }
+
+  def langIdSql(col: String): String = {
+    val toksSql = tokensSql(col)
+    val scores = LangStopwords.map { case (lang, ws) => lang -> stopwordHitsSql(toksSql, ws) }
+    val total = scores.map(_._2).mkString(" + ")
+    val branches = scores.init.zipWithIndex.map { case ((lang, sc), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      val cond = later.map(l => s"$sc >= $l").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE WHEN ($total) = 0 THEN 'und' ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  // ---- quality score ---------------------------------------------------
+
+  /** Heuristic document quality in [0,1]: mix of alpha ratio, low-punct,
+    * stopword presence, and a length factor. The exact expression tree is
+    * mirrored in `qualityScoreSql` — do not reorder terms.
+    */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val nAlpha = regexp_count(c, lit("[A-Za-z]")).cast("double")
+    val nPunct = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val toks = tokens(c)
+    val nTok = size(toks).cast("double")
+    val nStop = stopwordHits(toks, LangStopwords.flatMap(_._2)).cast("double")
+    val alphaRatio = when(len > 0, nAlpha / len).otherwise(lit(0.0))
+    val punctRatio = when(len > 0, nPunct / len).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(lit(0.0))
+    val lenFactor = least(nTok / lit(100.0), lit(1.0))
+    lit(0.4) * alphaRatio + lit(0.2) * (lit(1.0) - punctRatio) +
+      lit(0.2) * stopRatio + lit(0.2) * lenFactor
+  }
+
+  def qualityScoreSql(col: String): String = {
+    val toksSql = tokensSql(col)
+    val allStops = LangStopwords.flatMap(_._2)
+    val len = s"CAST(length($col) AS DOUBLE)"
+    val nAlpha = s"CAST(len(regexp_extract_all($col, '[A-Za-z]')) AS DOUBLE)"
+    val nPunct = s"CAST(len(regexp_extract_all($col, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nTok = s"CAST(len($toksSql) AS DOUBLE)"
+    val nStop = s"CAST(${stopwordHitsSql(toksSql, allStops)} AS DOUBLE)"
+    val alphaRatio = s"CASE WHEN $len > 0 THEN $nAlpha / $len ELSE 0.0 END"
+    val punctRatio = s"CASE WHEN $len > 0 THEN $nPunct / $len ELSE 0.0 END"
+    val stopRatio = s"CASE WHEN $nTok > 0 THEN $nStop / $nTok ELSE 0.0 END"
+    val lenFactor = s"least($nTok / 100.0, 1.0)"
+    s"0.4 * ($alphaRatio) + 0.2 * (1.0 - ($punctRatio)) + 0.2 * ($stopRatio) + 0.2 * ($lenFactor)"
+  }
+
+  // ---- fingerprinting --------------------------------------------------
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set.
+    * Word-order-insensitive, so re-orderings of the same vocabulary collide —
+    * the cheap "same bag of words" near-dup detector.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  def fingerprintSql(col: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(${tokensSql(col)})), ' '))"
+
+  /** Exact content hash (whitespace-normalized). */
+  def contentHash(c: Column): Column = md5(array_join(tokens(c), " "))
+
+  def contentHashSql(col: String): String =
+    s"md5(array_to_string(${tokensSql(col)}, ' '))"
+
+  // ---- shingling -------------------------------------------------------
+
+  /** Word n-gram shingles (space-joined); fewer than n tokens → empty. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  def shinglesSql(col: String, n: Int): String = {
+    val t = tokensSql(col)
+    s"CASE WHEN len($t) < $n THEN [] ELSE list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(($t)[i:i+${n - 1}], ' ')) END"
+  }
+}

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for the training-data pipeline extension:
+  * exact (hash-groupBy), fingerprint (bag-of-words), n-gram Jaccard
+  * (inverted-index self-join), MinHash+LSH (shingle→minhash→band→bucket
+  * join), SimHash.
+  *
+  * Scale notes (100 TB):
+  * - Exact/fingerprint dedup is a single hash aggregation on a derived key —
+  *   map-side combine collapses each partition to its distinct hashes before
+  *   the exchange, so the shuffle carries one row per distinct content.
+  * - `ngramJaccardPairs` shuffles on the shingle (inverted index). Its cost
+  *   is sum over shingles of df(s)^2 — quadratic in hot shingles, so it is
+  *   the small-corpus/exact path. The scale path is `minhashLshPairs`:
+  *   candidate generation is linear in corpus size (numHashes× row blowup,
+  *   then one shuffle per banding join), and only candidates pay the exact
+  *   verification cost.
+  * - All hashing is md5-based so results are reproducible in any engine
+  *   (the DuckDB oracle runs the identical computation); at production
+  *   scale `xxhash64` would halve the hash cost but is not portable.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by whitespace-normalized content hash.
+    * Output: content_hash, n_docs, min_id (canonical representative).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFns.contentHash(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"))
+
+  def exactDupGroupsSql(table: String, idCol: String, textCol: String): String =
+    s"""SELECT ${TextFns.contentHashSql(textCol)} AS content_hash,
+       |  COUNT(*) AS n_docs, MIN($idCol) AS min_id
+       |FROM $table GROUP BY 1""".stripMargin
+
+  /** Bag-of-words near-dup groups: md5 over sorted distinct tokens.
+    * Catches reorderings/repetitions of the same vocabulary.
+    */
+  def fingerprintDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFns.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_id"))
+      .filter(col("n_docs") >= 2)
+
+  def fingerprintDupGroupsSql(table: String, idCol: String, textCol: String): String =
+    s"""SELECT ${TextFns.fingerprintSql(textCol)} AS fp,
+       |  COUNT(*) AS n_docs, MIN($idCol) AS min_id
+       |FROM $table GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+
+  /** Distinct (id, shingle) inverted-index relation. */
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextFns.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similar pairs via inverted-index self-join.
+    * Output: id_a < id_b, n_common, jaccard (double), filtered >= threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def ngramJaccardPairsSql(table: String, idCol: String, textCol: String,
+      n: Int, threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $table),
+       |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
+
+  /** MinHash signature relation: (id, seed, minh) where
+    * minh = min over shingles of md5(seed || ':' || shingle).
+    * md5-hex min is a valid minwise hash (uniform over the hex ordering) and
+    * is engine-portable.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    sh.select(col("id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
+      .select(col("id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(col("h")).as("minh"))
+  }
+
+  /** LSH candidate pairs + exact Jaccard verification.
+    * numHashes minhashes split into bands of `rowsPerBand`; docs sharing any
+    * band signature become candidates; candidates are verified with the
+    * exact shingle Jaccard and filtered at `threshold`.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bands = sigs
+      .withColumn("band", (col("seed") / lit(rowsPerBand)).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+          s => s.getField("minh")), "|").as("sig"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = shingleSet(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(sh.as("x"), col("id_a") === col("x.id"))
+      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLshPairsSql(table: String, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $table),
+       |seeded AS (
+       |  SELECT id, unnest(range(0, $numHashes)) AS seed, sh FROM sh),
+       |minh AS (
+       |  SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minh
+       |  FROM seeded GROUP BY id, seed),
+       |bands AS (
+       |  SELECT id, seed // $rowsPerBand AS band,
+       |         string_agg(minh, '|' ORDER BY seed) AS sig
+       |  FROM minh GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+       |common AS (
+       |  SELECT id_a, id_b, COUNT(*) AS n_common
+       |  FROM cands JOIN sh x ON id_a = x.id
+       |  JOIN sh y ON id_b = y.id AND x.sh = y.sh
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
+
+  /** SimHash over whitespace tokens (with multiplicity), `bits` wide
+    * (bits <= 32 so the per-bit nibble arithmetic stays portable).
+    * Output column is the bit string (MSB-first '0'/'1' chars) so the value
+    * is type-stable across engines; equal simhash = near-dup bucket.
+    *
+    * Per token the first bits/4 hex chars of md5(token) supply the bits;
+    * bit b of a token adds +1/-1 to accumulator b; accumulator >= 0 → '1'.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextFns.tokens(col(textCol))).as("t"))
+    val h = tok.withColumn("hx", md5(col("t")))
+    val hexChars = "0123456789abcdef"
+    val bitSums = (0 until bits).map { b =>
+      val nibbleIdx = b / 4 // which hex char
+      val bitInNibble = 3 - (b % 4) // MSB-first within the nibble
+      val nibbleVal = instr(lit(hexChars), substring(col("hx"), nibbleIdx + 1, 1)) - 1
+      val bit = shiftright(nibbleVal, bitInNibble) % 2
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    val sums = h.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val bitStr = concat((0 until bits).map(b =>
+      when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    sums.select(col("id"), bitStr.as("simhash"))
+  }
+
+  def simhashSql(table: String, idCol: String, textCol: String, bits: Int): String = {
+    val sums = (0 until bits).map { b =>
+      val nibbleIdx = b / 4
+      val bitInNibble = 3 - (b % 4)
+      val nibbleVal = s"(strpos('0123456789abcdef', substr(hx, ${nibbleIdx + 1}, 1)) - 1)"
+      s"SUM((($nibbleVal >> $bitInNibble) % 2) * 2 - 1) AS s$b"
+    }
+    val bitStr = (0 until bits)
+      .map(b => s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT $idCol AS id, unnest(${graft.functions.TextFns.tokensSql(textCol)}) AS t
+       |  FROM $table),
+       |h AS (SELECT id, md5(t) AS hx FROM tok),
+       |sums AS (SELECT id, ${sums.mkString(", ")} FROM h GROUP BY id)
+       |SELECT id, $bitStr AS simhash FROM sums""".stripMargin
+  }
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.util.Tables
+
+/** Deduplication queries over `documents` — each Dedup operator declared
+  * with its DuckDB oracle (identical md5-based computation in both engines).
+  */
+object DedupQueries {
+
+  private val N = 3 // shingle width (word trigrams)
+  private val NumHashes = 12
+  private val RowsPerBand = 3
+  private val LshThreshold = 0.8
+  private val JaccardThreshold = 0.6
+
+  val all: Seq[Q] = Seq(
+    Q("d01_exact_dup_groups",
+      (s, dir) => Dedup.exactDupGroups(Tables(s, dir).documents, "doc_id", "text"),
+      Some(Dedup.exactDupGroupsSql("documents", "doc_id", "text"))),
+
+    Q("d02_fingerprint_dups",
+      (s, dir) => Dedup.fingerprintDupGroups(Tables(s, dir).documents, "doc_id", "text"),
+      Some(Dedup.fingerprintDupGroupsSql("documents", "doc_id", "text"))),
+
+    Q("d03_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables(s, dir).documents,
+        "doc_id", "text", N, JaccardThreshold),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", N, JaccardThreshold))),
+
+    Q("d04_minhash_lsh_pairs",
+      (s, dir) => Dedup.minhashLshPairs(Tables(s, dir).documents,
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
+      Some(Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold))),
+
+    Q("d05_simhash",
+      (s, dir) => Dedup.simhash(Tables(s, dir).documents, "doc_id", "text", 16),
+      Some(Dedup.simhashSql("documents", "doc_id", "text", 16))),
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.util.Tables
+
+/** Text-analysis queries over `documents` (training-data pipeline extension):
+  * token counting, language ID, quality scoring, per-doc stats.
+  * All are single-pass scans + one hash aggregation — linear at any scale,
+  * no joins, map-side combine applies.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    // Token statistics per source (whitespace + BPE-ish regex counts).
+    Q("t01_token_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextFns.tokenCount(col("text"))).as("sum_tokens"),
+            sum(TextFns.bpeTokenCount(col("text"))).as("sum_bpe_tokens"),
+            sum(length(col("text")).cast("long")).as("sum_chars"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(${TextFns.tokenCountSql("text")}) AS BIGINT) AS sum_tokens,
+              |  CAST(SUM(${TextFns.bpeTokenCountSql("text")}) AS BIGINT) AS sum_bpe_tokens,
+              |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+              |FROM documents GROUP BY source""".stripMargin)),
+
+    // Heuristic language ID cross-tabulated against the labeled lang column.
+    Q("t02_lang_id",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .groupBy(col("lang"), TextFns.langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT lang, ${TextFns.langIdSql("text")} AS lang_pred, COUNT(*) AS n
+              |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // Quality-score histogram (deciles).
+    Q("t03_quality_histogram",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .groupBy(floor(TextFns.qualityScore(col("text")) * 10).cast("long").as("decile"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT CAST(floor((${TextFns.qualityScoreSql("text")}) * 10) AS BIGINT) AS decile,
+              |  COUNT(*) AS n
+              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Per-document stats: the full text-metrics row (500 rows at sf0.01).
+    Q("t04_doc_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents.select(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"),
+          TextFns.langId(col("text")).as("lang_pred"),
+          TextFns.fingerprint(col("text")).as("fp"),
+          TextFns.contentHash(col("text")).as("content_hash"))
+      },
+      Some(s"""SELECT doc_id,
+              |  ${TextFns.tokenCountSql("text")} AS n_tokens,
+              |  ${TextFns.bpeTokenCountSql("text")} AS n_bpe_tokens,
+              |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+              |  ${TextFns.langIdSql("text")} AS lang_pred,
+              |  ${TextFns.fingerprintSql("text")} AS fp,
+              |  ${TextFns.contentHashSql("text")} AS content_hash
+              |FROM documents""".stripMargin)),
+
+    // F2-analog on documents: the reference's totals/summary row filter
+    // (scraper/div_link_handler.py:238-245) as a relational predicate.
+    Q("t05_totals_filter",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val txt = lower(col("text"))
+        t.documents
+          .filter(!(txt.contains("total") || txt.contains("summary")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_kept FROM documents
+             |WHERE NOT (lower(text) LIKE '%total%' OR lower(text) LIKE '%summary%')
+             |GROUP BY source""".stripMargin)),
+  )
+}
