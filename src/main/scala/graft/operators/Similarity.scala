@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Approximate/exact nearest-neighbor search over embedding columns.
+  *
+  * Scale notes (100 TB):
+  * - `cosineTopK` broadcasts the (small) query set against the corpus — the
+  *   corpus streams through one stage, never shuffles, and only the per-query
+  *   top-k rows cross the final exchange. Norms are precomputed per side so
+  *   each candidate pair costs exactly one unrolled dot product inside
+  *   whole-stage codegen.
+  * - `lshTopK` is the scale path: corpus and queries are bucketed by
+  *   deterministic sign-LSH (md5-derived hyperplanes, engine-portable), the
+  *   join key is the bucket, and only same-bucket pairs are scored. Recall
+  *   trades off with #planes; probing neighboring buckets is the standard
+  *   extension.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param corpus  (idCol, vecCol) relation to search
+    * @param queries (idCol, vecCol) relation of probes (small; broadcast)
+    * @param dim     embedding dimensionality
+    * @param k       neighbors per query
+    * Output: query_id, neighbor_id, cos_sim, rank (1-based; ties broken by
+    * neighbor id so results are deterministic).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+    val scored = joined.withColumn("cos_sim",
+      VectorFns.cosineFromNorms(
+        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  def cosineTopKSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, queryPred: String): String = {
+    val dot = VectorFns.dotSql("q.qvec", "c.cvec", dim)
+    s"""WITH c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |q AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm
+       |  FROM $table WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         ($dot) / (q.qnorm * c.cnorm) AS cos_sim
+       |  FROM c JOIN q ON c.neighbor_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates in the query's
+    * sign-LSH bucket. Same output shape as `cosineTopK`; queries whose
+    * bucket holds no other vector produce no rows.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, numPlanes: Int): DataFrame = {
+    val planes = VectorFns.lshPlanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", VectorFns.lshBucket(col("cvec"), planes))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", VectorFns.lshBucket(col("qvec"), planes))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+    val joined = c.join(broadcast(q),
+      col("neighbor_id") =!= col("query_id") && c("bucket") === q("bucket"))
+    val scored = joined.withColumn("cos_sim",
+      VectorFns.cosineFromNorms(
+        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  def lshTopKSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, numPlanes: Int, queryPred: String): String = {
+    val planes = VectorFns.lshPlanes(numPlanes, dim)
+    val dot = VectorFns.dotSql("q.qvec", "c.cvec", dim)
+    s"""WITH c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.lshBucketSql(vecCol, planes)} AS bucket,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |q AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.lshBucketSql(vecCol, planes)} AS bucket,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm
+       |  FROM $table WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         ($dot) / (q.qnorm * c.cnorm) AS cos_sim
+       |  FROM c JOIN q ON c.neighbor_id <> q.query_id AND c.bucket = q.bucket),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+    * Exact all-pairs form (the LSH-bucketed variant restricts to same-bucket
+    * pairs the same way `lshTopK` does).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("avec"))
+      .withColumn("anorm", VectorFns.norm(col("avec"), dim))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("bvec"))
+      .withColumn("bnorm", VectorFns.norm(col("bvec"), dim))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("avec"), col("bvec"), dim), col("anorm"), col("bnorm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  def cosineNearDupPairsSql(table: String, idCol: String, vecCol: String,
+      dim: Int, threshold: Double): String =
+    s"""WITH v AS (
+       |  SELECT $idCol AS id, $vecCol AS vec, ${VectorFns.normSql(vecCol, dim)} AS nrm
+       |  FROM $table)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) AS cos_sim
+       |FROM v a JOIN v b ON a.id < b.id
+       |WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.util.Tables
+
+/** Similarity-search queries over `embeddings` (64-dim float vectors):
+  * brute-force cosine top-k, sign-LSH-bucketed approximate top-k, and
+  * embedding near-dup pairs. Cosine scores are oracle-compared exactly
+  * (no tolerance) because both engines evaluate the identical
+  * left-associated double expression tree (see VectorFns).
+  */
+object EmbeddingQueries {
+
+  private val Dim = 64
+  private val K = 5
+  private val NumPlanes = 4
+  private val NearDupThreshold = 0.4
+
+  /** Probe set: the first 10 vectors. */
+  private val QueryPredSql = "vec_id < 10"
+
+  val all: Seq[Q] = Seq(
+    Q("e01_knn_bruteforce",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.cosineTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K)
+      },
+      Some(Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, QueryPredSql))),
+
+    Q("e02_knn_lsh",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.lshTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          numPlanes = NumPlanes)
+      },
+      Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, NumPlanes, QueryPredSql))),
+
+    Q("e03_embedding_near_dups",
+      (s, dir) => Similarity.cosineNearDupPairs(
+        Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),
+      Some(Similarity.cosineNearDupPairsSql("embeddings", "vec_id", "embedding",
+        Dim, NearDupThreshold))),
+  )
+}

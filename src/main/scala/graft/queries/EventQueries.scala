@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.util.Tables
+
+/** Batch queries over the `events` table exercising the streaming-shaped
+  * surface (SURVEY.md §2.9): tumbling/sliding windows, session windows
+  * (gaps-and-islands), as-of enrichment, JSON props extraction. The same
+  * operators run under Structured Streaming in graft.streaming; these batch
+  * forms are the DuckDB-oracled versions.
+  */
+object EventQueries {
+  import Num._
+
+  private val TsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
+
+  val all: Seq[Q] = Seq(
+    // ST5-analog tumbling window (epoch-aligned 1h buckets).
+    Q("s01_hourly_tumbling",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |  COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Sliding window: 2h wide, 1h slide — each event lands in two windows.
+    Q("s02_sliding_2h",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start")
+            .as("window_start"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT unnest([date_trunc('hour', ts),
+              |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+              |         value
+              |  FROM events)
+              |SELECT window_start, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM w GROUP BY 1""".stripMargin)),
+
+    // Session windows per user with a 30-minute inactivity gap —
+    // gaps-and-islands: flag session starts via lag, running-sum the flags
+    // into session ids, aggregate bounds. Deterministic ordering via
+    // (ts, event_id).
+    Q("s03_session_windows",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        val flagged = t.events.withColumn("new_sess",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+            .otherwise(0))
+        flagged
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(
+            date_format(min(col("ts")), TsFmtSpark).as("session_start"),
+            date_format(max(col("ts")), TsFmtSpark).as("session_end"),
+            count(lit(1)).as("n_events"))
+      },
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, event_id, ts,
+              |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              |      THEN 1 ELSE 0 END AS new_sess
+              |  FROM events),
+              |sess AS (
+              |  SELECT user_id, ts,
+              |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+              |  FROM flagged)
+              |SELECT user_id, sess_id,
+              |  strftime(MIN(ts), '$TsFmtDuck') AS session_start,
+              |  strftime(MAX(ts), '$TsFmtDuck') AS session_end,
+              |  COUNT(*) AS n_events
+              |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // As-of enrichment: each event gets its user's latest order at or before
+    // the event time (backward as-of join, deterministic tiebreak).
+    Q("s04_asof_latest_order",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        AsOfJoin.backward(
+          t.events.select(col("event_id"), col("user_id"), col("ts")),
+          t.orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT event_id, o_orderkey, o_totalprice FROM (
+             |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+             |WHERE rn = 1""".stripMargin)),
+
+    // J1-analog: JSON property extraction from the props column.
+    Q("s05_json_props",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy((col("k_val") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+              |  COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
+  )
+}
