@@ -1,0 +1,154 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.NameFns
+
+/** The market-data ingestion pipeline re-expressed as Spark ETL — the
+  * reference's EP2/EP3 flow (SURVEY.md §3) minus the browser mechanics.
+  *
+  * Raw layer: all-string columns + 4 literal metadata columns, one hive
+  * partition per (commodity, link_type, scrape_date) replacing the
+  * reference's filename templating (div_link_handler.py:287-293).
+  * Normalized layer: sanitized canonical names + typed casts.
+  * Incremental semantics: completed-ledger + anti-join pending + dynamic
+  * partition overwrite → re-running a batch is a no-op (ST1/ST2).
+  *
+  * Scale notes: the raw sink partitions on low-cardinality keys so writes
+  * are append-only file adds; the ledger stays tiny (one row per commodity ×
+  * link_type × day) and is broadcast in the anti-join; normalization is a
+  * pure narrow projection (no shuffle).
+  */
+object MarketPipeline {
+
+  val MetaCols: Seq[String] = Seq("scrape_date", "commodity", "link_type", "ingestion_run_id")
+
+  /** P3+P4: trim every string cell, then append the four metadata literals
+    * (reference div_link_handler.py:282-285).
+    */
+  def enrich(df: DataFrame, scrapeDate: String, commodity: String,
+      linkType: String, runId: String): DataFrame = {
+    val trimmed = df.columns.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+    trimmed
+      .withColumn("scrape_date", lit(scrapeDate))
+      .withColumn("commodity", lit(commodity))
+      .withColumn("link_type", lit(linkType))
+      .withColumn("ingestion_run_id", lit(runId))
+  }
+
+  /** F2: drop aggregate rows — any row whose concatenated business-column
+    * text contains "total" or "summary", case-insensitive
+    * (reference div_link_handler.py:238-245).
+    */
+  def dropTotalsRows(df: DataFrame): DataFrame = {
+    val business = df.columns.filterNot(MetaCols.contains)
+    val rowText = lower(concat_ws(" ", business.map(col).toIndexedSeq: _*))
+    df.filter(!(rowText.contains("total") || rowText.contains("summary")))
+  }
+
+  /** A2+A3: table-structure classification driving the reference's
+    * single- vs multi-container branch (div_link_handler.py:223-260).
+    */
+  final case class TableStructure(dataRows: Long, isSingleContainer: Boolean) {
+    def structure: String = if (isSingleContainer) "single_container" else "multi_container"
+  }
+
+  def classify(df: DataFrame): TableStructure = {
+    val n = dropTotalsRows(df).count()
+    TableStructure(n, n <= 1)
+  }
+
+  /** Defensive money/number parsing (SURVEY.md §7 "locale/number parsing"):
+    * strip currency symbols, spaces and thousands separators before cast.
+    */
+  def parseMoney(c: Column): Column =
+    regexp_replace(c, "[^0-9.\\-]", "").cast(DecimalType(18, 2))
+
+  def parseLong(c: Column): Column =
+    regexp_replace(c, "[^0-9\\-]", "").cast("long")
+
+  /** Canonical column name for a scraped header (header-drift tolerance):
+    * the reference's sanitizer applied to header text.
+    */
+  def canonicalName(header: String): String =
+    header.toLowerCase.trim
+      .replaceAll("[^\\w\\s-]", "")
+      .replaceAll("\\s+", "_")
+      .take(NameFns.MaxNameLen)
+
+  /** Normalize a raw enriched frame: canonical names + typed casts for the
+    * known market measures; unknown headers stay raw strings.
+    */
+  def normalize(df: DataFrame): DataFrame = {
+    val renamed = df.columns.foldLeft(df) { (d, c) =>
+      if (MetaCols.contains(c)) d else d.withColumnRenamed(c, canonicalName(c))
+    }
+    val moneyCols = Seq("price", "average_price_per_kg", "total_value_sold")
+    val longCols = Seq("quantity_available", "total_quantity_sold")
+    val doubleCols = Seq("total_kg_sold")
+    val casted = renamed.columns.foldLeft(renamed) { (d, c) =>
+      if (moneyCols.exists(c.startsWith)) d.withColumn(c, parseMoney(col(c)))
+      else if (longCols.contains(c)) d.withColumn(c, parseLong(col(c)))
+      else if (doubleCols.contains(c))
+        d.withColumn(c, regexp_replace(col(c), "[^0-9.\\-]", "").cast("double"))
+      else d
+    }
+    casted.withColumn("scrape_date", to_date(col("scrape_date")))
+  }
+
+  /** Union frames with drifting schemas into one raw table (§2.7). */
+  def unionDrifting(frames: Seq[DataFrame]): DataFrame =
+    frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+
+  /** SNK1: partitioned raw sink. Dynamic partition overwrite makes re-runs
+    * of a (commodity, link_type, scrape_date) batch idempotent (ST2).
+    */
+  def writeRaw(df: DataFrame, root: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("commodity", "link_type", "scrape_date")
+      .option("header", "true")
+      .parquet(root)
+  }
+
+  def readRaw(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  // ---- completed-commodities ledger (SRC6/SNK3, F4, F5) ----------------
+
+  /** Append a completion record (commodity, link_type, scrape_date). */
+  def recordCompleted(spark: SparkSession, ledgerPath: String,
+      commodity: String, linkTypes: Seq[String], scrapeDate: String): Unit = {
+    import spark.implicits._
+    linkTypes.map(t => (commodity, t, scrapeDate))
+      .toDF("commodity", "link_type", "scrape_date")
+      .write.mode(SaveMode.Append).parquet(ledgerPath)
+  }
+
+  /** The deduplicated ledger: commodity → set of completed link types. */
+  def readLedger(spark: SparkSession, ledgerPath: String, scrapeDate: String): DataFrame =
+    spark.read.parquet(ledgerPath)
+      .filter(col("scrape_date") === scrapeDate)
+      .groupBy(col("commodity"))
+      .agg(collect_set(col("link_type")).as("link_types"))
+
+  /** F5: commodity complete iff expected ⊆ scraped
+    * (reference div_link_handler.py:94-102).
+    */
+  def isComplete(scraped: Column, expected: Seq[String]): Column =
+    size(array_except(array(expected.map(lit): _*), scraped)) === 0
+
+  /** F4: work units still pending = all units anti-joined against the
+    * completed ledger (reference div_link_handler.py:501-503).
+    */
+  def pending(allUnits: DataFrame, spark: SparkSession, ledgerPath: String,
+      scrapeDate: String, expected: Seq[String]): DataFrame = {
+    val done = readLedger(spark, ledgerPath, scrapeDate)
+      .filter(isComplete(col("link_types"), expected))
+      .select(col("commodity"))
+    allUnits.join(broadcast(done), Seq("commodity"), "left_anti")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.MarketPipeline
+import graft.sources.HtmlTable
+
+/** The reference's own pipeline (EP3: scrape → enrich → filter → normalize,
+  * SURVEY.md §3) declared as an oracle-checked query. The driver testdata has
+  * no market tables, so the query ingests a representative fixture page
+  * (FIXTURES.md A1 shape) embedded here, and the oracle is the expected
+  * normalized relation as literal VALUES — an exact end-to-end check of the
+  * parse → enrich → dropTotals → normalize chain.
+  */
+object MarketQueries {
+
+  private[queries] val FixturePage: String =
+    """<html><div id="right2"><b>2026-08-12</b></div>
+      |<table class="alltable"><thead>
+      |<th class="header">Container</th>
+      |<th class="header">Price (R)</th>
+      |<th class="header">Total Value Sold</th>
+      |<th class="header">Total Quantity Sold</th></thead>
+      |<tbody>
+      |<tr><td class="tleft2">10kg Bag</td><td class="tleft">R 1,234.50</td><td class="tleft">R 12,345.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">5kg Box</td><td class="tleft">99.00</td><td class="tleft">990.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">Grand Total</td><td class="tleft"></td><td class="tleft">13,335.00</td><td class="tleft">20</td></tr>
+      |</tbody></table></html>""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("m01_market_pipeline_e2e",
+      (s, _) => {
+        val raw = HtmlTable.ingest(s, FixturePage)
+        val date = HtmlTable.scrapeDate(FixturePage).get
+        val enriched = MarketPipeline.enrich(raw, date, "apples_golden_delicious",
+          "summary", date)
+        MarketPipeline.normalize(MarketPipeline.dropTotalsRows(enriched))
+          .select(
+            col("container"),
+            col("price_r").cast("double").as("price_r"),
+            col("total_value_sold").cast("double").as("total_value_sold"),
+            col("total_quantity_sold"),
+            date_format(col("scrape_date"), "yyyy-MM-dd").as("scrape_date"),
+            col("commodity"), col("link_type"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('10kg Bag', CAST(1234.5 AS DOUBLE), CAST(12345.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-12', 'apples_golden_delicious', 'summary'),
+             |  ('5kg Box', CAST(99.0 AS DOUBLE), CAST(990.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-12', 'apples_golden_delicious', 'summary'))
+             |AS t(container, price_r, total_value_sold, total_quantity_sold,
+             |     scrape_date, commodity, link_type)""".stripMargin)),
+  )
+}

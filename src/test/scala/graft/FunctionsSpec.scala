@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NameFns, TextFns, VectorFns}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(1).toDF("x").select(c).head()
+
+  test("sanitizeName matches the reference sanitizer (div_link_handler.py:116-123)") {
+    def s(in: String): String =
+      Seq(in).toDF("v").select(NameFns.sanitizeName(col("v"))).head().getString(0)
+    assert(s("  Apples (Golden) & Pears!  ") == "apples_golden_pears")
+    assert(s("Beans - Fine") == "beans_-_fine")
+    assert(s("A" * 150) == "a" * 100) // truncation at 100
+    assert(s("Tab\tand  spaces") == "tab_and_spaces")
+  }
+
+  test("sanitizeName is idempotent") {
+    val names = Seq("Crisp Apples!", "weird***name", "  x  y  z ").toDF("v")
+    val once = names.select(NameFns.sanitizeName(col("v")).as("s"))
+    val twice = once.select(NameFns.sanitizeName(col("s")).as("s"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("tokens/tokenCount handle empties and whitespace runs") {
+    val df = Seq("", "   ", "one", " a  b\tc ").toDF("t")
+    val counts = df.select(TextFns.tokenCount(col("t"))).collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(0L, 0L, 1L, 3L))
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, and punctuation") {
+    val df = Seq("abc123!x, y9").toDF("t")
+    // abc|123|!|x|,|y|9 → 7
+    assert(df.select(TextFns.bpeTokenCount(col("t"))).head().getLong(0) == 7L)
+  }
+
+  test("langId picks the dominant stopword language, 'und' when none") {
+    val df = Seq(
+      "the cat sat on the mat and it was good",
+      "el perro y la casa de los gatos se fue",
+      "zzz qqq www").toDF("t")
+    val langs = df.select(TextFns.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "es", "und"))
+  }
+
+  test("qualityScore is in [0,1] and favors clean prose") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and it was good for the farm",
+      "!!!###$$$ %%% ^^^ &&&").toDF("t")
+    val scores = df.select(TextFns.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint is word-order-insensitive; contentHash is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(
+      TextFns.fingerprint(col("x")) === TextFns.fingerprint(col("y")),
+      TextFns.contentHash(col("x")) === TextFns.contentHash(col("y"))).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("shingles produce n-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(TextFns.shingles(col("t"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    assert(sh == Seq(Seq("a b c", "b c d"), Seq.empty))
+  }
+
+  test("unrolled dot/norm agree with the dynamic higher-order form") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VectorFns.dot(col("a"), col("b"), 3),
+      VectorFns.dotDynamic(col("a"), col("b")),
+      VectorFns.norm(col("a"), 3)).head()
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("lshPlanes are deterministic, mean-zero-ish halves") {
+    val p1 = VectorFns.lshPlanes(4, 8)
+    val p2 = VectorFns.lshPlanes(4, 8)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(w => w >= -7.5 && w <= 7.5 && (w * 2) == (w * 2).round))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.MarketPipeline
+import graft.sources.HtmlTable
+
+/** End-to-end EP3 pipeline (SURVEY.md §3): parse → enrich → classify →
+  * filter → normalize → partitioned sink, plus the incremental ledger
+  * semantics (ST1/ST2: idempotent re-runs, anti-join pending).
+  */
+class MarketPipelineSpec extends SparkSpec {
+  import MarketPipeline._
+
+  val html: String =
+    """<table class="alltable"><thead>
+      |<th class="header">Container</th>
+      |<th class="header">Price (R)</th>
+      |<th class="header">Total Value Sold</th>
+      |<th class="header">Total Quantity Sold</th></thead>
+      |<tbody>
+      |<tr><td class="tleft2">10kg Bag</td><td class="tleft">R 1,234.50</td><td class="tleft">R 12,345.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">Box</td><td class="tleft">99.00</td><td class="tleft">990.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">Grand Total</td><td class="tleft"></td><td class="tleft">13,335.00</td><td class="tleft">20</td></tr>
+      |</tbody></table>""".stripMargin
+
+  def ingestOne(commodity: String): org.apache.spark.sql.DataFrame =
+    enrich(HtmlTable.ingest(spark, html), "2026-08-12", commodity, "summary", "2026-08-12")
+
+  test("enrich appends the four metadata literals (div_link_handler.py:282-285)") {
+    val df = ingestOne("apples_golden")
+    assert(df.columns.takeRight(4).toSeq == MetaCols)
+    val r = df.select("commodity", "link_type", "ingestion_run_id").head()
+    assert(r.getString(0) == "apples_golden" && r.getString(1) == "summary")
+  }
+
+  test("dropTotalsRows removes total/summary rows (div_link_handler.py:238-245)") {
+    val df = ingestOne("apples")
+    assert(df.count() == 3)
+    assert(dropTotalsRows(df).count() == 2)
+  }
+
+  test("classify: multi vs single container (div_link_handler.py:248-253)") {
+    assert(!classify(ingestOne("apples")).isSingleContainer)
+    val single = ingestOne("apples").limit(1)
+    val c = classify(single)
+    assert(c.isSingleContainer && c.structure == "single_container")
+  }
+
+  test("normalize: canonical names + money/long casts survive separators") {
+    val n = normalize(dropTotalsRows(ingestOne("apples")))
+    assert(n.columns.contains("price_r") && n.columns.contains("total_value_sold"))
+    val r = n.orderBy(desc("total_value_sold")).head()
+    assert(r.getAs[java.math.BigDecimal]("total_value_sold").doubleValue() == 12345.0)
+    assert(r.getAs[Long]("total_quantity_sold") == 10L)
+    assert(r.getAs[java.sql.Date]("scrape_date").toString == "2026-08-12")
+  }
+
+  test("union with header drift fills missing columns with null (§2.7)") {
+    val a = ingestOne("apples")
+    val b = enrich(HtmlTable.ingest(spark,
+      html.replace("Total Quantity Sold", "Total Kg Sold")), "2026-08-12", "pears", "summary", "r")
+    val u = unionDrifting(Seq(a, b))
+    assert(u.count() == 6)
+    assert(u.filter(col("commodity") === "pears" && col("Total Quantity Sold").isNull).count() == 3)
+  }
+
+  test("partitioned raw sink is idempotent under re-runs (ST2)") {
+    val root = tmpDir("raw")
+    writeRaw(ingestOne("apples"), root)
+    writeRaw(ingestOne("pears"), root)
+    val first = readRaw(spark, root).count()
+    // re-run the apples batch: dynamic partition overwrite → no duplication
+    writeRaw(ingestOne("apples"), root)
+    assert(readRaw(spark, root).count() == first)
+    assert(readRaw(spark, root).select("commodity").distinct().count() == 2)
+  }
+
+  test("ledger + anti-join pending + completeness predicate (F4/F5)") {
+    import spark.implicits._
+    val ledger = tmpDir("ledger")
+    val all = Seq("apples", "pears", "plums").toDF("commodity")
+    val expected = Seq("summary", "container", "variety")
+    recordCompleted(spark, ledger, "apples", expected, "2026-08-12")
+    recordCompleted(spark, ledger, "pears", Seq("summary"), "2026-08-12")
+    val p = MarketPipeline.pending(all, spark, ledger, "2026-08-12", expected)
+      .orderBy("commodity").collect().map(_.getString(0)).toSeq
+    // apples fully complete → skipped; pears partial → still pending
+    assert(p == Seq("pears", "plums"))
+    // re-recording is idempotent (collect_set dedups)
+    recordCompleted(spark, ledger, "apples", expected, "2026-08-12")
+    assert(MarketPipeline.pending(all, spark, ledger, "2026-08-12", expected).count() == 2)
+  }
+}

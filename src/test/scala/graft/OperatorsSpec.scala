@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 0
+    (2L, "completely different words about spark catalyst optimizer and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups groups identical content") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    assert(g.filter(col("n_docs") === 2 && col("min_id") === 0).count() == 1)
+  }
+
+  test("ngramJaccardPairs finds the planted near-dup and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhashLshPairs finds the same high-similarity pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact && exact.nonEmpty)
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val h = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(h(0L) == h(3L)) // identical text → identical simhash
+    // one-word edit sits strictly closer than an unrelated doc
+    assert(hamming(h(0L), h(1L)) < hamming(h(0L), h(2L)))
+    assert(hamming(h(0L), h(1L)) <= 3)
+  }
+
+  val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)), // closest to 0
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)),    // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine with deterministic tie-break") {
+    val out = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", dim = 4, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cos_sim") > 0.99)
+    assert(out.last.getAs[Double]("cos_sim") == -1.0)
+  }
+
+  test("cosineNearDupPairs respects the threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  val ordersT = Seq(
+    (10L, 100L, "2024-01-01 00:00:00", 5.0),
+    (11L, 100L, "2024-01-10 00:00:00", 7.0),
+    (12L, 100L, "2024-01-10 00:00:00", 9.0), // same time as 11 → tiebreak: max orderkey wins
+    (13L, 200L, "2024-06-01 00:00:00", 1.0),
+  ).toDF("o_orderkey", "o_custkey", "o_ts", "o_price")
+    .withColumn("o_ts", col("o_ts").cast("timestamp"))
+
+  val eventsT = Seq(
+    (1L, 100L, "2024-01-05 00:00:00"), // after order 10 only
+    (2L, 100L, "2024-01-10 00:00:00"), // ties at order 11/12 time → 12 (<= incl., max key)
+    (3L, 100L, "2024-02-01 00:00:00"), // after all → 12
+    (4L, 200L, "2024-01-01 00:00:00"), // before any 200-order → null
+    (5L, 999L, "2024-01-01 00:00:00"), // key with no orders → null
+  ).toDF("event_id", "user_id", "ts")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("asof backward join: <= semantics, tiebreak, and no-match nulls") {
+    val out = AsOfJoin.backward(eventsT, ordersT,
+      "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey", "o_price"), "o_orderkey")
+      .orderBy("event_id").collect()
+    val keys = out.map(r => Option(r.getAs[java.lang.Long]("o_orderkey")).map(_.toLong))
+    assert(keys.toSeq == Seq(Some(10L), Some(12L), Some(12L), None, None))
+    assert(out(1).getAs[Double]("o_price") == 9.0)
+  }
+}
