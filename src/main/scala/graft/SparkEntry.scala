@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, grouped by module. */
   def allQueries: Seq[Q] =
     StarQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      EventQueries.all ++ EmbeddingQueries.all ++ MarketQueries.all
+      EventQueries.all ++ EmbeddingQueries.all ++ MarketQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's implied headline analytic: top-5 by revenue

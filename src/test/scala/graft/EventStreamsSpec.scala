@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Streaming semantics (SURVEY.md §5.5): watermark + windows over a
+  * MemoryStream, late-data dropping, session merging, and the checkpointed
+  * restart / exactly-once ingest (ST1/ST2).
+  */
+// top-level so Spark can derive an Encoder (inner classes can't be encoded)
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("tumbling window with watermark finalizes and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumble_out").start()
+    in.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
+      Ev(3, ts(12), 2, "view", 3.0))
+    q.processAllAvailable()
+    // watermark = max(ts) - 5m = 10:07 → 10:00 window not yet final
+    assert(spark.table("tumble_out").count() == 0)
+    // push watermark past 10:10 → the 10:00 window finalizes
+    in.addData(Ev(4, ts(20), 1, "click", 4.0))
+    q.processAllAvailable()
+    val finalized = spark.table("tumble_out").collect()
+    assert(finalized.length == 1)
+    assert(finalized.head.getAs[Long]("n") == 2) // events 1,2
+    // a late event for the finalized 10:00 window is dropped
+    in.addData(Ev(5, ts(2), 9, "click", 9.0))
+    q.processAllAvailable()
+    assert(spark.table("tumble_out").count() == 1)
+    q.stop()
+  }
+
+  test("session window merges events within the gap across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionAgg(in.toDF(), "10 minutes", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    in.addData(Ev(1, ts(0), 1, "c", 1.0), Ev(2, ts(5), 1, "c", 1.0)) // one session
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(40), 1, "c", 1.0)) // gap > 10m → new session; finalizes first
+    q.processAllAvailable()
+    in.addData(Ev(4, ts(59), 1, "c", 1.0)) // push watermark; finalizes second
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").orderBy("session_start").collect()
+    assert(sessions.length >= 1)
+    assert(sessions.head.getAs[Long]("n_events") == 2)
+    q.stop()
+  }
+
+  test("checkpointed ingest is exactly-once across restarts (ST1/ST2)") {
+    val src = tmpDir("stream_src")
+    val ckpt = tmpDir("stream_ckpt")
+    val out = tmpDir("stream_out")
+    val schema = Seq(Ev(0, ts(0), 0, "x", 0.0)).toDF().schema
+
+    Seq(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "b", 2.0)).toDF()
+      .write.mode("append").parquet(src)
+    val q1 = EventStreams.ingestStream(spark, src, schema, ckpt, out)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // restart with no new data: checkpoint prevents reprocessing
+    val q2 = EventStreams.ingestStream(spark, src, schema, ckpt, out)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // restart after new files land: only the delta is ingested
+    Seq(Ev(3, ts(3), 2, "c", 3.0)).toDF().write.mode("append").parquet(src)
+    val q3 = EventStreams.ingestStream(spark, src, schema, ckpt, out)
+    q3.awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.select("event_id").distinct().count() == 3)
+  }
+
+  test("streaming tumbling agg equals the batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = (0 until 50).map(i =>
+      Ev(i.toLong, ts(i % 60), i % 3L, if (i % 2 == 0) "a" else "b", i.toDouble))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("parity_out").start()
+    in.addData(evs)
+    in.addData(Ev(999, Timestamp.valueOf("2024-01-02 00:00:00"), 0, "a", 0.0)) // flush watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("parity_out")
+      .select("window_start", "event_type", "n", "sum_value")
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "10 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
