@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Unrolled dot product of two array<float> columns of dimension `dim`. */
+  /** Dot product of two array<float> columns: the native codegen'd loop
+    * expression (see graft.plans.DotProductFloat). Bit-identical to the
+    * unrolled left-associated chain (`dotUnrolled`) and the oracle SQL.
+    */
   def dot(a: Column, b: Column, dim: Int): Column =
+    graft.plans.DotProductFloat(a, b)
+
+  /** Reference form: dim-unrolled element_at chain (slow in join conditions;
+    * kept for tests asserting bit-equality with the native expression).
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
     (1 to dim)
       .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduceLeft(_ + _)

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(Expression) constructor; the bridge is
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is private[sql].
+  * This shim (in an org.apache.spark.sql subpackage, the standard extension
+  * technique) re-exports just the two conversions graft's custom Catalyst
+  * expressions need.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -71,14 +71,23 @@ class FunctionsSpec extends SparkSpec {
     assert(sh == Seq(Seq("a b c", "b c d"), Seq.empty))
   }
 
-  test("unrolled dot/norm agree with the dynamic higher-order form") {
+  test("native dot expression is bit-equal to unrolled and dynamic forms") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(
       VectorFns.dot(col("a"), col("b"), 3),
+      VectorFns.dotUnrolled(col("a"), col("b"), 3),
       VectorFns.dotDynamic(col("a"), col("b")),
       VectorFns.norm(col("a"), 3)).head()
-    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
-    assert(math.abs(r.getDouble(2) - math.sqrt(14.0)) < 1e-12)
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0 && r.getDouble(2) == 32.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(14.0)) < 1e-12)
+    // bit-equality on irrational accumulations, native vs unrolled
+    val v = (1 to 64).map(i => (math.sqrt(i) / 3.0).toFloat).toArray
+    val w = (1 to 64).map(i => (math.cos(i) * 1.7).toFloat).toArray
+    val r2 = Seq((v, w)).toDF("a", "b").select(
+      VectorFns.dot(col("a"), col("b"), 64),
+      VectorFns.dotUnrolled(col("a"), col("b"), 64)).head()
+    assert(java.lang.Double.doubleToLongBits(r2.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r2.getDouble(1)))
   }
 
   test("lshPlanes are deterministic, mean-zero-ish halves") {
