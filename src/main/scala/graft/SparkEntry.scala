@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All declared queries, grouped by module. */
   def allQueries: Seq[Q] =
-    StarQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+    StarQueries.all ++ SqlQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       EventQueries.all ++ EmbeddingQueries.all ++ MarketQueries.all ++
       MultimodalQueries.all
 

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Second slice of relational surface: exact percentiles, pivot-style
+  * conditional aggregation, array aggregation, full outer join, and the SQL
+  * entry point itself (`spark.sql` over registered views with CTEs +
+  * window functions) — §2.4–§2.8 completeness.
+  */
+object SqlQueries {
+  import Num._
+
+  val all: Seq[Q] = Seq(
+    // Exact percentiles (continuous interpolation — same definition as
+    // DuckDB's quantile_cont).
+    Q("q15_price_percentiles",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part
+          .groupBy(col("p_brand"))
+          .agg(
+            expr("percentile(p_retailprice, 0.5)").as("p50"),
+            expr("percentile(p_retailprice, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT p_brand,
+             |  quantile_cont(p_retailprice, 0.5) AS p50,
+             |  quantile_cont(p_retailprice, 0.9) AS p90,
+             |  COUNT(*) AS n
+             |FROM part GROUP BY p_brand""".stripMargin)),
+
+    // Pivot-style conditional aggregation: one column per return flag.
+    Q("q16_pivot_returnflag",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("l_returnflag") === "A", dec(col("l_quantity")))).cast("double").as("qty_a"),
+            sum(when(col("l_returnflag") === "N", dec(col("l_quantity")))).cast("double").as("qty_n"),
+            sum(when(col("l_returnflag") === "R", dec(col("l_quantity")))).cast("double").as("qty_r"))
+      },
+      Some(s"""SELECT l_linestatus,
+              |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_a,
+              |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_n,
+              |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_r
+              |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // AR1/A4-analog: set accumulation per key, canonically sorted.
+    Q("q17_nation_set_per_region",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            sort_array(collect_set(col("n_name"))).as("nations"),
+            countDistinct(col("n_name")).as("n_nations"))
+      },
+      Some("""SELECT r_name,
+             |  list_sort(list_distinct(array_agg(n_name))) AS nations,
+             |  COUNT(DISTINCT n_name) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
+    // Full outer join of two aggregates (null-filled on both sides).
+    Q("q18_cust_supp_by_nation",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val c = t.customer.groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = t.supplier.groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.withColumnRenamed("nk", "c_nk")
+          .join(sup.withColumnRenamed("nk", "s_nk"),
+            col("c_nk") === col("s_nk"), "full_outer")
+          .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+             |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+             |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin)),
+
+    // The SQL entry point itself: spark.sql over registered views, CTE +
+    // window + join — TPC-H Q3-shaped.
+    Q("q19_sql_api_topk_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.createOrReplaceTempView("customer")
+        t.orders.createOrReplaceTempView("orders")
+        t.lineitem.createOrReplaceTempView("lineitem")
+        s.sql(
+          """WITH revenue AS (
+            |  SELECT o_orderkey, c_mktsegment,
+            |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+            |  FROM customer JOIN orders ON c_custkey = o_custkey
+            |  JOIN lineitem ON l_orderkey = o_orderkey
+            |  WHERE c_mktsegment = 'BUILDING'
+            |  GROUP BY o_orderkey, c_mktsegment)
+            |SELECT o_orderkey, rev, rnk FROM (
+            |  SELECT o_orderkey, rev,
+            |    CAST(RANK() OVER (ORDER BY rev DESC, o_orderkey ASC) AS BIGINT) AS rnk
+            |  FROM revenue)
+            |WHERE rnk <= 10""".stripMargin)
+      },
+      Some("""WITH revenue AS (
+             |  SELECT o_orderkey, c_mktsegment,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |  GROUP BY o_orderkey, c_mktsegment)
+             |SELECT o_orderkey, rev, rnk FROM (
+             |  SELECT o_orderkey, rev,
+             |    RANK() OVER (ORDER BY rev DESC, o_orderkey ASC) AS rnk
+             |  FROM revenue)
+             |WHERE rnk <= 10""".stripMargin)),
+
+    // Correlated scalar subquery: parts priced above their brand average.
+    Q("q20_above_brand_avg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.createOrReplaceTempView("part")
+        // decimal-exact mean (raw AVG(double) is parallel-sum-order
+        // dependent and can differ from DuckDB in the last ulp)
+        s.sql(
+          """SELECT p_partkey, p_brand, p_retailprice FROM part p1
+            |WHERE p_retailprice > 1.05 * (
+            |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            |  FROM part p2 WHERE p2.p_brand = p1.p_brand)""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p1
+             |WHERE p_retailprice > 1.05 * (
+             |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |  FROM part p2 WHERE p2.p_brand = p1.p_brand)""".stripMargin)),
+  )
+}
