@@ -73,6 +73,27 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Exact top-k via the typed partial-top-k Aggregator — identical results
+    * to `cosineTopK`, but the shuffle carries only per-partition partial
+    * top-ks instead of every scored pair (see TopKAggregator).
+    */
+  def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFns.cosineFromNorms(
+          VectorFns.dot(col("qvec"), col("cvec"), dim),
+          col("qnorm"), col("cnorm")).as("cos_sim"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    TopKAggregator.topK(scored.as[Scored], k).toDF()
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: score only candidates in the query's
     * sign-LSH bucket. Same output shape as `cosineTopK`; queries whose
     * bucket holds no other vector produce no rows.

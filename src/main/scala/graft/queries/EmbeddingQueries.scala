@@ -32,6 +32,18 @@ object EmbeddingQueries {
       Some(Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, QueryPredSql))),
 
+    // Same contract as e01 through the partial-top-k Aggregator (scale
+    // path) — shares e01's oracle, so the aggregator is hash-checked too.
+    Q("e04_knn_topk_aggregator",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.cosineTopKAgg(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K)
+      },
+      Some(Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, QueryPredSql))),
+
     Q("e02_knn_lsh",
       (s, dir) => {
         val t = Tables(s, dir)
