@@ -61,6 +61,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out.last.getAs[Double]("cos_sim") == -1.0)
   }
 
+  test("TopKAggregator path equals the window-function top-k exactly") {
+    val win = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", dim = 4, k = 2).orderBy("query_id", "rank").collect()
+    val agg = Similarity.cosineTopKAgg(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", dim = 4, k = 2).orderBy("query_id", "rank").collect()
+    assert(win.map(_.toSeq).toSeq == agg.map(_.toSeq).toSeq)
+  }
+
   test("cosineNearDupPairs respects the threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
