@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables
+
+/** Completeness slice: scalar broadcast (the reference's date-onto-rows
+  * pattern as a degenerate cross join), date-part extraction, deterministic
+  * arg-max, range join against interval buckets, and the HLL sketch surface
+  * (rows-only: approx results are engine-specific).
+  */
+object MiscQueries {
+  import Num._
+
+  val all: Seq[Q] = Seq(
+    // P4-analog: broadcast a 1-row scalar frame onto the fact table — the
+    // relational form of stamping the scraped date on every row
+    // (reference div_link_handler.py:282).
+    Q("q21_scalar_broadcast_snapshot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val snapshot = t.orders.agg(max(to_date(col("o_orderdate"))).as("snap"))
+        t.lineitem
+          .crossJoin(broadcast(snapshot))
+          .filter(datediff(col("snap"), to_date(col("l_shipdate"))) <= 90)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n_recent"))
+      },
+      Some("""WITH snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS snap FROM orders)
+             |SELECT l_linestatus, COUNT(*) AS n_recent
+             |FROM lineitem CROSS JOIN snap
+             |WHERE datediff('day', CAST(l_shipdate AS DATE), snap) <= 90
+             |GROUP BY l_linestatus""".stripMargin)),
+
+    // D1-D3-analog: date-part extraction + monthly revenue matrix.
+    Q("q22_monthly_order_totals",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(sumd(col("o_totalprice")).as("sum_total"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+              |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+              |  ${sqlSumd("o_totalprice")} AS sum_total, COUNT(*) AS n
+              |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // Deterministic arg-max via join-back (ties broken by min partkey).
+    Q("q23_priciest_part_per_brand",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val maxPrice = t.part.groupBy(col("p_brand").as("b"))
+          .agg(max(col("p_retailprice")).as("max_price"))
+        t.part
+          .join(broadcast(maxPrice),
+            col("p_brand") === col("b") && col("p_retailprice") === col("max_price"))
+          .groupBy(col("p_brand"))
+          .agg(min(col("p_partkey")).as("top_partkey"), max(col("max_price")).as("max_price"))
+      },
+      Some("""WITH m AS (SELECT p_brand AS b, MAX(p_retailprice) AS max_price
+             |  FROM part GROUP BY 1)
+             |SELECT p_brand, MIN(p_partkey) AS top_partkey, MAX(max_price) AS max_price
+             |FROM part JOIN m ON p_brand = b AND p_retailprice = max_price
+             |GROUP BY p_brand""".stripMargin)),
+
+    // Range join: event values against interval buckets (broadcast the tiny
+    // bucket table; the between-condition becomes a BNLJ filter).
+    Q("s06_value_range_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val buckets = Seq(
+          ("tiny", 0.0, 50.0), ("small", 50.0, 100.0),
+          ("mid", 100.0, 150.0), ("large", 150.0, 1e9))
+          .toDF("bucket", "lo", "hi")
+        t.events
+          .join(broadcast(buckets),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""WITH buckets(bucket, lo, hi) AS (VALUES
+              |  ('tiny', 0.0, 50.0), ('small', 50.0, 100.0),
+              |  ('mid', 100.0, 150.0), ('large', 150.0, 1e9))
+              |SELECT bucket, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events JOIN buckets ON value >= lo AND value < hi
+              |GROUP BY bucket""".stripMargin)),
+
+    // HLL sketch surface — approx_count_distinct is engine-specific, so this
+    // is a rows-only query; the spec checks the estimate against the exact
+    // count within tolerance.
+    Q("q24_approx_distinct_parts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            count(lit(1)).as("n"))
+      },
+      None),
+  )
+}

@@ -75,6 +75,20 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("approx_count_distinct estimate is within 5% of exact (q24 surface)") {
+    val q = graft.SparkEntry.queries("q24_approx_distinct_parts")(spark, "/root/testdata/sf0.001")
+    val exact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+    val joined = q.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val ex = r.getAs[Long]("exact").toDouble
+      assert(math.abs(approx - ex) / ex < 0.05, s"approx $approx vs exact $ex")
+    }
+  }
+
   val ordersT = Seq(
     (10L, 100L, "2024-01-01 00:00:00", 5.0),
     (11L, 100L, "2024-01-10 00:00:00", 7.0),
