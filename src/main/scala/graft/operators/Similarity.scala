@@ -94,9 +94,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-k: score only candidates in the query's
-    * sign-LSH bucket. Same output shape as `cosineTopK`; queries whose
-    * bucket holds no other vector produce no rows.
+  /** Probe buckets for multi-probe LSH: the query's own bucket plus every
+    * bucket at Hamming distance 1 (flip each bit once) — numPlanes+1 probes.
+    */
+  private def probeBuckets(bucket: Column, numPlanes: Int): Column = {
+    val flips = (0 until numPlanes).map { i =>
+      val flipped = when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(bucket, 1, i), flipped,
+        substring(bucket, i + 2, numPlanes - i - 1))
+    }
+    array((bucket +: flips): _*)
+  }
+
+  private def probeBucketsSql(bucket: String, numPlanes: Int): String = {
+    val flips = (0 until numPlanes).map { i =>
+      val flipped = s"CASE WHEN substr($bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END"
+      s"substr($bucket, 1, $i) || $flipped || substr($bucket, ${i + 2}, ${numPlanes - i - 1})"
+    }
+    (bucket +: flips).mkString("[", ", ", "]")
+  }
+
+  /** LSH-bucketed approximate top-k with multi-probe: candidates are scored
+    * if they fall in the query's bucket OR any bucket at Hamming distance 1
+    * (single-probe recall on random vectors is poor; multi-probe trades
+    * (numPlanes+1)× more bucket lookups for much better recall while still
+    * touching only a fraction of the corpus). Same output shape as
+    * `cosineTopK`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, numPlanes: Int): DataFrame = {
@@ -105,10 +128,11 @@ object Similarity {
       .withColumn("bucket", VectorFns.lshBucket(col("cvec"), planes))
       .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("bucket", VectorFns.lshBucket(col("qvec"), planes))
       .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("probe",
+        explode(probeBuckets(VectorFns.lshBucket(col("qvec"), planes), numPlanes)))
     val joined = c.join(broadcast(q),
-      col("neighbor_id") =!= col("query_id") && c("bucket") === q("bucket"))
+      col("neighbor_id") =!= col("query_id") && c("bucket") === q("probe"))
     val scored = joined.withColumn("cos_sim",
       VectorFns.cosineFromNorms(
         VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
@@ -129,15 +153,19 @@ object Similarity {
        |         ${VectorFns.lshBucketSql(vecCol, planes)} AS bucket,
        |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
        |  FROM $table),
-       |q AS (
+       |q0 AS (
        |  SELECT $idCol AS query_id, $vecCol AS qvec,
        |         ${VectorFns.lshBucketSql(vecCol, planes)} AS bucket,
        |         ${VectorFns.normSql(vecCol, dim)} AS qnorm
        |  FROM $table WHERE $queryPred),
+       |q AS (
+       |  SELECT query_id, qvec, qnorm,
+       |         unnest(${probeBucketsSql("bucket", numPlanes)}) AS probe
+       |  FROM q0),
        |scored AS (
        |  SELECT q.query_id, c.neighbor_id,
        |         ($dot) / (q.qnorm * c.cnorm) AS cos_sim
-       |  FROM c JOIN q ON c.neighbor_id <> q.query_id AND c.bucket = q.bucket),
+       |  FROM c JOIN q ON c.neighbor_id <> q.query_id AND c.bucket = q.probe),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
        |         ROW_NUMBER() OVER (PARTITION BY query_id

@@ -87,6 +87,18 @@ object MiscQueries {
               |FROM events JOIN buckets ON value >= lo AND value < hi
               |GROUP BY bucket""".stripMargin)),
 
+    // Full grouping-sets surface: CUBE over two dimensions.
+    Q("q25_cube_volumes",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${sqlSumd("l_quantity")} AS sum_qty, COUNT(*) AS n
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // HLL sketch surface — approx_count_distinct is engine-specific, so this
     // is a rows-only query; the spec checks the estimate against the exact
     // count within tolerance.

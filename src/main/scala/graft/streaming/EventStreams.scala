@@ -54,6 +54,15 @@ object EventStreams {
       .select(col("user_id"), col("session").getField("start").as("session_start"),
         col("session").getField("end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup by key with a watermark bounding state: events
+    * re-delivered within the watermark horizon are dropped (the streaming
+    * form of exactDupGroups / the reference's completed-set skip).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** ST1/ST2: checkpointed, idempotent streaming ingest — the EP2 loop as a
     * streaming query. Reads parquet files landing under `srcDir`, stamps the
     * ingestion run id, and appends to a date-partitioned parquet sink via

@@ -89,6 +89,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.select("event_id").distinct().count() == 3)
   }
 
+  test("dedupStream drops re-delivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    in.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "b", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(2), 1, "a", 1.0)) // duplicate key re-delivered
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(3), 1, "c", 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("streaming tumbling agg equals the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val evs = (0 until 50).map(i =>

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{NameFns, TextFns}
+
+/** Property-based invariants (SURVEY.md §5.2) using ScalaCheck generators
+  * with fixed seeds (deterministic; the scalatest-plus bridge is not in the
+  * offline cache). Checks run through the real column functions on a
+  * DataFrame so the exercised code path is the engine's.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def evalStr(in: Seq[String], c: org.apache.spark.sql.Column): Seq[String] =
+    in.toDF("v").select(c.cast("string")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("")).toSeq
+
+  test("sanitizeName output is within charset [a-z0-9_-], <= 100 chars, idempotent") {
+    val raw = samples(Gen.asciiPrintableStr.map(_.take(150)), 60)
+    assert(raw.nonEmpty)
+    val once = evalStr(raw, NameFns.sanitizeName(col("v")))
+    assert(once.forall(s => s.length <= 100 && s.matches("[a-z0-9_\\-]*")))
+    val twice = evalStr(once, NameFns.sanitizeName(col("v")))
+    assert(twice == once)
+  }
+
+  test("shingle count equals max(0, tokens - n + 1)") {
+    val words = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+    val texts = samples(words, 40).map(_.mkString(" "))
+    val rows = texts.toDF("v")
+      .select(TextFns.tokenCount(col("v")),
+        size(TextFns.shingles(col("v"), 3)).cast("long")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == math.max(0L, r.getLong(0) - 2))
+    }
+  }
+
+  test("jaccard pairs are ordered (id_a < id_b) and bounded in (0,1]") {
+    val docs = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e g"), (2L, "a b c d e f"),
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.0)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j > 0.0 && j <= 1.0
+    })
+    // identical docs have jaccard exactly 1
+    val identical = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L).get
+    assert(identical.getAs[Double]("jaccard") == 1.0)
+  }
+}
