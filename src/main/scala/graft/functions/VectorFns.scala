@@ -72,13 +72,14 @@ object VectorFns {
     }
   }
 
-  /** Sign-LSH bucket string ('0'/'1' per plane) for an embedding column. */
+  /** Sign-LSH bucket string ('0'/'1' per plane) for an embedding column.
+    * Projections use the const-weights loop expression — the unrolled
+    * literal chain (planes × dim multiply-adds) exceeds Janino's method
+    * limits and falls back to interpreted eval (see DotProductConst).
+    */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { plane =>
-      val proj = plane.zipWithIndex
-        .map { case (w, d) => element_at(v, d + 1).cast("double") * lit(w) }
-        .reduceLeft(_ + _)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
+      when(graft.plans.DotProductConst(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits.toIndexedSeq: _*)
   }
