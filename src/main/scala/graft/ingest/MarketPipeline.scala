@@ -104,18 +104,28 @@ object MarketPipeline {
 
   /** SNK1: partitioned raw sink. Dynamic partition overwrite makes re-runs
     * of a (commodity, link_type, scrape_date) batch idempotent (ST2).
+    * `format` defaults to csv with a header row — the reference lands raw
+    * CSV (README.md:4, div_link_handler.py:293); hive-style partition dirs
+    * replace its filename templating. Use parquet for the normalized layer.
     */
-  def writeRaw(df: DataFrame, root: String): Unit = {
+  def writeRaw(df: DataFrame, root: String, format: String = "csv"): Unit = {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
       .mode(SaveMode.Overwrite)
       .partitionBy("commodity", "link_type", "scrape_date")
       .option("header", "true")
-      .parquet(root)
+      .format(format)
+      .save(root)
   }
 
-  def readRaw(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+  /** Schema-on-read of the raw layer (header-derived columns, all strings —
+    * the reference's dynamic schema semantics, table_scraper.py:16).
+    */
+  def readRaw(spark: SparkSession, root: String, format: String = "csv"): DataFrame =
+    format match {
+      case "csv" => spark.read.option("header", "true").csv(root)
+      case f => spark.read.format(f).load(root)
+    }
 
   // ---- completed-commodities ledger (SRC6/SNK3, F4, F5) ----------------
 
