@@ -1,0 +1,73 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.HtmlTable
+
+/** EP2 — the reference's per-commodity daily loop
+  * (scraper/div_link_handler.py:460-567) as a batch orchestrator:
+  *
+  *   1. enumerate work units (the commodity pages of the day),
+  *   2. skip already-completed commodities via the ledger anti-join (F4),
+  *   3. per pending commodity: parse the summary table, classify it
+  *      (single vs multi container, A2/A3), branch to the matching flow,
+  *      land each scraped table in the partitioned raw layer (EP3),
+  *   4. commit the commodity's link types to the ledger (ST2).
+  *
+  * Re-running the same day is a no-op: completed commodities are pruned by
+  * the ledger and the raw sink overwrites its own partitions. Failures
+  * between steps leave the ledger unmarked, so a restart retries exactly
+  * the unfinished commodities — the reference's checkpoint/resume contract
+  * without bespoke state files.
+  *
+  * The connector boundary (browser/UI mechanics, SURVEY.md §2.11) is
+  * abstracted as `pages`: commodity → (linkType → page HTML).
+  */
+object DailyRun {
+
+  val ExpectedLinkTypes: Seq[String] = Seq("summary", "container", "variety")
+
+  final case class CommodityResult(
+      commodity: String, structure: String, tablesLanded: Int)
+
+  def run(spark: SparkSession,
+      pages: Map[String, Map[String, String]],
+      scrapeDate: String,
+      rawRoot: String,
+      ledgerPath: String): Seq[CommodityResult] = {
+    import spark.implicits._
+
+    val all = pages.keys.toSeq.sorted.toDF("commodity")
+    val pendingNames =
+      MarketPipeline.pending(all, spark, ledgerPath, scrapeDate, ExpectedLinkTypes)
+        .collect().map(_.getString(0)).toSeq.sorted
+
+    pendingNames.map { commodity =>
+      val linkPages = pages(commodity)
+      val summary = HtmlTable.ingest(spark, linkPages.getOrElse("summary", ""))
+      val enrichedSummary = MarketPipeline.enrich(
+        summary, scrapeDate, commodity, "summary", scrapeDate)
+      val structure = MarketPipeline.classify(enrichedSummary)
+
+      // branch (div_link_handler.py:527-532): both flows scrape the
+      // container and variety tables; the classification selects the
+      // navigation mechanics (multi-container gates on table-change
+      // detection), which have no analytics meaning here — we record the
+      // structure and land the same link types either way.
+      val followUps = Seq("container", "variety")
+
+      val landed = ("summary" -> enrichedSummary) +: followUps.flatMap { lt =>
+        linkPages.get(lt).map { html =>
+          lt -> MarketPipeline.enrich(
+            HtmlTable.ingest(spark, html), scrapeDate, commodity, lt, scrapeDate)
+        }
+      }
+      landed.foreach { case (_, df) =>
+        if (!df.isEmpty) MarketPipeline.writeRaw(df, rawRoot)
+      }
+      MarketPipeline.recordCompleted(spark, ledgerPath, commodity,
+        "summary" +: followUps, scrapeDate)
+      CommodityResult(commodity, structure.structure, landed.size)
+    }
+  }
+}

@@ -6,6 +6,18 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.NameFns
 
+/** The normalized-record grain (reference fact grain: commodity, link_type,
+  * scrape_date, row — div_link_handler.py:282-285).
+  */
+final case class MarketRecord(
+    commodity: String,
+    link_type: String,
+    scrape_date: java.sql.Date,
+    container: Option[String],
+    price_r: Option[scala.math.BigDecimal],
+    total_value_sold: Option[scala.math.BigDecimal],
+    total_quantity_sold: Option[Long])
+
 /** The market-data ingestion pipeline re-expressed as Spark ETL — the
   * reference's EP2/EP3 flow (SURVEY.md §3) minus the browser mechanics.
   *
@@ -98,6 +110,26 @@ object MarketPipeline {
     casted.withColumn("scrape_date", to_date(col("scrape_date")))
   }
 
+  /** Typed view of the normalized layer (SURVEY.md §1.3: Dataset[T] where
+    * the schema is fixed by us). Missing business columns are null-filled so
+    * drifting sources still type-check; extra columns are dropped.
+    */
+  def toRecords(normalized: DataFrame): org.apache.spark.sql.Dataset[MarketRecord] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    val wanted = Seq("commodity", "link_type", "scrape_date", "container",
+      "price_r", "total_value_sold", "total_quantity_sold")
+    val withAll = wanted.foldLeft(normalized)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    withAll
+      .select(col("commodity"), col("link_type"), col("scrape_date"),
+        col("container").cast("string"),
+        col("price_r").cast(DecimalType(18, 2)),
+        col("total_value_sold").cast(DecimalType(18, 2)),
+        col("total_quantity_sold").cast("long"))
+      .as[MarketRecord]
+  }
+
   /** Union frames with drifting schemas into one raw table (§2.7). */
   def unionDrifting(frames: Seq[DataFrame]): DataFrame =
     frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
@@ -138,12 +170,24 @@ object MarketPipeline {
       .write.mode(SaveMode.Append).parquet(ledgerPath)
   }
 
-  /** The deduplicated ledger: commodity → set of completed link types. */
-  def readLedger(spark: SparkSession, ledgerPath: String, scrapeDate: String): DataFrame =
-    spark.read.parquet(ledgerPath)
+  /** The deduplicated ledger: commodity → set of completed link types.
+    * A missing or still-empty ledger directory reads as an empty ledger
+    * (first run of the day).
+    */
+  def readLedger(spark: SparkSession, ledgerPath: String, scrapeDate: String): DataFrame = {
+    import spark.implicits._
+    val dir = new java.io.File(ledgerPath)
+    val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val entries =
+      if (files.exists(f => f.isDirectory || f.getName.endsWith(".parquet")))
+        spark.read.parquet(ledgerPath)
+      else
+        Seq.empty[(String, String, String)].toDF("commodity", "link_type", "scrape_date")
+    entries
       .filter(col("scrape_date") === scrapeDate)
       .groupBy(col("commodity"))
       .agg(collect_set(col("link_type")).as("link_types"))
+  }
 
   /** F5: commodity complete iff expected ⊆ scraped
     * (reference div_link_handler.py:94-102).

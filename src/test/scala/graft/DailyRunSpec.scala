@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{DailyRun, MarketPipeline}
+
+/** EP2 orchestrator: full daily run over multiple commodities, resume
+  * semantics, and the typed record layer.
+  */
+class DailyRunSpec extends SparkSpec {
+
+  def page(rows: Int): String = {
+    val body = (1 to rows).map(i =>
+      s"""<tr><td class="tleft2">Bag $i</td><td class="tleft">${i}0.00</td>
+         |<td class="tleft">${i}00.00</td><td class="tleft">$i</td></tr>""".stripMargin)
+      .mkString("\n")
+    s"""<table class="alltable"><thead>
+       |<th class="header">Container</th><th class="header">Price (R)</th>
+       |<th class="header">Total Value Sold</th><th class="header">Total Quantity Sold</th>
+       |</thead><tbody>$body
+       |<tr><td class="tleft2">Total</td><td class="tleft"></td><td class="tleft"></td><td class="tleft"></td></tr>
+       |</tbody></table>""".stripMargin
+  }
+
+  def pages(n: Int): Map[String, Map[String, String]] =
+    Map(
+      "apples" -> Map("summary" -> page(3), "container" -> page(3), "variety" -> page(6)),
+      "pears" -> Map("summary" -> page(1), "container" -> page(1), "variety" -> page(2)),
+    ).view.mapValues(_.view.mapValues(identity).toMap).toMap.take(n)
+
+  test("daily run lands all link types, classifies, and is resume-safe") {
+    val raw = tmpDir("daily_raw")
+    val ledger = tmpDir("daily_ledger")
+    val r1 = DailyRun.run(spark, pages(2), "2026-08-12", raw, ledger)
+    assert(r1.map(_.commodity).sorted == Seq("apples", "pears"))
+    assert(r1.find(_.commodity == "apples").get.structure == "multi_container")
+    assert(r1.find(_.commodity == "pears").get.structure == "single_container")
+
+    val landed = MarketPipeline.readRaw(spark, raw)
+    assert(landed.select("commodity").distinct().count() == 2)
+    assert(landed.select("link_type").distinct().count() == 3)
+    val before = landed.count()
+
+    // re-run the same day: everything completed → nothing re-processed
+    val r2 = DailyRun.run(spark, pages(2), "2026-08-12", raw, ledger)
+    assert(r2.isEmpty)
+    assert(MarketPipeline.readRaw(spark, raw).count() == before)
+  }
+
+  test("typed record layer: normalized rows as Dataset[MarketRecord]") {
+    val raw = tmpDir("typed_raw")
+    val ledger = tmpDir("typed_ledger")
+    DailyRun.run(spark, pages(1), "2026-08-12", raw, ledger)
+    val normalized = MarketPipeline.normalize(
+      MarketPipeline.dropTotalsRows(MarketPipeline.readRaw(spark, raw)))
+    val records = MarketPipeline.toRecords(normalized)
+    val r = records.filter(_.commodity == "apples").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.scrape_date.toString == "2026-08-12"))
+    val bag1 = r.filter(_.container.contains("Bag 1")).filter(_.link_type == "summary").head
+    assert(bag1.price_r.exists(_.doubleValue == 10.0))
+    assert(bag1.total_quantity_sold.contains(1L))
+  }
+}
