@@ -174,6 +174,96 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** IVF-style approximate top-k (the inverted-file scale path):
+    * - coarse centroids = the first `nlist` corpus vectors (deterministic
+    *   seed choice, no Lloyd iterations — parallel double means would be
+    *   run-order dependent and break oracle parity);
+    * - every corpus vector is assigned to its nearest centroid by cosine
+    *   (tie-break on centroid id) → an inverted list per centroid;
+    * - a query probes its `nprobe` nearest centroids and scores only those
+    *   lists' members.
+    * At scale the corpus shuffles once on list id and each query touches
+    * nprobe/nlist of the data; recall vs. brute force is spec-checked.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(
+      corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cvec2"))
+        .withColumn("cnorm2", VectorFns.norm(col("cvec2"), dim)))
+
+    def nearestCentroids(side: DataFrame, vec: String, nrm: String, n: Int,
+        outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("_vid"))
+        .orderBy(col("_csim").desc, col("cent_id").asc)
+      side.crossJoin(cents)
+        .withColumn("_csim", VectorFns.cosineFromNorms(
+          VectorFns.dot(col(vec), col("cvec2"), dim), col(nrm), col("cnorm2")))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= n)
+        .withColumnRenamed("cent_id", outCol)
+        .drop("cvec2", "cnorm2", "_csim", "_crank")
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+      .withColumn("_vid", col("neighbor_id"))
+    val assigned = nearestCentroids(c, "cvec", "cnorm", 1, "list_id").drop("_vid")
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("_vid", col("query_id"))
+    val probes = nearestCentroids(q, "qvec", "qnorm", nprobe, "probe_list").drop("_vid")
+
+    val scored = assigned.join(broadcast(probes),
+        col("neighbor_id") =!= col("query_id") && col("list_id") === col("probe_list"))
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  def ivfTopKSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, nlist: Int, nprobe: Int, queryPred: String): String = {
+    def near(src: String, vidCol: String, vec: String, nrm: String, n: Int, out: String) =
+      s"""SELECT * EXCLUDE (_csim, _crank) FROM (
+         |  SELECT s.*, cent.cent_id AS $out,
+         |    ROW_NUMBER() OVER (PARTITION BY s.$vidCol
+         |      ORDER BY (${VectorFns.dotSql(s"s.$vec", "cent.cvec2", dim)}) / (s.$nrm * cent.cnorm2) DESC,
+         |               cent.cent_id ASC) AS _crank,
+         |    1 AS _csim
+         |  FROM $src s CROSS JOIN cents cent) WHERE _crank <= $n""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT $idCol AS cent_id, $vecCol AS cvec2,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm2
+       |  FROM $table WHERE $idCol < $nlist),
+       |c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |assigned AS (${near("c", "neighbor_id", "cvec", "cnorm", 1, "list_id")}),
+       |q0 AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm
+       |  FROM $table WHERE $queryPred),
+       |probes AS (${near("q0", "query_id", "qvec", "qnorm", nprobe, "probe_list")}),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |    (${VectorFns.dotSql("q.qvec", "c.cvec", dim)}) / (q.qnorm * c.cnorm) AS cos_sim
+       |  FROM assigned c JOIN probes q
+       |    ON c.neighbor_id <> q.query_id AND c.list_id = q.probe_list),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Exact all-pairs form (the LSH-bucketed variant restricts to same-bucket
     * pairs the same way `lshTopK` does).

@@ -55,6 +55,17 @@ object EmbeddingQueries {
       Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, NumPlanes, QueryPredSql))),
 
+    Q("e05_knn_ivf",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.ivfTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nlist = 16, nprobe = 4)
+      },
+      Some(Similarity.ivfTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 16, 4, QueryPredSql))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

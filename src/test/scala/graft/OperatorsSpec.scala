@@ -69,6 +69,20 @@ class OperatorsSpec extends SparkSpec {
     assert(win.map(_.toSeq).toSeq == agg.map(_.toSeq).toSeq)
   }
 
+  test("IVF top-k recall vs brute force is high at nprobe/nlist = 1/4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 64, 5,
+      nlist = 16, nprobe = 4))
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
   test("cosineNearDupPairs respects the threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
