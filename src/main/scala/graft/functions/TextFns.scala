@@ -143,6 +143,37 @@ object TextFns {
   def contentHashSql(col: String): String =
     s"md5(array_to_string(${tokensSql(col)}, ' '))"
 
+  /** Rolling polynomial hash over the token sequence (Rabin–Karp shape):
+    * h = fold(h * 31 + crc32(token) mod P). Order-sensitive (unlike
+    * `fingerprint`), so re-orderings differ; engine-side only (DuckDB lacks
+    * a matching crc32), declared rows-only.
+    */
+  private val RollP = 1000000007L
+
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (h, t) => pmod(h * 31 + crc32(t.cast("binary")), lit(RollP)))
+
+  // ---- cleaning / redaction -------------------------------------------
+
+  /** Training-data scrubbing: URLs and email-like tokens replaced with
+    * placeholders (ASCII regexes so Java and RE2 agree).
+    */
+  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+
+  def redact(c: Column): Column =
+    regexp_replace(regexp_replace(c, UrlRe, "<url>"), EmailRe, "<email>")
+
+  def redactSql(col: String): String =
+    s"regexp_replace(regexp_replace($col, '$UrlRe', '<url>', 'g'), '$EmailRe', '<email>', 'g')"
+
+  def redactionCount(c: Column): Column =
+    (regexp_count(c, lit(UrlRe)) + regexp_count(c, lit(EmailRe))).cast("long")
+
+  def redactionCountSql(col: String): String =
+    s"len(regexp_extract_all($col, '$UrlRe')) + len(regexp_extract_all($col, '$EmailRe'))"
+
   // ---- shingling -------------------------------------------------------
 
   /** Word n-gram shingles (space-joined); fewer than n tokens → empty. */

@@ -281,6 +281,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Scale path for near-dup pairs: only same-LSH-bucket pairs are scored
+    * (bucket join instead of all-pairs BNLJ). Returns a subset of
+    * `cosineNearDupPairs` — the recall/throughput tradeoff knob is
+    * numPlanes.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, numPlanes: Int): DataFrame = {
+    val planes = VectorFns.lshPlanes(numPlanes, dim)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", VectorFns.lshBucket(col("vec"), planes))
+      .withColumn("nrm", VectorFns.norm(col("vec"), dim))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("a.vec"), col("b.vec"), dim), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+  }
+
+  def lshNearDupPairsSql(table: String, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, numPlanes: Int): String = {
+    val planes = VectorFns.lshPlanes(numPlanes, dim)
+    s"""WITH v AS (
+       |  SELECT $idCol AS id, $vecCol AS vec,
+       |         ${VectorFns.lshBucketSql(vecCol, planes)} AS bucket,
+       |         ${VectorFns.normSql(vecCol, dim)} AS nrm
+       |  FROM $table)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) AS cos_sim
+       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+       |WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+  }
+
   def cosineNearDupPairsSql(table: String, idCol: String, vecCol: String,
       dim: Int, threshold: Double): String =
     s"""WITH v AS (

@@ -71,5 +71,11 @@ object EmbeddingQueries {
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),
       Some(Similarity.cosineNearDupPairsSql("embeddings", "vec_id", "embedding",
         Dim, NearDupThreshold))),
+    Q("e06_near_dups_lsh",
+      (s, dir) => Similarity.lshNearDupPairs(
+        Tables(s, dir).embeddings, "vec_id", "embedding", Dim,
+        NearDupThreshold, NumPlanes),
+      Some(Similarity.lshNearDupPairsSql("embeddings", "vec_id", "embedding",
+        Dim, NearDupThreshold, NumPlanes))),
   )
 }

@@ -76,6 +76,49 @@ object TextQueries {
               |  ${TextFns.contentHashSql("text")} AS content_hash
               |FROM documents""".stripMargin)),
 
+    // Order-sensitive rolling-hash fingerprint — engine-side only (rows-only
+    // check: DuckDB has no matching crc32).
+    Q("t06_rolling_hash",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents.select(col("doc_id"),
+          TextFns.rollingHash(col("text")).as("rhash"))
+      },
+      None),
+
+    // Training-data scrubbing: URL/email redaction (content hash proves the
+    // rewrite is identical cross-engine even when nothing matches).
+    Q("t07_redaction",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents.select(
+          col("doc_id"),
+          TextFns.redactionCount(col("text")).as("n_redacted"),
+          md5(TextFns.redact(col("text"))).as("redacted_hash"))
+      },
+      Some(s"""SELECT doc_id,
+              |  ${TextFns.redactionCountSql("text")} AS n_redacted,
+              |  md5(${TextFns.redactSql("text")}) AS redacted_hash
+              |FROM documents""".stripMargin)),
+
+    // Quality gate: keep documents above the corpus median quality —
+    // two-pass pipeline with a broadcast scalar threshold.
+    Q("t08_quality_gate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val docsQ = t.documents.withColumn("q", TextFns.qualityScore(col("text")))
+        val thr = docsQ.agg(expr("percentile(q, 0.5)").as("thr"))
+        docsQ.crossJoin(broadcast(thr))
+          .filter(col("q") > col("thr"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some(s"""WITH q AS (SELECT source, (${TextFns.qualityScoreSql("text")}) AS q FROM documents),
+              |thr AS (SELECT quantile_cont(q, 0.5) AS thr FROM q)
+              |SELECT source, COUNT(*) AS n_kept
+              |FROM q CROSS JOIN thr WHERE q.q > thr.thr
+              |GROUP BY source""".stripMargin)),
+
     // F2-analog on documents: the reference's totals/summary row filter
     // (scraper/div_link_handler.py:238-245) as a relational predicate.
     Q("t05_totals_filter",

@@ -64,6 +64,16 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("redact replaces URLs and emails; rollingHash is order-sensitive") {
+    val df = Seq("see https://x.io/a and a@b.co now").toDF("t")
+    assert(df.select(TextFns.redact(col("t"))).head().getString(0) ==
+      "see <url> and <email> now")
+    assert(df.select(TextFns.redactionCount(col("t"))).head().getLong(0) == 2L)
+    val hashes = Seq(("a b c", "c b a")).toDF("x", "y")
+      .select(TextFns.rollingHash(col("x")), TextFns.rollingHash(col("y"))).head()
+    assert(hashes.getLong(0) != hashes.getLong(1)) // order matters
+  }
+
   test("shingles produce n-grams; short docs yield empty") {
     val df = Seq("a b c d", "a b").toDF("t")
     val sh = df.select(TextFns.shingles(col("t"), 3)).collect()
