@@ -99,6 +99,53 @@ object MiscQueries {
               |  ${sqlSumd("l_quantity")} AS sum_qty, COUNT(*) AS n
               |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Navigation window functions: per-customer order timeline with
+    // lead/lag deltas and spend quartiles.
+    Q("q26_order_timeline",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t.orders
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))).cast("long"))
+          .withColumn("quartile", ntile(4).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("gap_days"), col("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(datediff('day',
+             |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+             |    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+             |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+             |FROM orders""".stripMargin)),
+
+    // Fuzzy duplicate candidates with blocking: pairs are generated only
+    // inside a (brand, type) block — the standard blocking-key pattern that
+    // keeps fuzzy matching linear-ish at scale — then verified with exact
+    // levenshtein (engine-portable).
+    Q("q27_fuzzy_part_names",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val p = t.part.select(col("p_brand").as("brand"), col("p_type").as("typ"),
+          col("p_partkey").as("key"), col("p_name").as("name"))
+        p.as("a").join(p.as("b"),
+            col("a.brand") === col("b.brand") && col("a.typ") === col("b.typ") &&
+              col("a.key") < col("b.key"))
+          .withColumn("dist", levenshtein(col("a.name"), col("b.name")).cast("long"))
+          .filter(col("dist") <= 12)
+          .groupBy(col("a.brand").as("brand"))
+          .agg(count(lit(1)).as("n_close_pairs"), min(col("dist")).as("min_dist"))
+      },
+      Some("""SELECT a.p_brand AS brand, COUNT(*) AS n_close_pairs,
+             |  CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 12
+             |GROUP BY a.p_brand""".stripMargin)),
+
     // HLL sketch surface — approx_count_distinct is engine-specific, so this
     // is a rows-only query; the spec checks the estimate against the exact
     // count within tolerance.

@@ -10,7 +10,20 @@ import graft.util.Layout
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  /** saveAsTable location survives JVMs while catalog metadata doesn't —
+    * clear both so reruns don't hit LOCATION_ALREADY_EXISTS.
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"spark-warehouse/$name"))
+  }
+
   test("bucketed-by-key join plans without exchanges") {
+    resetTable("li_bucketed")
+    resetTable("o_bucketed")
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
