@@ -146,6 +146,44 @@ object MiscQueries {
              |WHERE levenshtein(a.p_name, b.p_name) <= 12
              |GROUP BY a.p_brand""".stripMargin)),
 
+    // The DataFrame pivot API proper (q16 is the manual CASE form).
+    Q("q28_pivot_api",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(dec(col("l_quantity"))).cast("double"))
+          .select(col("l_linestatus"), col("A").as("qty_a"),
+            col("N").as("qty_n"), col("R").as("qty_r"))
+      },
+      Some(s"""SELECT l_linestatus,
+              |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_a,
+              |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_n,
+              |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_r
+              |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // Unpivot/melt: wide account-balance stats back to long form.
+    Q("q29_unpivot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val wide = t.customer.groupBy(col("c_mktsegment"))
+          .agg(
+            sumd(col("c_acctbal")).as("sum_bal"),
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"))
+        wide.unpivot(
+          ids = Array(col("c_mktsegment")),
+          values = Array(col("sum_bal"), col("min_bal"), col("max_bal")),
+          variableColumnName = "stat", valueColumnName = "value")
+      },
+      Some(s"""WITH wide AS (
+              |  SELECT c_mktsegment, ${sqlSumd("c_acctbal")} AS sum_bal,
+              |         MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+              |  FROM customer GROUP BY c_mktsegment)
+              |SELECT c_mktsegment, stat, value
+              |FROM wide UNPIVOT (value FOR stat IN (sum_bal, min_bal, max_bal))""".stripMargin)),
+
     // HLL sketch surface — approx_count_distinct is engine-specific, so this
     // is a rows-only query; the spec checks the estimate against the exact
     // count within tolerance.

@@ -54,6 +54,20 @@ object EventStreams {
       .select(col("user_id"), col("session").getField("start").as("session_start"),
         col("session").getField("end").as("session_end"), col("n_events"))
 
+  /** Stream-stream inner join within an event-time window: right-side rows
+    * match a left row when keys are equal and right.ts ∈ [left.ts - window,
+    * left.ts]. Watermarks on both sides bound the join state. Column names
+    * must be disjoint between the two sides.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      window: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window") &&
+          col(rightTs) <= col(leftTs))
+
   /** Streaming exact dedup by key with a watermark bounding state: events
     * re-delivered within the watermark horizon are dropped (the streaming
     * form of exactDupGroups / the reference's completed-set skip).

@@ -107,6 +107,27 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join attributes views to clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val c = clicks.toDF().select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+      col("ts").as("c_ts"))
+    val v = views.toDF().select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+      col("ts").as("v_ts"))
+    val q = EventStreams.joinWithin(c, v, "c_user", "v_user", "c_ts", "v_ts",
+      "10 minutes", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    views.addData(Ev(100, ts(0), 1, "view", 0), Ev(101, ts(30), 1, "view", 0),
+      Ev(102, ts(5), 2, "view", 0))
+    clicks.addData(Ev(200, ts(8), 1, "click", 0)) // joins view 100 (0 min) only
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").select("c_id", "v_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((200L, 100L))) // not 101 (future), not 102 (other user)
+    q.stop()
+  }
+
   test("streaming tumbling agg equals the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val evs = (0 until 50).map(i =>

@@ -76,6 +76,18 @@ class MarketPipelineSpec extends SparkSpec {
     assert(readRaw(spark, root).select("commodity").distinct().count() == 2)
   }
 
+  test("partition pruning reaches the raw-layer scan") {
+    val root = tmpDir("prune_raw")
+    writeRaw(ingestOne("apples"), root)
+    writeRaw(ingestOne("pears"), root)
+    val pruned = readRaw(spark, root).filter(col("commodity") === "apples")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("(commodity"),
+      s"commodity filter should prune partitions:\n$scan")
+    assert(pruned.count() == 3)
+  }
+
   test("ledger + anti-join pending + completeness predicate (F4/F5)") {
     import spark.implicits._
     val ledger = tmpDir("ledger")
