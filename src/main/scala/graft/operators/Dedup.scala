@@ -51,11 +51,20 @@ object Dedup {
        |  COUNT(*) AS n_docs, MIN($idCol) AS min_id
        |FROM $table GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
 
-  /** Distinct (id, shingle) inverted-index relation. */
+  /** Distinct (id, shingle) inverted-index relation.
+    *
+    * Persisted (memory-and-disk): every pair operator reads this relation
+    * 2-3× (self-join sides, sizes, verification), and Spark's cache manager
+    * keys on the logical plan, so d03/d04 over the same input share one
+    * entry. Halves the Jaccard pair query at sf0.1. At cluster scale the
+    * equivalent is checkpointing the inverted index to storage once per
+    * dedup campaign rather than recomputing the tokenize+explode per pass.
+    */
   private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(TextFns.shingles(col(textCol), n)).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard similar pairs via inverted-index self-join.
     * Output: id_a < id_b, n_common, jaccard (double), filtered >= threshold.
