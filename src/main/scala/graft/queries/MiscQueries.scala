@@ -184,6 +184,42 @@ object MiscQueries {
               |SELECT c_mktsegment, stat, value
               |FROM wide UNPIVOT (value FOR stat IN (sum_bal, min_bal, max_bal))""".stripMargin)),
 
+    // Latest-wins upsert (MERGE analog): apply simulated corrections (10%
+    // price bump for every 100th customer's orders) over the base table and
+    // aggregate the merged state.
+    Q("q30_upsert_latest_wins",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.orders.withColumn("version", lit(1L))
+        val updates = t.orders
+          .filter(col("o_custkey") % 100 === 0)
+          // exact 2dp × 1.10 (3-4dp result); no division, no rounding
+          .withColumn("o_totalprice",
+            (dec(col("o_totalprice")) * lit("1.10").cast("decimal(3,2)")).cast("double"))
+          .withColumn("version", lit(2L))
+        graft.ingest.Upsert.latestWins(base, updates, Seq("o_orderkey"), "version")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            // scale-4 exact sum: bumped prices carry 4 decimals
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+            count(when(col("version") === 2, lit(1))).as("n_updated"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version, 0 AS _src FROM orders
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderstatus,
+              |    CAST(${sqlDec("o_totalprice")} * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE),
+              |    2, 1 FROM orders WHERE o_custkey % 100 = 0),
+              |merged AS (
+              |  SELECT * FROM (
+              |    SELECT u.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+              |      ORDER BY version DESC, _src DESC) AS _rn FROM u)
+              |  WHERE _rn = 1)
+              |SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+              |  COUNT(CASE WHEN version = 2 THEN 1 END) AS n_updated
+              |FROM merged GROUP BY o_orderstatus""".stripMargin)),
+
     // HLL sketch surface — approx_count_distinct is engine-specific, so this
     // is a rows-only query; the spec checks the estimate against the exact
     // count within tolerance.

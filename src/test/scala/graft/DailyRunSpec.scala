@@ -47,6 +47,17 @@ class DailyRunSpec extends SparkSpec {
     assert(MarketPipeline.readRaw(spark, raw).count() == before)
   }
 
+  test("latestWins upsert: newer version wins, update beats base on tie") {
+    import spark.implicits._
+    val base = Seq((1L, "old", 1L), (2L, "keep", 1L), (3L, "tie-base", 5L))
+      .toDF("k", "v", "version")
+    val updates = Seq((1L, "new", 2L), (3L, "tie-update", 5L), (4L, "insert", 1L))
+      .toDF("k", "v", "version")
+    val merged = graft.ingest.Upsert.latestWins(base, updates, Seq("k"), "version")
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "new", 2L -> "keep", 3L -> "tie-update", 4L -> "insert"))
+  }
+
   test("typed record layer: normalized rows as Dataset[MarketRecord]") {
     val raw = tmpDir("typed_raw")
     val ledger = tmpDir("typed_ledger")
