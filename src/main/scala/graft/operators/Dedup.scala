@@ -184,6 +184,27 @@ object Dedup {
        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
 
+  /** The practical corpus-cleaning operator: drop near-duplicates, keeping
+    * the lowest-id representative of each duplicate relation. Greedy
+    * keep-first (a doc is dropped if it pairs with ANY lower-id doc) — the
+    * standard single-pass policy for training-data dedup; exact connected
+    * components would need iterative joins for marginal benefit.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val drop = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  def dropNearDuplicatesSql(table: String, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""WITH pairs AS (
+       |${minhashLshPairsSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |)
+       |SELECT t.$idCol FROM $table t
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = t.$idCol)""".stripMargin
+
   /** SimHash over whitespace tokens (with multiplicity), `bits` wide
     * (bits <= 32 so the per-bit nibble arithmetic stays portable).
     * Output column is the bit string (MSB-first '0'/'1' chars) so the value

@@ -34,6 +34,14 @@ object DedupQueries {
       Some(Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         N, NumHashes, RowsPerBand, LshThreshold))),
 
+    // The end-user cleaning op: corpus minus near-duplicates (keep-first).
+    Q("d06_drop_near_duplicates",
+      (s, dir) => Dedup.dropNearDuplicates(Tables(s, dir).documents,
+          "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold)
+        .select("doc_id"),
+      Some(Dedup.dropNearDuplicatesSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold))),
+
     Q("d05_simhash",
       (s, dir) => Dedup.simhash(Tables(s, dir).documents, "doc_id", "text", 16),
       Some(Dedup.simhashSql("documents", "doc_id", "text", 16))),

@@ -123,6 +123,27 @@ object SqlQueries {
              |  FROM revenue)
              |WHERE rnk <= 10""".stripMargin)),
 
+    // INTERSECT / EXCEPT set operators: nations that have suppliers vs
+    // customers.
+    Q("q31_intersect_except",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val suppNations = t.supplier.select(col("s_nationkey").as("nk"))
+        val custNations = t.customer.select(col("c_nationkey").as("nk"))
+        val both = suppNations.intersect(custNations)
+          .withColumn("which", lit("both"))
+        val custOnly = custNations.except(suppNations)
+          .withColumn("which", lit("customers_only"))
+        both.unionByName(custOnly)
+      },
+      Some("""SELECT nk, 'both' AS which FROM (
+             |  SELECT s_nationkey AS nk FROM supplier
+             |  INTERSECT SELECT c_nationkey FROM customer)
+             |UNION ALL
+             |SELECT nk, 'customers_only' FROM (
+             |  SELECT c_nationkey AS nk FROM customer
+             |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
+
     // Correlated scalar subquery: parts priced above their brand average.
     Q("q20_above_brand_avg",
       (s, dir) => {
