@@ -24,12 +24,14 @@ object EventQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         t.events
-          .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+          .select(date_format(col("ws"), TsFmtSpark).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
       },
-      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
-              |  COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '$TsFmtDuck') AS window_start,
+              |  event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Sliding window: 2h wide, 1h slide — each event lands in two windows.
@@ -37,16 +39,18 @@ object EventQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         t.events
-          .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start")
-            .as("window_start"))
+          .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start").as("ws"))
           .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+          .select(date_format(col("ws"), TsFmtSpark).as("window_start"),
+            col("n"), col("sum_value"))
       },
       Some(s"""WITH w AS (
               |  SELECT unnest([date_trunc('hour', ts),
-              |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+              |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
               |         value
               |  FROM events)
-              |SELECT window_start, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |SELECT strftime(ws, '$TsFmtDuck') AS window_start,
+              |  COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM w GROUP BY 1""".stripMargin)),
 
     // Session windows per user with a 30-minute inactivity gap —

@@ -122,14 +122,14 @@ object StarQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         monthly
           .withColumn("cum_qty", sum(col("qty")).over(w).cast("double"))
-          .select(col("flag"), col("month"),
+          .select(col("flag"), date_format(col("month"), "yyyy-MM").as("month"),
             col("qty").cast("double").as("qty"), col("cum_qty"))
       },
       Some(s"""WITH monthly AS (
               |  SELECT l_returnflag AS flag, date_trunc('month', l_shipdate) AS month,
               |         SUM(${sqlDec("l_quantity")}) AS qty
               |  FROM lineitem GROUP BY 1, 2)
-              |SELECT flag, month, CAST(qty AS DOUBLE) AS qty,
+              |SELECT flag, strftime(month, '%Y-%m') AS month, CAST(qty AS DOUBLE) AS qty,
               |  CAST(SUM(qty) OVER (PARTITION BY flag ORDER BY month
               |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
               |FROM monthly""".stripMargin)),
@@ -232,12 +232,12 @@ object StarQueries {
         val w = Window.partitionBy(col("p_brand"))
           .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
         t.part
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("p_brand"), col("p_partkey"),
             col("p_retailprice"), col("rn"))
       },
-      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      Some("""SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn FROM (
              |  SELECT p_brand, p_partkey, p_retailprice,
              |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
              |  FROM part) WHERE rn <= 3""".stripMargin)),

@@ -54,6 +54,10 @@ def main():
         if sorted(got.columns) != sorted(exp.columns):
             failures.append((name, f"schema {sorted(got.columns)} vs {sorted(exp.columns)}"))
             print(f"FAIL {name}: schema {sorted(got.columns)} vs {sorted(exp.columns)}"); continue
+        # dtype drift is a warning: the driver may or may not compare types
+        for c in got.columns:
+            if str(got[c].dtype) != str(exp[c].dtype):
+                print(f"WARN {name}: dtype of '{c}' spark={got[c].dtype} duck={exp[c].dtype}")
         if len(got) != len(exp):
             failures.append((name, f"rows {len(got)} vs {len(exp)}"))
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); continue
