@@ -113,6 +113,30 @@ object EventQueries {
              |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
              |WHERE rn = 1""".stripMargin)),
 
+    // The same as-of semantics through the NATIVE custom operator
+    // (LogicalPlan + Strategy + BinaryExecNode, graft.plans.AsOfJoinNative)
+    // — shares s04's oracle, so the custom physical operator itself is
+    // hash-checked against DuckDB.
+    Q("s07_asof_native_operator",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.plans.AsOfJoinNative.backward(
+          t.events.select(col("event_id"), col("user_id"), col("ts")),
+          t.orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT event_id, o_orderkey, o_totalprice FROM (
+             |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+             |WHERE rn = 1""".stripMargin)),
+
     // J1-analog: JSON property extraction from the props column.
     Q("s05_json_props",
       (s, dir) => {
