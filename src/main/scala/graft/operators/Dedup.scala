@@ -140,7 +140,9 @@ object Dedup {
       .distinct()
     val sh = shingleSet(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = cands
+    // candidates are few (LSH's whole point) → broadcast them so the
+    // inverted index streams through the verification without shuffling
+    val common = broadcast(cands)
       .join(sh.as("x"), col("id_a") === col("x.id"))
       .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
       .groupBy(col("id_a"), col("id_b"))
