@@ -140,9 +140,12 @@ object Dedup {
       .distinct()
     val sh = shingleSet(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    // candidates are few (LSH's whole point) → broadcast them so the
-    // inverted index streams through the verification without shuffling
-    val common = broadcast(cands)
+    // no broadcast hint on cands: it is usually tiny, but on dup-heavy
+    // corpora (this operator's target) a hot band bucket emits O(k²) pairs
+    // and a forced broadcast would OOM where a shuffle join completes; AQE
+    // converts the first verification join to broadcast when cands is
+    // genuinely small.
+    val common = cands
       .join(sh.as("x"), col("id_a") === col("x.id"))
       .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
       .groupBy(col("id_a"), col("id_b"))
