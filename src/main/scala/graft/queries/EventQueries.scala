@@ -113,6 +113,37 @@ object EventQueries {
              |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
              |WHERE rn = 1""".stripMargin)),
 
+    // The built-in session_window operator in batch, checked against an
+    // independent gaps-and-islands derivation in DuckDB (session end =
+    // last event + gap, merged on 30-minute inactivity).
+    Q("s08_session_window_builtin",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            date_format(col("w.start"), TsFmtSpark).as("session_start"),
+            date_format(col("w.end"), TsFmtSpark).as("session_end"),
+            col("n_events"))
+      },
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, event_id, ts,
+              |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              |      THEN 1 ELSE 0 END AS new_sess
+              |  FROM events),
+              |sess AS (
+              |  SELECT user_id, ts,
+              |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS UNBOUNDED PRECEDING) AS sess_id
+              |  FROM flagged)
+              |SELECT user_id,
+              |  strftime(MIN(ts), '$TsFmtDuck') AS session_start,
+              |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '$TsFmtDuck') AS session_end,
+              |  COUNT(*) AS n_events
+              |FROM sess GROUP BY user_id, sess_id""".stripMargin)),
+
     // The same as-of semantics through the NATIVE custom operator
     // (LogicalPlan + Strategy + BinaryExecNode, graft.plans.AsOfJoinNative)
     // — shares s04's oracle, so the custom physical operator itself is

@@ -123,6 +123,38 @@ object SqlQueries {
              |  FROM revenue)
              |WHERE rnk <= 10""".stripMargin)),
 
+    // String-function pack (S2-S4 completeness): the same composition in
+    // both engines, fingerprinted per row so every function's output is
+    // value-checked.
+    Q("q32_string_functions",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.select(
+          col("p_partkey"),
+          md5(concat_ws("|",
+            upper(col("p_name")),
+            lpad(col("p_brand"), 12, "*"),
+            rpad(col("p_brand"), 12, "-"),
+            translate(col("p_type"), "aeiou", "01234"),
+            repeat(col("p_brand"), 2),
+            reverse(col("p_name")),
+            regexp_replace(col("p_name"), " ", "_"),
+            substring(col("p_name"), 3, 5),
+            instr(col("p_name"), "o").cast("string"))).as("sig"))
+      },
+      Some("""SELECT p_partkey,
+             |  md5(concat_ws('|',
+             |    upper(p_name),
+             |    lpad(p_brand, 12, '*'),
+             |    rpad(p_brand, 12, '-'),
+             |    translate(p_type, 'aeiou', '01234'),
+             |    repeat(p_brand, 2),
+             |    reverse(p_name),
+             |    replace(p_name, ' ', '_'),
+             |    substring(p_name, 3, 5),
+             |    CAST(strpos(p_name, 'o') AS VARCHAR))) AS sig
+             |FROM part""".stripMargin)),
+
     // INTERSECT / EXCEPT set operators: nations that have suppliers vs
     // customers.
     Q("q31_intersect_except",
