@@ -5,6 +5,53 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
 
+/** Term scoring for the text pipeline: TF-IDF top terms per document.
+  * tf = in-doc term count, idf = ln(N / df); top-k per doc by
+  * (score desc, term asc). The score is rounded (6dp) for cross-engine
+  * output parity — equal (tf, df) pairs produce bit-identical doubles in
+  * both engines, so ranking ties resolve identically.
+  *
+  * Scale: two hash aggregations (per-doc-term, per-term) + a broadcast of
+  * the tiny (term, df) relation, then a per-doc top-k window.
+  */
+object TfIdf {
+  import graft.functions.TextFns
+
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  def topTermsSql(table: String, idCol: String, textCol: String, k: Int): String =
+    s"""WITH terms AS (
+       |  SELECT $idCol AS id, unnest(${TextFns.tokensSql(textCol)}) AS term FROM $table),
+       |tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM terms GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT $idCol) AS n FROM $table),
+       |scored AS (
+       |  SELECT id, tf.term, tf, df,
+       |    round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT id, term, tf, df, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= $k""".stripMargin
+}
+
 /** Deduplication operators for the training-data pipeline extension:
   * exact (hash-groupBy), fingerprint (bag-of-words), n-gram Jaccard
   * (inverted-index self-join), MinHash+LSH (shingle→minhash→band→bucket

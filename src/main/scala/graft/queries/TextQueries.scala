@@ -119,6 +119,13 @@ object TextQueries {
               |FROM q CROSS JOIN thr WHERE q.q > thr.thr
               |GROUP BY source""".stripMargin)),
 
+    // TF-IDF: top-3 terms per document (ranked on the rounded score so
+    // ordering is engine-portable even at ln() ulp differences).
+    Q("t09_tfidf_top_terms",
+      (s, dir) => graft.operators.TfIdf.topTerms(
+        Tables(s, dir).documents, "doc_id", "text", k = 3),
+      Some(graft.operators.TfIdf.topTermsSql("documents", "doc_id", "text", 3))),
+
     // F2-analog on documents: the reference's totals/summary row filter
     // (scraper/div_link_handler.py:238-245) as a relational predicate.
     Q("t05_totals_filter",

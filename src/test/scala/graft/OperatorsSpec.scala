@@ -83,6 +83,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("IVF recall improves monotonically with nprobe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5))
+    val recalls = Seq(1, 4, 16).map { np =>
+      val approx = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 64, 5,
+        nlist = 16, nprobe = np))
+      (exact & approx).size.toDouble / exact.size
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall curve $recalls")
+    assert(recalls(2) == 1.0, s"nprobe=nlist must be exhaustive: $recalls")
+  }
+
   test("cosineNearDupPairs respects the threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
