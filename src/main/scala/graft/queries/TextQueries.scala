@@ -126,6 +126,51 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", k = 3),
       Some(graft.operators.TfIdf.topTermsSql("documents", "doc_id", "text", 3))),
 
+    // Deterministic hash-based train/valid/test split (never rand()).
+    Q("t10_train_test_split",
+      (s, dir) => graft.operators.Sampling.split(
+          Tables(s, dir).documents, "doc_id", 0.8, 0.1)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars")),
+      Some(s"""SELECT ${graft.operators.Sampling.splitCaseSql("doc_id", 0.8, 0.1)} AS split,
+              |  source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // Stratified cap: at most 5 docs per source, chosen by hash order.
+    Q("t11_stratified_cap",
+      (s, dir) => graft.operators.Sampling.stratifiedCap(
+          Tables(s, dir).documents, "source", "doc_id", cap = 5)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+             |  FROM documents) WHERE rn <= 5""".stripMargin)),
+
+    // Token-budget packing: consecutive docs per source into <=2000-token
+    // batches (exclusive prefix sum // budget).
+    Q("t12_token_packing",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+          .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+        graft.operators.Sampling.packByTokenBudget(
+            docs, "source", "doc_id", "n_tokens", budget = 2000L)
+          .groupBy(col("source"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("batch_tokens"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, source, ${TextFns.tokenCountSql("text")} AS n_tokens
+              |  FROM documents),
+              |packed AS (
+              |  SELECT source, doc_id, n_tokens,
+              |    CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000) AS BIGINT) AS batch_id
+              |  FROM docs)
+              |SELECT source, batch_id, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+              |FROM packed GROUP BY 1, 2""".stripMargin)),
+
     // F2-analog on documents: the reference's totals/summary row filter
     // (scraper/div_link_handler.py:238-245) as a relational predicate.
     Q("t05_totals_filter",
