@@ -65,8 +65,11 @@ object DailyRun {
       landed.foreach { case (_, df) =>
         if (!df.isEmpty) MarketPipeline.writeRaw(df, rawRoot)
       }
+      // only the link types whose pages were actually present are committed:
+      // marking an absent page as done would make the completeness predicate
+      // prune the commodity forever even though nothing was landed
       MarketPipeline.recordCompleted(spark, ledgerPath, commodity,
-        "summary" +: followUps, scrapeDate)
+        landed.map(_._1), scrapeDate)
       CommodityResult(commodity, structure.structure, landed.size)
     }
   }

@@ -176,13 +176,17 @@ object MarketPipeline {
     */
   def readLedger(spark: SparkSession, ledgerPath: String, scrapeDate: String): DataFrame = {
     import spark.implicits._
-    val dir = new java.io.File(ledgerPath)
-    val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    // probe through Spark's reader, not java.io.File — the ledger may live
+    // on any Hadoop filesystem (s3a/hdfs), where a local-file check would
+    // silently report an existing ledger as empty
     val entries =
-      if (files.exists(f => f.isDirectory || f.getName.endsWith(".parquet")))
-        spark.read.parquet(ledgerPath)
-      else
-        Seq.empty[(String, String, String)].toDF("commodity", "link_type", "scrape_date")
+      try spark.read.parquet(ledgerPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+              e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" =>
+          Seq.empty[(String, String, String)].toDF("commodity", "link_type", "scrape_date")
+      }
     entries
       .filter(col("scrape_date") === scrapeDate)
       .groupBy(col("commodity"))

@@ -63,11 +63,12 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
       frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(length(col(binCol)).cast("double") / frameBytes).cast("int")
-    df.select(col(idCol).as("id"),
+    // carry the binary column through the explode — one narrow pass, no
+    // join-back (a join would shuffle the full corpus by id for nothing)
+    df.select(col(idCol).as("id"), col(binCol).as("_bin"),
         posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
       .withColumnRenamed("pos", "frame_idx").drop("col")
       .filter(col("frame_idx") % stride === 0)
-      .join(df.select(col(idCol).as("id"), col(binCol).as("_bin")), Seq("id"))
       .withColumn("frame_hash",
         md5(col("_bin").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))))
       .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_hash"))

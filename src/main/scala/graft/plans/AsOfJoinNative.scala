@@ -73,6 +73,12 @@ case class AsOfJoinExec(
       SortOrder(rightTiebreak, Ascending)))
 
   protected override def doExecute(): RDD[InternalRow] = {
+    // one ordering serves both sides, so the types must already agree —
+    // fail loudly rather than compare a date day-count against micros
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val nPayload = payload.size
@@ -99,26 +105,30 @@ case class AsOfJoinExec(
         } else rRow = null
       advanceRight()
 
-      var matchKey: Any = null
+      // prevLKey must be a COPY: projections reuse their output buffer, so a
+      // value read out of one (UTF8String, Decimal, struct) aliases the
+      // buffer and would compare equal to whatever the buffer holds next.
+      var prevLKey: InternalRow = null
       var matchPayload: InternalRow = null
 
       lIter.map { lRow =>
-        val lKey = lKeyEval(lRow).get(0, keyType)
+        val lKeyRow = lKeyEval(lRow)
+        val lKey = lKeyRow.get(0, keyType)
         val lTime = lTimeEval(lRow).get(0, timeType)
-        // drop right rows (and any remembered match) for keys before lKey
-        while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
-        if (matchPayload != null && keyOrd.compare(matchKey, lKey) != 0) {
+        // left key changed → any remembered match is stale
+        if (prevLKey == null || prevLKey != lKeyRow) {
           matchPayload = null
+          prevLKey = lKeyRow.copy()
         }
+        // drop right rows for keys before lKey
+        while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
         // consume right rows of this key up to lTime; last one wins
         while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
             timeOrd.compare(rTime, lTime) <= 0) {
           matchPayload = payloadProj(rRow).copy()
-          matchKey = lKey
           advanceRight()
         }
-        val p = if (matchPayload != null && keyOrd.compare(matchKey, lKey) == 0)
-          matchPayload else nullPayload
+        val p = if (matchPayload != null) matchPayload else nullPayload
         outProj(joined(lRow, p))
       }
     }
@@ -153,9 +163,18 @@ object AsOfJoinNative {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    // coerce the right-side key/time to the left's types (date→timestamp,
+    // NTZ→TZ, …): one interpreted ordering serves both sides in the exec,
+    // so raw physical values must be comparable
+    def coerce(e: Expression, to: org.apache.spark.sql.types.DataType): Expression =
+      if (e.dataType == to) e
+      else org.apache.spark.sql.catalyst.expressions.Cast(e, to,
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
+    val lk = attr(lPlan, leftKey)
+    val lt = attr(lPlan, leftTime)
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      lk, coerce(attr(rPlan, rightKey), lk.dataType),
+      lt, coerce(attr(rPlan, rightTime), lt.dataType),
       payloadCols.map(attr(rPlan, _)), attr(rPlan, rightTiebreak))
     ColumnBridge.ofRows(spark, plan)
   }

@@ -88,7 +88,14 @@ object HtmlTable {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
       case Some(Parsed(headers, rows)) =>
-        val schema = StructType(headers.map(h => StructField(h, StringType)))
+        // scraped tables can repeat header text; suffix duplicates so
+        // downstream col(name) references stay unambiguous
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        val unique = headers.map { h =>
+          val n = seen.getOrElse(h, 0); seen(h) = n + 1
+          if (n == 0) h else s"${h}_${n + 1}"
+        }
+        val schema = StructType(unique.map(h => StructField(h, StringType)))
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.map(Row.fromSeq)), schema)
     }

@@ -92,10 +92,16 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // partition on batch_id + dynamic partition OVERWRITE: a batch that
+        // was written but not checkpoint-committed (crash between the two)
+        // re-delivers on restart and overwrites its own partition instead of
+        // appending duplicates — plain append would only be at-least-once.
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append")
-          .partitionBy("ingest_date")
+          .write.mode("overwrite")
+          .partitionBy("ingest_date", "batch_id")
           .parquet(outDir)
       }
       .start()

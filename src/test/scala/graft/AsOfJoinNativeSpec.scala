@@ -52,6 +52,30 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native.count() == ev.count())
   }
 
+  test("native exec with STRING keys: stale match does not leak across keys") {
+    // buffer-backed key types alias the projection's reused row; a key
+    // change must clear the remembered match (regression test)
+    val right = Seq(("AAA", "2024-01-01 00:00:00", 1.0))
+      .toDF("k", "rts", "payload").withColumn("rts", col("rts").cast("timestamp"))
+    val left = Seq(("AAA", "2024-01-02 00:00:00", 1L), ("BBB", "2024-01-02 00:00:00", 2L))
+      .toDF("k", "lts", "row_id").withColumn("lts", col("lts").cast("timestamp"))
+    val out = AsOfJoinNative.backward(left, right, "k", "k", "lts", "rts",
+      Seq("payload"), "payload")
+      .orderBy("row_id").collect()
+    assert(out(0).getAs[Any]("payload") == 1.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("payload"))) // BBB must NOT inherit AAA's match
+  }
+
+  test("native exec coerces a DATE right-time against a timestamp left-time") {
+    val right = ordersT.withColumn("o_ts", to_date(col("o_ts")))
+    val out = AsOfJoinNative.backward(eventsT, right,
+      "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey", "o_price"), "o_orderkey")
+      .orderBy("event_id").collect()
+    val keys = out.map(r => Option(r.getAs[java.lang.Long]("o_orderkey")).map(_.toLong))
+    // same answers as the all-timestamp test: dates cast to midnight
+    assert(keys.toSeq == Seq(Some(10L), Some(12L), Some(12L), None, None))
+  }
+
   test("native exec plan contains the custom operator and two sorted exchanges") {
     val out = AsOfJoinNative.backward(eventsT, ordersT,
       "user_id", "o_custkey", "ts", "o_ts", Seq("o_price"), "o_orderkey")

@@ -47,6 +47,18 @@ class DailyRunSpec extends SparkSpec {
     assert(MarketPipeline.readRaw(spark, raw).count() == before)
   }
 
+  test("missing page is NOT marked complete; retry with the page ingests it") {
+    val raw = tmpDir("partial_raw")
+    val ledger = tmpDir("partial_ledger")
+    val partial = Map("apples" -> (pages(1)("apples") - "variety"))
+    DailyRun.run(spark, partial, "2026-08-12", raw, ledger)
+    // variety absent → commodity still pending
+    val r2 = DailyRun.run(spark, pages(1), "2026-08-12", raw, ledger)
+    assert(r2.map(_.commodity) == Seq("apples"))
+    assert(MarketPipeline.readRaw(spark, raw)
+      .filter(col("link_type") === "variety").count() > 0)
+  }
+
   test("latestWins upsert: newer version wins, update beats base on tie") {
     import spark.implicits._
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L), (3L, "tie-base", 5L))

@@ -50,6 +50,18 @@ class HtmlTableSpec extends SparkSpec {
     assert(HtmlTable.scrapeDate("<div id='other'><b>x</b></div>").isEmpty)
   }
 
+  test("duplicate scraped headers are disambiguated in the frame schema") {
+    val html =
+      """<table class="alltable"><thead>
+        |<th class="header">Price (R)</th><th class="header">Price (R)</th></thead>
+        |<tbody><tr><td class="tleft2">1</td><td class="tleft">2</td></tr></tbody></table>""".stripMargin
+    val df = HtmlTable.ingest(spark, html)
+    assert(df.columns.toSeq == Seq("Price (R)", "Price (R)_2"))
+    // and the downstream enrich fold no longer hits AMBIGUOUS_REFERENCE
+    val enriched = graft.ingest.MarketPipeline.enrich(df, "2026-08-12", "c", "summary", "r")
+    assert(enriched.count() == 1)
+  }
+
   test("ingest produces a DataFrame with the dynamic all-string schema") {
     val df = HtmlTable.ingest(spark, page)
     assert(df.columns.toSeq == Seq("Container", "Price (R)", "Total Qty Sold"))
