@@ -220,6 +220,24 @@ object MiscQueries {
               |  COUNT(CASE WHEN version = 2 THEN 1 END) AS n_updated
               |FROM merged GROUP BY o_orderstatus""".stripMargin)),
 
+    // Statistical aggregates (stddev/corr/skew + approx median): one-pass
+    // algorithms are engine-specific in summation order, so this is a
+    // rows-only query; the spec checks the values against exact formulas
+    // within tolerance.
+    Q("q33_stats_moments",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            stddev_samp(col("l_quantity")).as("sd_qty"),
+            corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+            skewness(col("l_discount")).as("skew_disc"),
+            expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median_price"),
+            count(lit(1)).as("n"))
+      },
+      None),
+
     // HLL sketch surface — approx_count_distinct is engine-specific, so this
     // is a rows-only query; the spec checks the estimate against the exact
     // count within tolerance.

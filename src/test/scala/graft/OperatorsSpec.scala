@@ -106,6 +106,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("q33 statistical moments agree with exact definitions within tolerance") {
+    val got = graft.SparkEntry.queries("q33_stats_moments")(spark, "/root/testdata/sf0.001")
+      .filter(col("l_returnflag") === "N").head()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_returnflag") === "N")
+      .select(col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p")).collect()
+    val (qs, ps) = (li.map(_.getDouble(0)), li.map(_.getDouble(1)))
+    val n = qs.length.toDouble
+    val mq = qs.sum / n
+    val sd = math.sqrt(qs.map(x => (x - mq) * (x - mq)).sum / (n - 1))
+    assert(math.abs(got.getAs[Double]("sd_qty") - sd) / sd < 1e-9)
+    val mp = ps.sum / n
+    val cov = qs.zip(ps).map { case (x, y) => (x - mq) * (y - mp) }.sum / (n - 1)
+    val sdp = math.sqrt(ps.map(x => (x - mp) * (x - mp)).sum / (n - 1))
+    val corrExact = cov / (sd * sdp)
+    assert(math.abs(got.getAs[Double]("corr_qty_price") - corrExact) < 1e-9)
+    // approx median within 5% of the exact median
+    val sorted = ps.sorted
+    val median = sorted(sorted.length / 2)
+    assert(math.abs(got.getAs[Double]("approx_median_price") - median) / median < 0.05)
+  }
+
   test("approx_count_distinct estimate is within 5% of exact (q24 surface)") {
     val q = graft.SparkEntry.queries("q24_approx_distinct_parts")(spark, "/root/testdata/sf0.001")
     val exact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
