@@ -149,6 +149,43 @@ object Dedup {
        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style): in a
+    * global canonical shingle order (md5 of the shingle, which also breaks
+    * frequency skew), any two sets with Jaccard >= t must share an element
+    * within their first |d| - ceil(t*|d|) + 1 shingles — so only that prefix
+    * participates in the inverted-index join, and candidates are verified
+    * exactly. Identical output to `ngramJaccardPairs` with a fraction of
+    * the candidate pairs (the fraction shrinks as t grows).
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ordered = sh
+      .withColumn("n_sh", count(lit(1)).over(w))
+      .withColumn("pos", row_number().over(w.orderBy(md5(col("sh")), col("sh"))))
+    val prefix = ordered.filter(
+      col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val common = cands
+      .join(sh.as("x"), col("id_a") === col("x.id"))
+      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature relation: (id, seed, minh) where
     * minh = min over shingles of md5(seed || ':' || shingle).
     * md5-hex min is a valid minwise hash (uniform over the hex ordering) and

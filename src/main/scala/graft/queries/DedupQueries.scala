@@ -34,6 +34,14 @@ object DedupQueries {
       Some(Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         N, NumHashes, RowsPerBand, LshThreshold))),
 
+    // Prefix-filtering (PPJoin-style) exact Jaccard — provably identical
+    // output to d03, so it shares d03's oracle; the prefix index shrinks
+    // the candidate join.
+    Q("d07_jaccard_prefix_filter",
+      (s, dir) => Dedup.ngramJaccardPairsPrefix(Tables(s, dir).documents,
+        "doc_id", "text", N, JaccardThreshold),
+      Some(Dedup.ngramJaccardPairsSql("documents", "doc_id", "text", N, JaccardThreshold))),
+
     // The end-user cleaning op: corpus minus near-duplicates (keep-first).
     Q("d06_drop_near_duplicates",
       (s, dir) => Dedup.dropNearDuplicates(Tables(s, dir).documents,

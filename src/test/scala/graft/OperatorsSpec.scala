@@ -27,6 +27,17 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index form at several thresholds") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(docs500, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "n_common").orderBy("id_a", "id_b")
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs500, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "n_common").orderBy("id_a", "id_b")
+      assert(plain.collect().toSeq == prefix.collect().toSeq, s"threshold $t")
+    }
+  }
+
   test("minhashLshPairs finds the same high-similarity pairs as exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
