@@ -176,6 +176,29 @@ object SqlQueries {
              |  SELECT c_nationkey AS nk FROM customer
              |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
 
+    // Three-valued-logic semantics: NOT IN over a list containing NULL
+    // matches nothing (per SQL), while NOT EXISTS gives the intuitive
+    // answer — both engines must agree on both counts.
+    Q("q34_not_in_null_semantics",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.createOrReplaceTempView("customer")
+        t.supplier.createOrReplaceTempView("supplier")
+        s.sql(
+          """SELECT 'not_in' AS form, COUNT(*) AS n FROM customer
+            |WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3) FROM supplier)
+            |UNION ALL
+            |SELECT 'not_exists', COUNT(*) FROM customer
+            |WHERE NOT EXISTS (SELECT 1 FROM supplier
+            |  WHERE nullif(s_nationkey, 3) = c_nationkey)""".stripMargin)
+      },
+      Some("""SELECT 'not_in' AS form, COUNT(*) AS n FROM customer
+             |WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3) FROM supplier)
+             |UNION ALL
+             |SELECT 'not_exists', COUNT(*) FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM supplier
+             |  WHERE nullif(s_nationkey, 3) = c_nationkey)""".stripMargin)),
+
     // Correlated scalar subquery: parts priced above their brand average.
     Q("q20_above_brand_avg",
       (s, dir) => {

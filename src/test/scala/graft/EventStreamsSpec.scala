@@ -89,6 +89,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.select("event_id").distinct().count() == 3)
   }
 
+  test("update output mode emits revised aggregates as data arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("upd_out").start()
+    in.addData(Ev(1, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2, ts(2), 1, "click", 2.0)) // same window revised upward
+    q.processAllAvailable()
+    q.stop()
+    val ns = spark.table("upd_out").filter(col("event_type") === "click")
+      .select("n").collect().map(_.getLong(0)).toSeq
+    // update mode re-emits the window: first n=1, then the revision n=2
+    assert(ns.sorted == Seq(1L, 2L))
+  }
+
   test("dedupStream drops re-delivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
