@@ -143,16 +143,35 @@ object TextFns {
   def contentHashSql(col: String): String =
     s"md5(array_to_string(${tokensSql(col)}, ' '))"
 
+  /** First 8 hex nibbles of md5 as a long in [0, 2^32) — the engine-portable
+    * 32-bit hash. Spark converts the hex prefix directly; the SQL twin
+    * mirrors it with nibble arithmetic (both are exact integer math, so the
+    * values are identical). Also the simhash/KMV building block.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def md5Hash32Sql(s: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($s), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** Rolling polynomial hash over the token sequence (Rabin–Karp shape):
-    * h = fold(h * 31 + crc32(token) mod P). Order-sensitive (unlike
-    * `fingerprint`), so re-orderings differ; engine-side only (DuckDB lacks
-    * a matching crc32), declared rows-only.
+    * h = fold(h * 31 + md5Hash32(token)) mod P. Order-sensitive (unlike
+    * `fingerprint`), so re-orderings differ. Intermediate values stay below
+    * 31 * P + 2^32 < 2^63, so the fold is exact in BIGINT in both engines.
     */
   private val RollP = 1000000007L
 
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L),
-      (h, t) => pmod(h * 31 + crc32(t.cast("binary")), lit(RollP)))
+      (h, t) => pmod(h * 31 + md5Hash32(t), lit(RollP)))
+
+  def rollingHashSql(col: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(${tokensSql(col)}, t -> ${md5Hash32Sql("t")})),
+       |  (h, x) -> (h * 31 + x) % $RollP)""".stripMargin
 
   // ---- cleaning / redaction -------------------------------------------
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -131,11 +132,16 @@ object MiscQueries {
         val t = Tables(s, dir)
         val p = t.part.select(col("p_brand").as("brand"), col("p_type").as("typ"),
           col("p_partkey").as("key"), col("p_name").as("name"))
+        // Two prunes before the O(len²) distance: a free length prefilter
+        // (|len(a)-len(b)| > 12 ⇒ dist > 12) in the join condition, and the
+        // thresholded levenshtein (returns -1 and early-exits its DP loop
+        // once the distance provably exceeds 12).
         p.as("a").join(p.as("b"),
             col("a.brand") === col("b.brand") && col("a.typ") === col("b.typ") &&
-              col("a.key") < col("b.key"))
-          .withColumn("dist", levenshtein(col("a.name"), col("b.name")).cast("long"))
-          .filter(col("dist") <= 12)
+              col("a.key") < col("b.key") &&
+              abs(length(col("a.name")) - length(col("b.name"))) <= 12)
+          .withColumn("dist", levenshtein(col("a.name"), col("b.name"), 12).cast("long"))
+          .filter(col("dist") >= 0)
           .groupBy(col("a.brand").as("brand"))
           .agg(count(lit(1)).as("n_close_pairs"), min(col("dist")).as("min_dist"))
       },
@@ -220,36 +226,139 @@ object MiscQueries {
               |  COUNT(CASE WHEN version = 2 THEN 1 END) AS n_updated
               |FROM merged GROUP BY o_orderstatus""".stripMargin)),
 
-    // Statistical aggregates (stddev/corr/skew + approx median): one-pass
-    // algorithms are engine-specific in summation order, so this is a
-    // rows-only query; the spec checks the values against exact formulas
-    // within tolerance.
+    // Statistical moments, portably exact: Σx, Σx², Σx³ (and Σxy) accumulate
+    // in DECIMAL — order-independent, so parallel-safe — then the textbook
+    // recombinations run in double with the identical operation tree in both
+    // engines, making stddev/corr/skewness whole-row hash-matchable.
+    // (9,2)-cast inputs keep every product within DECIMAL(38): x² is (19,4),
+    // x³ is (29,6). The built-in one-pass stddev_samp/corr/skewness remain
+    // spec-covered (tolerance) — they are mathematically equal but
+    // engine-specific in summation order.
+    // One extra wrinkle: a decimal sum whose integer representation exceeds
+    // 2^53 (Σprice² does) casts to double with DOUBLE rounding in DuckDB
+    // (int128→double, then /10^scale) but single rounding in Spark — an ulp
+    // apart. So each big sum is carried as SUM(floor(e)) in BIGINT (int64→
+    // double is one correctly-rounded conversion in both engines) plus the
+    // exact fractional decimal SUM(e - floor(e)), recombined in double.
     Q("q33_stats_moments",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.lineitem
-          .groupBy(col("l_returnflag"))
-          .agg(
-            stddev_samp(col("l_quantity")).as("sd_qty"),
-            corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-            skewness(col("l_discount")).as("skew_disc"),
-            expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median_price"),
-            count(lit(1)).as("n"))
+        def d2(c: String) = col(c).cast("decimal(9,2)")
+        def splitSum(e: Column, name: String): Seq[Column] = Seq(
+          sum(floor(e).cast("long")).as(name + "i"),
+          sum(e - floor(e)).as(name + "f"))
+        val aggs: Seq[Column] = Seq(count(lit(1)).as("n")) ++
+          splitSum(d2("l_quantity"), "sx") ++
+          splitSum(d2("l_quantity") * d2("l_quantity"), "sx2") ++
+          splitSum(d2("l_extendedprice"), "sy") ++
+          splitSum(d2("l_extendedprice") * d2("l_extendedprice"), "sy2") ++
+          splitSum(d2("l_quantity") * d2("l_extendedprice"), "sxy") ++
+          Seq(
+            sum(d2("l_discount")).as("sz"),
+            sum(d2("l_discount") * d2("l_discount")).as("sz2"),
+            sum(d2("l_discount") * d2("l_discount") * d2("l_discount")).as("sz3"))
+        val sums = t.lineitem.groupBy(col("l_returnflag"))
+          .agg(aggs.head, aggs.tail: _*)
+        def big(name: String): Column =
+          col(name + "i").cast("double") + col(name + "f").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        val nd = col("n").cast("double")
+        val (sx, sx2, sy, sy2, sxy) =
+          (big("sx"), big("sx2"), big("sy"), big("sy2"), big("sxy"))
+        val mz = dd("sz") / nd
+        val m2 = dd("sz2") / nd - mz * mz
+        sums.select(
+          col("l_returnflag"),
+          sqrt((sx2 - sx * sx / nd) / (nd - lit(1.0))).as("sd_qty"),
+          ((nd * sxy - sx * sy) /
+            (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)))
+            .as("corr_qty_price"),
+          ((dd("sz3") / nd - lit(3.0) * mz * (dd("sz2") / nd) +
+            lit(2.0) * mz * mz * mz) / (m2 * sqrt(m2)))
+            .as("skew_disc"),
+          col("n"))
       },
-      None),
+      Some {
+        def prod(c: String, k: Int) =
+          (0 until k).map(_ => s"CAST($c AS DECIMAL(9,2))").mkString(" * ")
+        def splitSum(e: String, name: String) =
+          s"SUM(CAST(floor($e) AS BIGINT)) AS ${name}i, SUM(($e) - floor($e)) AS ${name}f"
+        def big(name: String) = s"(CAST(${name}i AS DOUBLE) + CAST(${name}f AS DOUBLE))"
+        val n = "CAST(n AS DOUBLE)"
+        val (sx, sx2, sy, sy2, sxy) =
+          (big("sx"), big("sx2"), big("sy"), big("sy2"), big("sxy"))
+        val (sz, sz2, sz3) =
+          ("CAST(sz AS DOUBLE)", "CAST(sz2 AS DOUBLE)", "CAST(sz3 AS DOUBLE)")
+        val mz = s"($sz / $n)"
+        val m2 = s"($sz2 / $n - $mz * $mz)"
+        s"""WITH sums AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    ${splitSum(prod("l_quantity", 1), "sx")},
+           |    ${splitSum(prod("l_quantity", 2), "sx2")},
+           |    ${splitSum(prod("l_extendedprice", 1), "sy")},
+           |    ${splitSum(prod("l_extendedprice", 2), "sy2")},
+           |    ${splitSum(s"CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))", "sxy")},
+           |    SUM(${prod("l_discount", 1)}) AS sz,
+           |    SUM(${prod("l_discount", 2)}) AS sz2,
+           |    SUM(${prod("l_discount", 3)}) AS sz3
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag,
+           |  sqrt(($sx2 - $sx * $sx / $n) / ($n - 1.0)) AS sd_qty,
+           |  ($n * $sxy - $sx * $sy) /
+           |    (sqrt($n * $sx2 - $sx * $sx) * sqrt($n * $sy2 - $sy * $sy)) AS corr_qty_price,
+           |  ($sz3 / $n - 3.0 * $mz * ($sz2 / $n) + 2.0 * $mz * $mz * $mz) /
+           |    ($m2 * sqrt($m2)) AS skew_disc,
+           |  n
+           |FROM sums""".stripMargin
+      }),
 
-    // HLL sketch surface — approx_count_distinct is engine-specific, so this
-    // is a rows-only query; the spec checks the estimate against the exact
-    // count within tolerance.
+    // Distinct-count sketch, portably: KMV (bottom-k). With h_(k) the k-th
+    // smallest of the distinct 32-bit md5 hashes, est = (k-1)/(h_(k)/2^32);
+    // a group with fewer than k distinct hashes is exact by construction.
+    // This is the oracle-checkable twin of approx_count_distinct (HLL,
+    // engine-specific — spec-covered with tolerance). Scale note: the
+    // rank-k window sorts distinct hashes per group; at 100 TB the same
+    // bottom-k is a TopKAggregator-style partial heap — the estimator and
+    // its result are unchanged.
     Q("q24_approx_distinct_parts",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.lineitem
-          .groupBy(col("l_returnflag"))
-          .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            count(lit(1)).as("n"))
+        val k = 1024
+        val hashed = t.lineitem.select(col("l_returnflag"),
+            graft.functions.TextFns.md5Hash32(col("l_partkey").cast("string")).as("h"))
+          .distinct()
+        val counts = hashed.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_distinct_hashes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("h"))
+        val kth = hashed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === k)
+          .select(col("l_returnflag"), col("h").as("kth"))
+        counts.join(kth, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"),
+            when(col("kth").isNull, col("n_distinct_hashes").cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (col("kth").cast("double") / lit(4294967296.0)))
+              .as("est_parts"),
+            col("n_distinct_hashes"))
       },
-      None),
+      Some(s"""WITH hashed AS (
+              |  SELECT DISTINCT l_returnflag,
+              |    ${graft.functions.TextFns.md5Hash32Sql("CAST(l_partkey AS VARCHAR)")} AS h
+              |  FROM lineitem),
+              |counts AS (
+              |  SELECT l_returnflag, COUNT(*) AS n_distinct_hashes
+              |  FROM hashed GROUP BY 1),
+              |kth AS (
+              |  SELECT l_returnflag, h AS kth FROM (
+              |    SELECT l_returnflag, h,
+              |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+              |    FROM hashed) WHERE rn = 1024)
+              |SELECT counts.l_returnflag,
+              |  CASE WHEN kth IS NULL THEN CAST(n_distinct_hashes AS DOUBLE)
+              |       ELSE CAST(1023 AS DOUBLE) / (CAST(kth AS DOUBLE) / 4294967296.0)
+              |  END AS est_parts,
+              |  n_distinct_hashes
+              |FROM counts LEFT JOIN kth USING (l_returnflag)""".stripMargin)),
   )
 }

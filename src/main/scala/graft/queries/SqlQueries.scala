@@ -48,7 +48,9 @@ object SqlQueries {
               |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${sqlDec("l_quantity")} END) AS DOUBLE) AS qty_r
               |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
 
-    // AR1/A4-analog: set accumulation per key, canonically sorted.
+    // AR1/A4-analog: set accumulation per key, canonically sorted. Emitted
+    // as a joined scalar string (not array<string>: the driver's pandas
+    // compare can't sort array columns) — the array form is spec-covered.
     Q("q17_nation_set_per_region",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -56,11 +58,11 @@ object SqlQueries {
           .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(
-            sort_array(collect_set(col("n_name"))).as("nations"),
+            array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
             countDistinct(col("n_name")).as("n_nations"))
       },
       Some("""SELECT r_name,
-             |  list_sort(list_distinct(array_agg(n_name))) AS nations,
+             |  array_to_string(list_sort(list_distinct(array_agg(n_name))), ',') AS nations,
              |  COUNT(DISTINCT n_name) AS n_nations
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)),

@@ -76,15 +76,17 @@ object TextQueries {
               |  ${TextFns.contentHashSql("text")} AS content_hash
               |FROM documents""".stripMargin)),
 
-    // Order-sensitive rolling-hash fingerprint — engine-side only (rows-only
-    // check: DuckDB has no matching crc32).
+    // Order-sensitive rolling-hash fingerprint. Portable: the per-token hash
+    // is the md5-nibble 32-bit value and the fold is exact BIGINT math, so
+    // DuckDB reproduces every hash bit-for-bit (list_reduce mirror).
     Q("t06_rolling_hash",
       (s, dir) => {
         val t = Tables(s, dir)
         t.documents.select(col("doc_id"),
           TextFns.rollingHash(col("text")).as("rhash"))
       },
-      None),
+      Some(s"""SELECT doc_id, ${TextFns.rollingHashSql("text")} AS rhash
+              |FROM documents""".stripMargin)),
 
     // Training-data scrubbing: URL/email redaction (content hash proves the
     // rewrite is identical cross-engine even when nothing matches).
@@ -101,15 +103,20 @@ object TextQueries {
               |  md5(${TextFns.redactSql("text")}) AS redacted_hash
               |FROM documents""".stripMargin)),
 
-    // Quality gate: keep documents above the corpus median quality —
-    // two-pass pipeline with a broadcast scalar threshold.
+    // Quality gate: keep documents above the corpus median quality.
+    // The 5-regex score is computed ONCE into a cached (source, q) frame
+    // (it dominated this query when evaluated twice), and the median is
+    // graft.operators.Quantiles.exactQuantile — a distributed sort+rank,
+    // not a value-buffering percentile aggregate, so the gate survives
+    // 100 TB. The threshold value is bit-identical to quantile_cont.
     Q("t08_quality_gate",
       (s, dir) => {
         val t = Tables(s, dir)
-        val docsQ = t.documents.withColumn("q", TextFns.qualityScore(col("text")))
-        val thr = docsQ.agg(expr("percentile(q, 0.5)").as("thr"))
-        docsQ.crossJoin(broadcast(thr))
-          .filter(col("q") > col("thr"))
+        val docsQ = t.documents
+          .select(col("source"), TextFns.qualityScore(col("text")).as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val thr = graft.operators.Quantiles.exactQuantile(docsQ, "q", 0.5)
+        docsQ.filter(col("q") > thr)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"))
       },

@@ -123,8 +123,10 @@ class OperatorsSpec extends SparkSpec {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_returnflag") === "N")
       .select(col("l_quantity").cast("double").as("q"),
-        col("l_extendedprice").cast("double").as("p")).collect()
+        col("l_extendedprice").cast("double").as("p"),
+        col("l_discount").cast("double").as("d")).collect()
     val (qs, ps) = (li.map(_.getDouble(0)), li.map(_.getDouble(1)))
+    val ds = li.map(_.getDouble(2))
     val n = qs.length.toDouble
     val mq = qs.sum / n
     val sd = math.sqrt(qs.map(x => (x - mq) * (x - mq)).sum / (n - 1))
@@ -134,23 +136,49 @@ class OperatorsSpec extends SparkSpec {
     val sdp = math.sqrt(ps.map(x => (x - mp) * (x - mp)).sum / (n - 1))
     val corrExact = cov / (sd * sdp)
     assert(math.abs(got.getAs[Double]("corr_qty_price") - corrExact) < 1e-9)
-    // approx median within 5% of the exact median
-    val sorted = ps.sorted
-    val median = sorted(sorted.length / 2)
-    assert(math.abs(got.getAs[Double]("approx_median_price") - median) / median < 0.05)
+    // skewness: population m3 / m2^1.5 (Spark's skewness definition)
+    val md = ds.sum / n
+    val m2 = ds.map(x => (x - md) * (x - md)).sum / n
+    val m3 = ds.map(x => (x - md) * (x - md) * (x - md)).sum / n
+    val skewExact = m3 / (m2 * math.sqrt(m2))
+    assert(math.abs(got.getAs[Double]("skew_disc") - skewExact) < 1e-6,
+      s"skew ${got.getAs[Double]("skew_disc")} vs $skewExact")
+    // the built-in one-pass aggregates (the §2.4 surface itself) agree too
+    val builtin = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_returnflag") === "N")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        skewness(col("l_discount")).as("sk")).head()
+    assert(math.abs(builtin.getAs[Double]("sd") - sd) / sd < 1e-6)
+    assert(math.abs(builtin.getAs[Double]("c") - corrExact) < 1e-6)
+    assert(math.abs(builtin.getAs[Double]("sk") - skewExact) < 1e-6)
   }
 
-  test("approx_count_distinct estimate is within 5% of exact (q24 surface)") {
+  test("Quantiles.exactQuantile matches the percentile aggregate bit-for-bit") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    for (p <- Seq(0.0, 0.37, 0.5, 0.9, 1.0)) {
+      val agg = part.agg(expr(s"percentile(p_retailprice, $p)")).head().getDouble(0)
+      val got = graft.operators.Quantiles.exactQuantile(part, "p_retailprice", p)
+      assert(got == agg, s"p=$p: $got != $agg")
+    }
+  }
+
+  test("q24 KMV estimate and approx_count_distinct are close to exact") {
     val q = graft.SparkEntry.queries("q24_approx_distinct_parts")(spark, "/root/testdata/sf0.001")
     val exact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("hll"))
     val joined = q.join(exact, "l_returnflag").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
+      val est = r.getAs[Double]("est_parts")
       val ex = r.getAs[Long]("exact").toDouble
-      assert(math.abs(approx - ex) / ex < 0.05, s"approx $approx vs exact $ex")
+      // sf0.001 has < 1024 distinct parts per flag → KMV is its exact branch
+      // (modulo astronomically unlikely 32-bit collisions)
+      assert(math.abs(est - ex) / ex < 0.01, s"KMV $est vs exact $ex")
+      val hll = r.getAs[Long]("hll").toDouble
+      assert(math.abs(hll - ex) / ex < 0.05, s"HLL $hll vs exact $ex")
     }
   }
 
