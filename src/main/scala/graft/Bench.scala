@@ -3,15 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench runner (driver contract): times every declared query at
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line. A short warm-up (the flagship
-  * query + a small scan) runs before timing so first-query numbers measure
-  * the queries rather than JVM/codegen cold start; queries run in sorted
-  * name order for run-to-run comparability.
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Methodology (BASELINE.md records the same): a warm-up (flagship query +
+  * fact-table scan) amortizes JVM/codegen/parquet-footer cold start; each
+  * query then runs SPARK_GRAFT_BENCH_RUNS times (default 3) in sorted name
+  * order and reports the per-query MEDIAN, so one GC pause or compaction
+  * blip can't swing a number 10x. Between queries (outside the timed
+  * region) the Spark cache is cleared and a GC is requested: queries must
+  * not inherit cached relations or heap pressure from whoever ran before
+  * them — that cross-contamination is what made two trivial queries look
+  * 30x slow in round 1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,15 +34,28 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      samples(name) ::= (System.nanoTime() - t0) / 1e9
+      // hygiene OUTSIDE the timed region: no cached frames or collectable
+      // garbage handed to the next query
+      spark.catalog.clearCache()
+      System.gc()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = names.map { case (name, _) => name -> median(samples(name)) }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.ingest
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.sources.HtmlTable
 
@@ -72,5 +73,32 @@ object DailyRun {
         landed.map(_._1), scrapeDate)
       CommodityResult(commodity, structure.structure, landed.size)
     }
+  }
+
+  /** The fleet-scale variant of `run`: pages have already LANDED AS FILES
+    * under `<pagesRoot>/<commodity>/<linkType>.html` (a day's scrape output)
+    * and are ingested fully distributed — wholetext scan, executor-side
+    * parse (`graft.plans.ParseHtmlTable`), positional header binding,
+    * totals filter, partitioned raw sink. The driver never sees a page.
+    *
+    * Returns the cleaned normalized frame it landed (also written to
+    * `rawRoot` partitioned by commodity/link_type/scrape_date when `rawRoot`
+    * is given). Pages missing a date div fall back to `scrapeDate`.
+    */
+  def ingestLandedPages(spark: SparkSession, pagesRoot: String,
+      scrapeDate: String, rawRoot: Option[String] = None): DataFrame = {
+    val parsed = HtmlTable.parsePages(
+      HtmlTable.readPages(spark, s"$pagesRoot/*/*.html"))
+    val typed = MarketPipeline.fromParsedPages(parsed)
+      .withColumn("commodity",
+        regexp_extract(col("page_path"), "([^/]+)/[^/]+$", 1))
+      .withColumn("link_type",
+        regexp_extract(col("page_path"), "([^/]+)\\.html$", 1))
+      .withColumn("scrape_date", coalesce(col("scrape_date"), lit(scrapeDate)))
+      .withColumn("ingestion_run_id", lit(scrapeDate))
+      .drop("page_path")
+    val cleaned = MarketPipeline.dropTotalsRows(typed.drop("row_idx"))
+    rawRoot.foreach(root => MarketPipeline.writeRaw(cleaned, root, "parquet"))
+    cleaned
   }
 }

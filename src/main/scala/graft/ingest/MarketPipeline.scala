@@ -75,11 +75,19 @@ object MarketPipeline {
   /** Defensive money/number parsing (SURVEY.md §7 "locale/number parsing"):
     * strip currency symbols, spaces and thousands separators before cast.
     */
-  def parseMoney(c: Column): Column =
-    regexp_replace(c, "[^0-9.\\-]", "").cast(DecimalType(18, 2))
+  def parseMoney(c: Column): Column = {
+    // blank/symbol-only cells (the totals row's empty price) → null, not an
+    // ANSI cast error
+    val digits = regexp_replace(c, "[^0-9.\\-]", "")
+    when(digits === "" || digits.isNull, lit(null)).otherwise(digits)
+      .cast(DecimalType(18, 2))
+  }
 
-  def parseLong(c: Column): Column =
-    regexp_replace(c, "[^0-9\\-]", "").cast("long")
+  def parseLong(c: Column): Column = {
+    val digits = regexp_replace(c, "[^0-9\\-]", "")
+    when(digits === "" || digits.isNull, lit(null)).otherwise(digits)
+      .cast("long")
+  }
 
   /** Canonical column name for a scraped header (header-drift tolerance):
     * the reference's sanitizer applied to header text.
@@ -108,6 +116,32 @@ object MarketPipeline {
       else d
     }
     casted.withColumn("scrape_date", to_date(col("scrape_date")))
+  }
+
+  /** `canonicalName` as an expression, for executor-side header binding. */
+  def canonicalNameCol(h: Column): Column = substring(
+    regexp_replace(regexp_replace(lower(trim(h)), "[^\\w\\s-]", ""), "\\s+", "_"),
+    1, NameFns.MaxNameLen)
+
+  /** Distributed normalize head: rows from `HtmlTable.parsePages`
+    * (page_path, scrape_date, row_idx, headers, cells) → the canonical
+    * market measures, bound positionally per row via the page's own headers
+    * (schema-on-read without requiring every page to share a schema).
+    * First matching header wins, like `ingest`'s duplicate suffixing;
+    * missing measures are null. Pure narrow projection — no shuffle.
+    */
+  def fromParsedPages(parsed: DataFrame): DataFrame = {
+    val canonHeaders = transform(col("headers"), canonicalNameCol(_))
+    def bind(name: String): Column = {
+      val pos = array_position(canonHeaders, name)
+      when(pos > 0, element_at(col("cells"), pos.cast("int")))
+    }
+    parsed.select(
+      col("page_path"), col("scrape_date"), col("row_idx").cast("long").as("row_idx"),
+      bind("container").as("container"),
+      parseMoney(bind("price_r")).as("price_r"),
+      parseMoney(bind("total_value_sold")).as("total_value_sold"),
+      parseLong(bind("total_quantity_sold")).as("total_quantity_sold"))
   }
 
   /** Typed view of the normalized layer (SURVEY.md §1.3: Dataset[T] where

@@ -64,9 +64,10 @@ object TfIdf {
   * - `ngramJaccardPairs` shuffles on the shingle (inverted index). Its cost
   *   is sum over shingles of df(s)^2 — quadratic in hot shingles, so it is
   *   the small-corpus/exact path. The scale path is `minhashLshPairs`:
-  *   candidate generation is linear in corpus size (numHashes× row blowup,
-  *   then one shuffle per banding join), and only candidates pay the exact
-  *   verification cost.
+  *   candidate generation is linear in corpus size — one md5 per distinct
+  *   (id, shingle), a numHashes-column MIN aggregate (map-side combined,
+  *   no row blowup), one banding self-join — and only candidates pay the
+  *   exact verification cost.
   * - All hashing is md5-based so results are reproducible in any engine
   *   (the DuckDB oracle runs the identical computation); at production
   *   scale `xxhash64` would halve the hash cost but is not portable.
@@ -160,46 +161,74 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val ordered = sh
-      .withColumn("n_sh", count(lit(1)).over(w))
-      .withColumn("pos", row_number().over(w.orderBy(md5(col("sh")), col("sh"))))
-    val prefix = ordered.filter(
-      col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+    // one hash-aggregate builds the canonically-ordered shingle array per
+    // doc; the prefix is a slice of it (two whole-relation window sorts
+    // were 2x the cost at sf0.1). Per-doc shingle counts are bounded, so
+    // the collected array is small.
+    val arrs = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(md5(col("sh")).as("k"), col("sh").as("s"))))
+        .as("arr"))
+      .withColumn("n_sh", size(col("arr")).cast("long"))
+      .withColumn("plen",
+        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
+    val prefix = arrs
+      .select(col("id"), explode(slice(col("arr"), lit(1), col("plen"))).as("e"))
+      .select(col("id"), col("e.s").as("sh"))
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val common = cands
-      .join(sh.as("x"), col("id_a") === col("x.id"))
-      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val shArrs = arrs.select(col("id"),
+      transform(col("arr"), e => e.getField("s")).as("shs"))
+    verifyPairs(cands, shArrs, threshold)
   }
 
-  /** MinHash signature relation: (id, seed, minh) where
-    * minh = min over shingles of md5(seed || ':' || shingle).
-    * md5-hex min is a valid minwise hash (uniform over the hex ordering) and
-    * is engine-portable.
+  /** Exact Jaccard verification of candidate pairs against the per-doc
+    * shingle-array relation (id, shs): two equi-joins and one codegen'd
+    * array_intersect per pair. Candidate generation (prefix filter / LSH
+    * bands) keeps `cands` small by construction, so this replaces the old
+    * re-explosion of the inverted index + per-pair groupBy at a fraction of
+    * the shuffle (the swap cut the verified-pair queries ~2x at sf0.1).
     */
+  private def verifyPairs(cands: DataFrame, arrs: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(arrs.as("va"), col("id_a") === col("va.id"))
+      .join(arrs.as("vb"), col("id_b") === col("vb.id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("va.shs"), col("vb.shs"))).cast("long").as("n_common"),
+        size(col("va.shs")).cast("long").as("n_a"),
+        size(col("vb.shs")).cast("long").as("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Affine minhash family over one md5-derived base hash:
+    * h_i(s) = (A_i * base(s) + B_i) mod P, P the smallest prime > 2^32.
+    * One md5 per distinct (id, shingle) — NOT numHashes of them — and the
+    * signature is a numHashes-column MIN aggregate instead of a numHashes×
+    * row explosion (round 1's documented blowup; this form cut the LSH
+    * query ~3x). Coefficients come from a fixed-seed java.util.Random (the
+    * algorithm is pinned by the Java spec), embedded as literals in both
+    * engines.
+    */
+  private val MinhashP = 4294967311L
+
+  private[operators] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val r = new java.util.Random(0x5DEECE66DL)
+    Seq.fill(k)((r.nextInt((1 << 30) - 1).toLong + 1L, r.nextInt(1 << 30).toLong))
+  }
+
+  /** Wide minhash signature relation: (id, m0..m{numHashes-1}). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n)
-    sh.select(col("id"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("sh"))
-      .select(col("id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(col("h")).as("minh"))
+    val based = sh.select(col("id"), TextFns.md5Hash32(col("sh")).as("base"))
+    val mins = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("base") * lit(a) + lit(b), lit(MinhashP))).as(s"m$i")
+    }
+    based.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs + exact Jaccard verification.
@@ -209,55 +238,49 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val bands = sigs
-      .withColumn("band", (col("seed") / lit(rowsPerBand)).cast("int"))
-      .groupBy(col("id"), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-          s => s.getField("minh")), "|").as("sig"))
+    val numBands = numHashes / rowsPerBand
+    val wide = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandSigs = (0 until numBands).map { j =>
+      concat_ws("|", ((j * rowsPerBand) until ((j + 1) * rowsPerBand))
+        .map(i => col(s"m$i").cast("string")): _*)
+    }
+    val bands = wide.select(col("id"),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sh = shingleSet(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // no broadcast hint on cands: it is usually tiny, but on dup-heavy
     // corpora (this operator's target) a hot band bucket emits O(k²) pairs
     // and a forced broadcast would OOM where a shuffle join completes; AQE
-    // converts the first verification join to broadcast when cands is
+    // converts the verification joins to broadcast when the sides are
     // genuinely small.
-    val common = cands
-      .join(sh.as("x"), col("id_a") === col("x.id"))
-      .join(sh.as("y"), col("id_b") === col("y.id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val sh = shingleSet(df, idCol, textCol, n)
+    val arrs = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    verifyPairs(cands, arrs, threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   def minhashLshPairsSql(table: String, idCol: String, textCol: String,
-      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String = {
+    val minCols = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((base * $a + $b) % $MinhashP) AS m$i"
+    }.mkString(", ")
+    val numBands = numHashes / rowsPerBand
+    val bandSelects = (0 until numBands).map { j =>
+      val sig = ((j * rowsPerBand) until ((j + 1) * rowsPerBand))
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $j AS band, $sig AS sig FROM mins"
+    }.mkString(" UNION ALL ")
     s"""WITH sh AS (
        |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
        |  FROM $table),
-       |seeded AS (
-       |  SELECT id, unnest(range(0, $numHashes)) AS seed, sh FROM sh),
-       |minh AS (
-       |  SELECT id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minh
-       |  FROM seeded GROUP BY id, seed),
-       |bands AS (
-       |  SELECT id, seed // $rowsPerBand AS band,
-       |         string_agg(minh, '|' ORDER BY seed) AS sig
-       |  FROM minh GROUP BY 1, 2),
+       |based AS (SELECT id, ${TextFns.md5Hash32Sql("sh")} AS base FROM sh),
+       |mins AS (SELECT id, $minCols FROM based GROUP BY id),
+       |bands AS ($bandSelects),
        |cands AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bands a JOIN bands b
@@ -272,6 +295,7 @@ object Dedup {
        |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
+  }
 
   /** The practical corpus-cleaning operator: drop near-duplicates, keeping
     * the lowest-id representative of each duplicate relation. Greedy

@@ -14,7 +14,7 @@ import graft.sources.HtmlTable
   */
 object MarketQueries {
 
-  private[queries] val FixturePage: String =
+  private[graft] val FixturePage: String =
     """<html><div id="right2"><b>2026-08-12</b></div>
       |<table class="alltable"><thead>
       |<th class="header">Container</th>
@@ -27,7 +27,59 @@ object MarketQueries {
       |<tr><td class="tleft2">Grand Total</td><td class="tleft"></td><td class="tleft">13,335.00</td><td class="tleft">20</td></tr>
       |</tbody></table></html>""".stripMargin
 
+  private[graft] val FixturePageB: String =
+    """<html><div id="right2"><b>2026-08-13</b></div>
+      |<table class="alltable"><thead>
+      |<th class="header">Container</th>
+      |<th class="header">Price (R)</th>
+      |<th class="header">Total Value Sold</th>
+      |<th class="header">Total Quantity Sold</th></thead>
+      |<tbody>
+      |<tr><td class="tleft2">Crate</td><td class="tleft">R 500.25</td><td class="tleft">4,002.00</td><td class="tleft">8</td></tr>
+      |<tr><td class="tleft2">Sack 7kg</td><td class="tleft">75.50</td><td class="tleft">755.00</td><td class="tleft">10</td></tr>
+      |</tbody></table></html>""".stripMargin
+
+  private[graft] val PageNoTable: String =
+    """<html><div id="right2"><b>2026-08-13</b></div>
+      |<p>No market data published for this commodity today.</p></html>""".stripMargin
+
   val all: Seq[Q] = Seq(
+    // The distributed twin of m01: N pages landed as files, scanned
+    // wholetext and parsed executor-side through the ParseHtmlTable
+    // Generator (SURVEY.md §2.10's parse_html_table UDTF) — the fleet-scale
+    // ingest path. One page has no table and must contribute zero rows.
+    Q("m02_distributed_page_ingest",
+      (s, _) => {
+        val dir = java.nio.file.Paths.get("target", "m02_pages")
+        def land(rel: String, content: String): Unit = {
+          val p = dir.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, content)
+        }
+        land("apples_golden_delicious/summary.html", FixturePage)
+        land("oranges_navel/summary.html", FixturePageB)
+        land("bananas/container.html", PageNoTable)
+        graft.ingest.DailyRun
+          .ingestLandedPages(s, dir.toString, "2026-08-12")
+          .select(
+            col("container"),
+            col("price_r").cast("double").as("price_r"),
+            col("total_value_sold").cast("double").as("total_value_sold"),
+            col("total_quantity_sold"),
+            col("scrape_date"), col("commodity"), col("link_type"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('10kg Bag', CAST(1234.5 AS DOUBLE), CAST(12345.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-12', 'apples_golden_delicious', 'summary'),
+             |  ('5kg Box', CAST(99.0 AS DOUBLE), CAST(990.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-12', 'apples_golden_delicious', 'summary'),
+             |  ('Crate', CAST(500.25 AS DOUBLE), CAST(4002.0 AS DOUBLE), CAST(8 AS BIGINT),
+             |   '2026-08-13', 'oranges_navel', 'summary'),
+             |  ('Sack 7kg', CAST(75.5 AS DOUBLE), CAST(755.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-13', 'oranges_navel', 'summary'))
+             |AS t(container, price_r, total_value_sold, total_quantity_sold,
+             |     scrape_date, commodity, link_type)""".stripMargin)),
+
     Q("m01_market_pipeline_e2e",
       (s, _) => {
         val raw = HtmlTable.ingest(s, FixturePage)

@@ -2,7 +2,9 @@ package graft.sources
 
 import scala.util.matching.Regex
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** HTML market-table scan (SURVEY.md §2.1 SRC1).
@@ -21,9 +23,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * - `ingest(spark, html)` — a DataFrame with the table's dynamic
   *   schema-on-read columns (all StringType, like the reference).
   *
-  * Scale note: one HTML page is one small table; at fleet scale pages land
-  * as files and `spark.read.text(wholetext)` + a mapPartitions over this
-  * parser distributes the parse. The parser itself is O(page size).
+  * Scale path: at fleet scale pages LAND AS FILES; `readPages` scans them
+  * wholetext and `parsePages` runs this parser executor-side through the
+  * `graft.plans.ParseHtmlTable` Generator — the parse is embarrassingly
+  * parallel and never touches the driver. `ingest` remains the one-page
+  * driver-side connector form.
   */
 object HtmlTable {
 
@@ -83,6 +87,37 @@ object HtmlTable {
     * (schema-on-read, like the reference's header-derived pandas frame).
     * Empty DataFrame with no columns when the page has no parseable table.
     */
+  /** Distributed page scan: every landed page file under `path` (glob ok)
+    * as one (page_path, html) row — wholetext, one file per row.
+    */
+  def readPages(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("page_path"), col("value").as("html"))
+
+  /** The scraped date as a Column (the executor-side twin of `scrapeDate`;
+    * null when the page has no date div). Entity decoding is skipped — the
+    * market pages carry plain `yyyy-MM-dd` text in the date element.
+    */
+  def scrapeDateCol(html: Column): Column = {
+    val raw = regexp_extract(html,
+      "(?is)<div[^>]*id=[\"']right2[\"'][^>]*>.*?<b[^>]*>(.*?)</b>", 1)
+    val cleaned = trim(regexp_replace(raw, "(?is)<[^>]*>", ""))
+    when(cleaned === "", lit(null)).otherwise(cleaned)
+  }
+
+  /** Distributed parse: one output row per table body row of every page —
+    * (page_path, scrape_date, row_idx, headers, cells); pages with no
+    * parseable table contribute zero rows. Runs where the files land.
+    */
+  def parsePages(pages: DataFrame): DataFrame = {
+    val gen = ColumnBridge.column(
+      graft.plans.ParseHtmlTable(ColumnBridge.expression(col("html"))))
+    pages.select(
+      col("page_path"),
+      scrapeDateCol(col("html")).as("scrape_date"),
+      gen.as(Seq("row_idx", "headers", "cells")))
+  }
+
   def ingest(spark: SparkSession, html: String): DataFrame =
     parse(html) match {
       case None =>

@@ -62,6 +62,58 @@ class HtmlTableSpec extends SparkSpec {
     assert(enriched.count() == 1)
   }
 
+  test("distributed parse path: readPages + ParseHtmlTable Generator match the driver-side parse") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pages")
+    java.nio.file.Files.createDirectories(dir.resolve("apples"))
+    java.nio.file.Files.writeString(dir.resolve("apples/summary.html"), page)
+    java.nio.file.Files.writeString(dir.resolve("apples/container.html"),
+      "<html><p>no table today</p></html>")
+    val parsed = HtmlTable.parsePages(
+      HtmlTable.readPages(spark, s"$dir/*/*.html"))
+    val rows = parsed.orderBy(col("row_idx")).collect()
+    // the no-table page contributes zero rows; the parser's own output
+    // must equal the driver-side parse of the same page
+    val expect = HtmlTable.parse(page).get
+    assert(rows.length == expect.rows.size)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("page_path").endsWith("apples/summary.html"))
+      assert(r.getAs[String]("scrape_date") == "12 August 2026")
+      assert(r.getAs[Int]("row_idx") == i)
+      assert(r.getSeq[String](r.fieldIndex("headers")) == expect.headers)
+      assert(r.getSeq[String](r.fieldIndex("cells")) == expect.rows(i))
+    }
+    // executor-side header binding: canonical names map cells positionally
+    val bound = graft.ingest.MarketPipeline.fromParsedPages(parsed)
+      .orderBy(col("row_idx")).collect()
+    assert(bound.head.getAs[String]("container") == "10kg Bag")
+    assert(bound.head.getAs[java.math.BigDecimal]("price_r")
+      .compareTo(new java.math.BigDecimal("1234.50")) == 0)
+    // "Total Qty Sold" is not a canonical measure header → null, no error
+    assert(bound.head.isNullAt(bound.head.fieldIndex("total_quantity_sold")))
+  }
+
+  test("DailyRun.ingestLandedPages lands a cleaned partitioned raw layer from page files") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pages2")
+    java.nio.file.Files.createDirectories(dir.resolve("apples"))
+    java.nio.file.Files.writeString(dir.resolve("apples/summary.html"),
+      graft.queries.MarketQueries.FixturePage)
+    val rawRoot = java.nio.file.Files.createTempDirectory("raw").toString + "/raw"
+    val cleaned = graft.ingest.DailyRun.ingestLandedPages(
+      spark, dir.toString, "2026-08-12", Some(rawRoot))
+    // totals row dropped, metadata stamped from the path + page date
+    assert(cleaned.count() == 2)
+    val back = spark.read.parquet(rawRoot)
+    assert(back.count() == 2)
+    val r = back.filter(col("container") === "10kg Bag").head()
+    assert(r.getAs[String]("commodity") == "apples")
+    assert(r.getAs[String]("link_type") == "summary")
+    // partition-column type inference reads the date partition back as DATE
+    assert(String.valueOf(r.getAs[Any]("scrape_date")) == "2026-08-12")
+    assert(r.getAs[Long]("total_quantity_sold") == 10L)
+  }
+
   test("ingest produces a DataFrame with the dynamic all-string schema") {
     val df = HtmlTable.ingest(spark, page)
     assert(df.columns.toSeq == Seq("Container", "Price (R)", "Total Qty Sold"))
