@@ -195,14 +195,14 @@ object TextFns {
 
   // ---- shingling -------------------------------------------------------
 
-  /** Word n-gram shingles (space-joined); fewer than n tokens → empty. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  /** Word n-gram shingles (space-joined); fewer than n tokens → empty.
+    * Native one-pass expression — the composed transform/slice form
+    * re-split the document per output element (see WordShingles).
+    */
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.WordShingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), n))
 
   def shinglesSql(col: String, n: Int): String = {
     val t = tokensSql(col)

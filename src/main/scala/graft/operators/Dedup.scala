@@ -108,17 +108,30 @@ object Dedup {
     * equivalent is checkpointing the inverted index to storage once per
     * dedup campaign rather than recomputing the tokenize+explode per pass.
     */
-  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // A small corpus often arrives as one file = one partition, which would
+    // serialize the shingle+hash work on a single core; spread it first.
+    // At scale the input already has >= defaultParallelism partitions and
+    // this is a no-op (no shuffle added).
+    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
+    spread.select(col(idCol).as("id"),
         explode(TextFns.shingles(col(textCol), n)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exact n-gram Jaccard similar pairs via inverted-index self-join.
     * Output: id_a < id_b, n_common, jaccard (double), filtered >= threshold.
+    * SMALL-CORPUS form — quadratic in hot shingles' document frequency, so
+    * it refuses corpora over `maxRows`; the scale paths are
+    * `ngramJaccardPairsPrefix` (exact) and `minhashLshPairs` (approx).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxRows: Long = 100000): DataFrame = {
+    Similarity.guardSmallSide(df, "ngramJaccardPairs",
+      "ngramJaccardPairsPrefix or minhashLshPairs", maxRows)
     val sh = shingleSet(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
@@ -171,6 +184,9 @@ object Dedup {
       .withColumn("n_sh", size(col("arr")).cast("long"))
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
+      // reused by both prefix sides and both verify sides — one aggregation,
+      // four consumers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = arrs
       .select(col("id"), explode(slice(col("arr"), lit(1), col("plen"))).as("e"))
       .select(col("id"), col("e.s").as("sh"))
@@ -190,8 +206,10 @@ object Dedup {
     * re-explosion of the inverted index + per-pair groupBy at a fraction of
     * the shuffle (the swap cut the verified-pair queries ~2x at sf0.1).
     */
-  private def verifyPairs(cands: DataFrame, arrs: DataFrame,
-      threshold: Double): DataFrame =
+  private def verifyPairs(cands: DataFrame, arrs0: DataFrame,
+      threshold: Double): DataFrame = {
+    // both join sides read the same aggregated relation
+    val arrs = arrs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(arrs.as("va"), col("id_a") === col("va.id"))
       .join(arrs.as("vb"), col("id_b") === col("vb.id"))
@@ -203,6 +221,7 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Affine minhash family over one md5-derived base hash:
     * h_i(s) = (A_i * base(s) + B_i) mod P, P the smallest prime > 2^32.

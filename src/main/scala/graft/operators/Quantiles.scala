@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact quantiles without value-buffering aggregates.
@@ -47,5 +48,43 @@ object Quantiles {
     val vHi = picked(hi)
     val f = h - lo
     vLo * (1 - f) + vHi * f
+  }
+
+  /** Exact per-group continuous quantiles without value buffering: shuffle
+    * on the group key, SORT within the group (window sort — streams and
+    * spills, unlike `percentile`'s in-memory buffer), then pick the two
+    * bracketing ranks per requested quantile and interpolate with the same
+    * bit-exact formula as `exactQuantile`. One shuffle + one sort total for
+    * any number of quantiles. The residual scale bound is one GROUP per
+    * sort partition (spillable), not one group's VALUES in one aggregation
+    * buffer — the difference between working and OOM on a hot group.
+    *
+    * Output: groupCol, one double column per (name, p), n (group row count
+    * over non-null values).
+    */
+  def groupedQuantileCont(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    ps.foreach { case (_, p) => require(p >= 0.0 && p <= 1.0, s"p=$p") }
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val wn = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol), col(valCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(wn))
+    val aggs = ps.flatMap { case (name, p) =>
+      val h = (col("_n") - 1).cast("double") * lit(p)
+      val f = h - floor(h)
+      // lo + hi parts summed in the final agg; when floor(h)==ceil(h) the
+      // same row carries the full weight ((1-f)+f with f=0)
+      Seq(
+        max(when(col("_rn") === floor(h), col("_v") * (lit(1.0) - f))).as(s"_lo_$name"),
+        max(when(col("_rn") === ceil(h) && col("_rn") =!= floor(h), col("_v") * f))
+          .as(s"_hi_$name"))
+    } :+ count(lit(1)).as("n")
+    val agged = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(agged) { case (d, (name, _)) =>
+      d.withColumn(name, col(s"_lo_$name") + coalesce(col(s"_hi_$name"), lit(0.0)))
+        .drop(s"_lo_$name", s"_hi_$name")
+    }
   }
 }

@@ -22,17 +22,36 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
+  /** Escape hatch for the quadratic/broadcast operators: they refuse (fail
+    * fast, before launching the O(n²) job) when the guarded side exceeds
+    * `maxRows`. The check reads at most maxRows+1 rows (LocalLimit per
+    * partition), so it costs one cheap pass — nothing next to the all-pairs
+    * work it gates. Raise `maxRows` explicitly to opt in anyway.
+    */
+  private[operators] def guardSmallSide(df: DataFrame, op: String,
+      scalePath: String, maxRows: Long): Unit = {
+    val n = df.limit(math.min(maxRows + 1, Int.MaxValue).toInt).count()
+    require(n <= maxRows,
+      s"$op is an exact small-corpus form (quadratic / broadcast in this side) " +
+        s"and its input exceeds maxRows=$maxRows. At scale use $scalePath, " +
+        "or pass a larger maxRows to opt in explicitly.")
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     *
     * @param corpus  (idCol, vecCol) relation to search
-    * @param queries (idCol, vecCol) relation of probes (small; broadcast)
+    * @param queries (idCol, vecCol) relation of probes (small; broadcast —
+    *                guarded by maxQueryRows, since every corpus row is
+    *                scored against every query)
     * @param dim     embedding dimensionality
     * @param k       neighbors per query
     * Output: query_id, neighbor_id, cos_sim, rank (1-based; ties broken by
     * neighbor id so results are deterministic).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+      vecCol: String, dim: Int, k: Int, excludeSelf: Boolean = true,
+      maxQueryRows: Long = 10000): DataFrame = {
+    guardSmallSide(queries, "cosineTopK", "lshTopK or ivfTopK", maxQueryRows)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -78,7 +97,8 @@ object Similarity {
     * top-ks instead of every scored pair (see TopKAggregator).
     */
   def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int): DataFrame = {
+      vecCol: String, dim: Int, k: Int, maxQueryRows: Long = 10000): DataFrame = {
+    guardSmallSide(queries, "cosineTopKAgg", "lshTopK or ivfTopK", maxQueryRows)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -265,11 +285,13 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
-    * Exact all-pairs form (the LSH-bucketed variant restricts to same-bucket
-    * pairs the same way `lshTopK` does).
+    * Exact all-pairs (O(n²)) SMALL-CORPUS form — refuses corpora over
+    * `maxRows`; the scale path is `lshNearDupPairs` (same output shape,
+    * bucketed candidates).
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double): DataFrame = {
+      dim: Int, threshold: Double, maxRows: Long = 100000): DataFrame = {
+    guardSmallSide(df, "cosineNearDupPairs", "lshNearDupPairs", maxRows)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("avec"))
       .withColumn("anorm", VectorFns.norm(col("avec"), dim))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("bvec"))

@@ -14,16 +14,17 @@ object SqlQueries {
 
   val all: Seq[Q] = Seq(
     // Exact percentiles (continuous interpolation — same definition as
-    // DuckDB's quantile_cont).
+    // DuckDB's quantile_cont), via the distributed window-sort path: built-in
+    // `percentile` buffers every group value in one aggregation buffer (OOM
+    // on a hot group at scale); groupedQuantileCont sorts within the group
+    // and interpolates the two bracketing ranks — identical result.
     Q("q15_price_percentiles",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.part
-          .groupBy(col("p_brand"))
-          .agg(
-            expr("percentile(p_retailprice, 0.5)").as("p50"),
-            expr("percentile(p_retailprice, 0.9)").as("p90"),
-            count(lit(1)).as("n"))
+        graft.operators.Quantiles
+          .groupedQuantileCont(t.part, "p_brand", "p_retailprice",
+            Seq("p50" -> 0.5, "p90" -> 0.9))
+          .select(col("p_brand"), col("p50"), col("p90"), col("n"))
       },
       Some("""SELECT p_brand,
              |  quantile_cont(p_retailprice, 0.5) AS p50,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Quantiles, Similarity}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -25,6 +25,37 @@ class OperatorsSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("groupedQuantileCont matches built-in percentile bit-for-bit") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val viaSort = Quantiles
+      .groupedQuantileCont(part, "p_brand", "p_retailprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select("p_brand", "p50", "p90", "n").orderBy("p_brand").collect().toSeq
+    val viaBuffer = part.groupBy("p_brand")
+      .agg(expr("percentile(p_retailprice, 0.5)").as("p50"),
+        expr("percentile(p_retailprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand").collect().toSeq
+    assert(viaSort == viaBuffer)
+  }
+
+  test("quadratic small-corpus forms refuse inputs over maxRows (escape hatch works)") {
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxRows = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(docs.selectExpr("doc_id as vec_id",
+        "array(1.0f, 0.0f) as embedding"), "vec_id", "embedding", 2, 0.9, maxRows = 2)
+    }
+    intercept[IllegalArgumentException] {
+      val v = docs.selectExpr("doc_id as vec_id", "array(1.0f, 0.0f) as embedding")
+      Similarity.cosineTopK(v, v, "vec_id", "embedding", 2, 1, maxQueryRows = 2)
+    }
+    // raising the cap opts back in
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxRows = 10)
+      .count() > 0)
   }
 
   test("prefix-filtered jaccard equals the plain inverted-index form at several thresholds") {
