@@ -11,7 +11,20 @@ import org.apache.spark.sql.functions._
   * at a partitioned data-lake root instead of a flat directory.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** On a real cluster a table scan arrives split across many files/row
+    * groups and every core works stage 1; the local testdata is one
+    * single-row-group file per table, so the scan is ONE task and all
+    * pre-shuffle work (regex scoring, shingling, join-probe levenshtein,
+    * dot products) serializes on one core. Spread underpartitioned scans to
+    * defaultParallelism — a few-MB local shuffle — so local stage-1 math
+    * runs parallel like a cluster's would. No-op (guard is false) whenever
+    * the source is properly split, i.e. always at scale.
+    */
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val defaultPar = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
+  }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
