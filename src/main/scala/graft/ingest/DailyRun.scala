@@ -87,8 +87,17 @@ object DailyRun {
     */
   def ingestLandedPages(spark: SparkSession, pagesRoot: String,
       scrapeDate: String, rawRoot: Option[String] = None): DataFrame = {
-    val parsed = HtmlTable.parsePages(
-      HtmlTable.readPages(spark, s"$pagesRoot/*/*.html"))
+    val cleaned = normalizeParsedPages(HtmlTable.parsePages(
+      HtmlTable.readPages(spark, s"$pagesRoot/*/*.html")), scrapeDate)
+    rawRoot.foreach(root => MarketPipeline.writeRaw(cleaned, root, "parquet"))
+    cleaned
+  }
+
+  /** The shared tail of the distributed ingest: parsed page rows →
+    * path-derived metadata (commodity/link_type), page-date fallback,
+    * positional header binding, totals filter. Pure narrow projections.
+    */
+  def normalizeParsedPages(parsed: DataFrame, scrapeDate: String): DataFrame = {
     val typed = MarketPipeline.fromParsedPages(parsed)
       .withColumn("commodity",
         regexp_extract(col("page_path"), "([^/]+)/[^/]+$", 1))
@@ -97,8 +106,37 @@ object DailyRun {
       .withColumn("scrape_date", coalesce(col("scrape_date"), lit(scrapeDate)))
       .withColumn("ingestion_run_id", lit(scrapeDate))
       .drop("page_path")
-    val cleaned = MarketPipeline.dropTotalsRows(typed.drop("row_idx"))
-    rawRoot.foreach(root => MarketPipeline.writeRaw(cleaned, root, "parquet"))
-    cleaned
+    MarketPipeline.dropTotalsRows(typed.drop("row_idx"))
+  }
+
+  /** `ingestLandedPages` as a Structured Streaming query: pages keep landing
+    * under `<pagesRoot>/<commodity>/<linkType>.html` and each one is parsed
+    * executor-side and appended to the raw layer exactly once — the
+    * reference's daily loop as a continuous ingest. File-source discovery
+    * is the change detection (ST3): a page file is processed when it
+    * appears, the checkpoint remembers which files are done, and a restart
+    * resumes without re-landing (same foreachBatch dynamic-overwrite
+    * idempotency as `EventStreams.ingestStream`).
+    */
+  def ingestPagesStream(spark: SparkSession, pagesRoot: String,
+      scrapeDate: String, checkpoint: String,
+      rawRoot: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pages = spark.readStream
+      .option("wholetext", "true")
+      .text(s"$pagesRoot/*/*.html")
+      .select(input_file_name().as("page_path"), col("value").as("html"))
+    val cleaned = normalizeParsedPages(HtmlTable.parsePages(pages), scrapeDate)
+    cleaned.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("commodity", "link_type", "scrape_date", "batch_id")
+          .parquet(rawRoot)
+      }
+      .start()
   }
 }

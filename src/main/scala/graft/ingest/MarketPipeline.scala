@@ -144,6 +144,34 @@ object MarketPipeline {
       parseLong(bind("total_quantity_sold")).as("total_quantity_sold"))
   }
 
+  /** Table content hash per page (the reference's multi-flow "table
+    * changed?" gate, div_link_handler.py:413): md5 over the headers and all
+    * body rows in row order. Engine-portable (md5 of a deterministic
+    * string), so a hash ledger written by one engine is readable by any.
+    */
+  def pageTableHashes(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(col("page_path"))
+      .agg(md5(concat_ws("\u0001",
+        array_join(first(col("headers")), "\u0002"),
+        array_join(transform(
+            sort_array(collect_list(struct(col("row_idx"), col("cells")))),
+            r => array_join(r.getField("cells"), "\u0002")),
+          "\u0001"))).as("table_hash"))
+
+  /** Change gate: keep only `current` rows whose (key, table_hash) is NOT in
+    * `prior` — unchanged pages are pruned BEFORE the normalize/land work,
+    * new pages (absent from prior) pass through. Both sides are
+    * (keyCol, table_hash) relations; `prior` is typically a persisted hash
+    * ledger from the previous run. An anti-join on the composite key — at
+    * scale the ledger side is small (one row per page) and broadcasts.
+    */
+  def changedPages(current: DataFrame, prior: DataFrame,
+      keyCol: String = "page_path"): DataFrame =
+    current.join(prior.select(col(keyCol).as("_pk"), col("table_hash").as("_ph")),
+      current(keyCol) === col("_pk") && current("table_hash") === col("_ph"),
+      "left_anti")
+
   /** Typed view of the normalized layer (SURVEY.md §1.3: Dataset[T] where
     * the schema is fixed by us). Missing business columns are null-filled so
     * drifting sources still type-check; extra columns are dropped.

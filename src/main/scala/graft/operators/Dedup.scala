@@ -108,19 +108,33 @@ object Dedup {
     * equivalent is checkpointing the inverted index to storage once per
     * dedup campaign rather than recomputing the tokenize+explode per pass.
     */
-  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // A small corpus often arrives as one file = one partition, which would
-    // serialize the shingle+hash work on a single core; spread it first.
-    // At scale the input already has >= defaultParallelism partitions and
-    // this is a no-op (no shuffle added).
+  // A small corpus often arrives as one file = one partition, which would
+  // serialize the shingle+hash work on a single core; spread it first.
+  // At scale the input already has >= defaultParallelism partitions and
+  // this is a no-op (no shuffle added).
+  private def spread(df: DataFrame): DataFrame = {
     val defaultPar = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
-    spread.select(col(idCol).as("id"),
+    if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
+  }
+
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    spread(df).select(col(idCol).as("id"),
         explode(TextFns.shingles(col(textCol), n)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+
+  /** Per-doc deduplicated, canonically-sorted shingle ARRAY — a pure narrow
+    * projection: the shingles derive from the doc row itself, so building
+    * the per-doc array through explode + collect_list (an
+    * ObjectHashAggregate that falls back to slow sort-based aggregation
+    * past 128 groups, plus a full shuffle) is strictly worse than never
+    * leaving the row. Docs with no shingles are dropped (they can't pair).
+    */
+  private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+        sort_array(array_distinct(TextFns.shingles(col(textCol), n))).as("shs"))
+      .filter(size(col("shs")) > 0)
 
   /** Exact n-gram Jaccard similar pairs via inverted-index self-join.
     * Output: id_a < id_b, n_common, jaccard (double), filtered >= threshold.
@@ -173,30 +187,50 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
-    // one hash-aggregate builds the canonically-ordered shingle array per
-    // doc; the prefix is a slice of it (two whole-relation window sorts
-    // were 2x the cost at sf0.1). Per-doc shingle counts are bounded, so
-    // the collected array is small.
-    val arrs = sh.groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(md5(col("sh")).as("k"), col("sh").as("s"))))
-        .as("arr"))
-      .withColumn("n_sh", size(col("arr")).cast("long"))
+    // per-doc shingles in hash-canonical order — a pure NARROW projection
+    // (no explode/shuffle/collect_list). The prefix-filter theorem only
+    // needs SOME global total order shared by all docs (ideally one that
+    // decorrelates from shingle frequency), and the order never reaches the
+    // result, so the key is cheap codegen'd xxhash64 — engine portability
+    // is not required, unlike the md5 hashes that DO reach results. Keys
+    // are dropped after the sort: the prefix is a slice of this order, and
+    // set intersection doesn't care about order, so one cached
+    // array<string> serves both prefix sides and both verify sides.
+    val arrs = spread(df).select(col(idCol).as("id"),
+        transform(
+          sort_array(transform(
+            array_distinct(TextFns.shingles(col(textCol), n)),
+            s => struct(xxhash64(s).as("k"), s.as("s")))),
+          e => e.getField("s")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("n_sh", size(col("shs")).cast("long"))
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
-      // reused by both prefix sides and both verify sides — one aggregation,
-      // four consumers
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PPJoin candidate generation: besides sharing a prefix shingle, a
+    // qualifying pair must pass (a) the LENGTH filter — J >= t bounds the
+    // size ratio to [t·|a|, |a|/t] — and (b) the POSITIONAL filter: if the
+    // shared shingle sits at 1-based positions (pa, pb) of the canonical
+    // orders, the overlap can't exceed 1 + min(|a|-pa, |b|-pb), which must
+    // reach ceil(t/(1+t)·(|a|+|b|)). Both prune before the distinct, and
+    // neither can drop a true pair (their bounds are implied by J >= t via
+    // the first shared prefix shingle).
     val prefix = arrs
-      .select(col("id"), explode(slice(col("arr"), lit(1), col("plen"))).as("e"))
-      .select(col("id"), col("e.s").as("sh"))
+      .select(col("id"), col("n_sh"),
+        posexplode(slice(col("shs"), lit(1), col("plen"))).as(Seq("pos0", "sh")))
+      .select(col("id"), col("n_sh"), (col("pos0") + 1).cast("long").as("pos"), col("sh"))
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n_sh") + col("b.n_sh")).cast("double"))
     val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("b.n_sh").cast("double") >= col("a.n_sh").cast("double") * threshold &&
+          col("b.n_sh").cast("double") <= col("a.n_sh").cast("double") / threshold &&
+          (lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
+            .cast("double") >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val shArrs = arrs.select(col("id"),
-      transform(col("arr"), e => e.getField("s")).as("shs"))
-    verifyPairs(cands, shArrs, threshold)
+    verifyPairs(cands, arrs.select(col("id"), col("shs")), threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs against the per-doc
@@ -206,10 +240,10 @@ object Dedup {
     * re-explosion of the inverted index + per-pair groupBy at a fraction of
     * the shuffle (the swap cut the verified-pair queries ~2x at sf0.1).
     */
-  private def verifyPairs(cands: DataFrame, arrs0: DataFrame,
+  private def verifyPairs(cands: DataFrame, arrs: DataFrame,
       threshold: Double): DataFrame = {
-    // both join sides read the same aggregated relation
-    val arrs = arrs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // callers persist `arrs` (or derive it from a persisted relation):
+    // both join sides read it
     cands
       .join(arrs.as("va"), col("id_a") === col("va.id"))
       .join(arrs.as("vb"), col("id_b") === col("vb.id"))
@@ -239,15 +273,26 @@ object Dedup {
     Seq.fill(k)((r.nextInt((1 << 30) - 1).toLong + 1L, r.nextInt(1 << 30).toLong))
   }
 
-  /** Wide minhash signature relation: (id, m0..m{numHashes-1}). */
+  /** Wide minhash signature relation: (id, m0..m{numHashes-1}).
+    *
+    * Fully NARROW: the per-doc base-hash array is one projection and each
+    * signature column is an `array_min` over an affine transform of it — no
+    * explode, no shuffle, no aggregate. (CollapseProject will not inline the
+    * `_bases` alias into its numHashes consumers — the expression is
+    * non-cheap and multiply referenced — so the md5 work runs once per doc.)
+    * Docs with no shingles are dropped, like the exploded form did.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
-    val based = sh.select(col("id"), TextFns.md5Hash32(col("sh")).as("base"))
+    val based = spread(df).select(col(idCol).as("id"),
+        transform(array_distinct(TextFns.shingles(col(textCol), n)),
+          s => TextFns.md5Hash32(s)).as("_bases"))
+      .filter(size(col("_bases")) > 0)
     val mins = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("base") * lit(a) + lit(b), lit(MinhashP))).as(s"m$i")
+      array_min(transform(col("_bases"),
+        x => pmod(x * lit(a) + lit(b), lit(MinhashP)))).as(s"m$i")
     }
-    based.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    based.select(col("id") +: mins: _*)
   }
 
   /** LSH candidate pairs + exact Jaccard verification.
@@ -276,10 +321,10 @@ object Dedup {
     // and a forced broadcast would OOM where a shuffle join completes; AQE
     // converts the verification joins to broadcast when the sides are
     // genuinely small.
-    val sh = shingleSet(df, idCol, textCol, n)
-    val arrs = sh.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("sh"))).as("shs"))
-    verifyPairs(cands, arrs, threshold)
+    verifyPairs(cands,
+        shingleArrays(df, idCol, textCol, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

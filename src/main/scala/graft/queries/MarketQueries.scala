@@ -43,6 +43,20 @@ object MarketQueries {
     """<html><div id="right2"><b>2026-08-13</b></div>
       |<p>No market data published for this commodity today.</p></html>""".stripMargin
 
+  /** FixturePageB a day later: one price moved, one row added. */
+  private[graft] val FixturePageB2: String =
+    """<html><div id="right2"><b>2026-08-14</b></div>
+      |<table class="alltable"><thead>
+      |<th class="header">Container</th>
+      |<th class="header">Price (R)</th>
+      |<th class="header">Total Value Sold</th>
+      |<th class="header">Total Quantity Sold</th></thead>
+      |<tbody>
+      |<tr><td class="tleft2">Crate</td><td class="tleft">R 520.00</td><td class="tleft">5,200.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">Sack 7kg</td><td class="tleft">75.50</td><td class="tleft">755.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">Pocket 3kg</td><td class="tleft">30.00</td><td class="tleft">300.00</td><td class="tleft">10</td></tr>
+      |</tbody></table></html>""".stripMargin
+
   val all: Seq[Q] = Seq(
     // The distributed twin of m01: N pages landed as files, scanned
     // wholetext and parsed executor-side through the ParseHtmlTable
@@ -77,6 +91,50 @@ object MarketQueries {
              |   '2026-08-13', 'oranges_navel', 'summary'),
              |  ('Sack 7kg', CAST(75.5 AS DOUBLE), CAST(755.0 AS DOUBLE), CAST(10 AS BIGINT),
              |   '2026-08-13', 'oranges_navel', 'summary'))
+             |AS t(container, price_r, total_value_sold, total_quantity_sold,
+             |     scrape_date, commodity, link_type)""".stripMargin)),
+
+    // ST3 / the reference's multi-flow "table changed?" gate at fleet
+    // scale: day-1 pages land and their content hashes are persisted as a
+    // ledger; on day 2 one page changed and one is identical — the
+    // hash anti-join prunes the unchanged page BEFORE any normalize/land
+    // work, and only the changed page's rows are ingested.
+    Q("m03_changed_page_gate",
+      (s, _) => {
+        val dir = java.nio.file.Paths.get("target", "m03_pages")
+        val ledger = java.nio.file.Paths.get("target", "m03_ledger").toString
+        def land(rel: String, content: String): Unit = {
+          val p = dir.resolve(rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p, content)
+        }
+        def hashes = MarketPipeline.pageTableHashes(HtmlTable.parsePages(
+          HtmlTable.readPages(s, s"$dir/*/*.html")))
+        // day 1: land v1 and persist the hash ledger
+        land("apples_golden_delicious/summary.html", FixturePage)
+        land("oranges_navel/summary.html", FixturePageB)
+        hashes.write.mode("overwrite").parquet(ledger)
+        // day 2: oranges updates, apples lands again byte-identical
+        land("oranges_navel/summary.html", FixturePageB2)
+        val changed = MarketPipeline.changedPages(hashes, s.read.parquet(ledger))
+        val parsed = HtmlTable.parsePages(
+            HtmlTable.readPages(s, s"$dir/*/*.html"))
+          .join(changed.select(col("page_path")), Seq("page_path"), "left_semi")
+        graft.ingest.DailyRun.normalizeParsedPages(parsed, "2026-08-14")
+          .select(
+            col("container"),
+            col("price_r").cast("double").as("price_r"),
+            col("total_value_sold").cast("double").as("total_value_sold"),
+            col("total_quantity_sold"),
+            col("scrape_date"), col("commodity"), col("link_type"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('Crate', CAST(520.0 AS DOUBLE), CAST(5200.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-14', 'oranges_navel', 'summary'),
+             |  ('Sack 7kg', CAST(75.5 AS DOUBLE), CAST(755.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-14', 'oranges_navel', 'summary'),
+             |  ('Pocket 3kg', CAST(30.0 AS DOUBLE), CAST(300.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-14', 'oranges_navel', 'summary'))
              |AS t(container, price_r, total_value_sold, total_quantity_sold,
              |     scrape_date, commodity, link_type)""".stripMargin)),
 

@@ -47,6 +47,54 @@ class DailyRunSpec extends SparkSpec {
     assert(MarketPipeline.readRaw(spark, raw).count() == before)
   }
 
+  test("ingestPagesStream: continuous page ingest is exactly-once across restarts") {
+    val pagesDir = tmpDir("stream_pages")
+    val checkpoint = tmpDir("stream_ckpt")
+    val raw = tmpDir("stream_raw")
+    def land(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(pagesDir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    land("apples/summary.html",
+      s"<html>${page(2)}</html>")
+    land("pears/summary.html",
+      s"<html>${page(1)}</html>")
+    DailyRun.ingestPagesStream(spark, pagesDir, "2026-08-12", checkpoint, raw)
+      .awaitTermination()
+    val first = spark.read.parquet(raw)
+    assert(first.count() == 3) // totals rows dropped: 2 + 1
+    assert(first.select("commodity").distinct().count() == 2)
+
+    // a new page lands; restart from the same checkpoint → only the new
+    // file is processed, prior output is untouched
+    land("plums/summary.html", s"<html>${page(4)}</html>")
+    DailyRun.ingestPagesStream(spark, pagesDir, "2026-08-12", checkpoint, raw)
+      .awaitTermination()
+    val second = spark.read.parquet(raw)
+    assert(second.count() == 7)
+    assert(second.filter(col("commodity") === "plums").count() == 4)
+    assert(second.filter(col("commodity") =!= "plums").count() == 3)
+
+    // restart with nothing new: a no-op
+    DailyRun.ingestPagesStream(spark, pagesDir, "2026-08-12", checkpoint, raw)
+      .awaitTermination()
+    assert(spark.read.parquet(raw).count() == 7)
+  }
+
+  test("changedPages gate: unchanged pruned, changed and new pass") {
+    import spark.implicits._
+    val prior = Seq(("a.html", "h1"), ("b.html", "h2")).toDF("page_path", "table_hash")
+    val current = Seq(
+      ("a.html", "h1"),   // unchanged → pruned
+      ("b.html", "hX"),   // content changed → kept
+      ("c.html", "h3")    // new page → kept
+    ).toDF("page_path", "table_hash")
+    val kept = MarketPipeline.changedPages(current, prior)
+      .select("page_path").collect().map(_.getString(0)).toSet
+    assert(kept == Set("b.html", "c.html"))
+  }
+
   test("missing page is NOT marked complete; retry with the page ingests it") {
     val raw = tmpDir("partial_raw")
     val ledger = tmpDir("partial_ledger")
