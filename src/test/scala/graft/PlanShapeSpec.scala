@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan regression guards: correctness tests prove WHAT each query
+  * computes; these prove HOW — the plan properties that make the queries
+  * survive 100 TB. A refactor that silently turns a broadcast join into a
+  * shuffle join, loses scan-level filter pushdown, or reintroduces a
+  * value-buffering aggregate still hash-matches the oracle, so only a plan
+  * assertion catches it.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  /** Plan tree as text AFTER AQE finalization (runs the query). */
+  private def finalPlanString(df: DataFrame): String = {
+    df.count() // materialize so AQE settles on the real plan
+    planOf(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q02: the part dimension joins as broadcast, not shuffle") {
+    val plan = finalPlanString(q("q02_top5_brand_revenue"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q02: top-5 runs as TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlanString(q("q02_top5_brand_revenue"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q08: the quantity filter is pushed into the parquet scan") {
+    val plan = planOf(q("q08_priority_heavy_orders")).toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"), plan)
+  }
+
+  test("q08: scan reads only the needed lineitem columns") {
+    val plan = planOf(q("q08_priority_heavy_orders")).toString
+    // the lineitem side needs only the join key and the filter column
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("q15: grouped quantiles plan with a window sort, not a value-buffering percentile") {
+    val plan = planOf(q("q15_price_percentiles")).toString
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("percentile("), plan)
+  }
+
+  test("d04: minhash signatures plan with no ObjectHashAggregate and no row-explosion generate") {
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      graft.util.Tables(spark, sf).documents, "doc_id", "text", 3, 12)
+    val plan = planOf(sigs).toString
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode in the signature path
+  }
+
+  test("t01 token stats: single narrow aggregation, filters/pruning at the scan") {
+    val plan = planOf(q("t01_token_stats")).toString
+    // doc stats aggregate straight off the scan: exactly one shuffle pair
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("as-of native operator: exactly one exchange per side, no window buffering") {
+    val plan = finalPlanString(q("s07_asof_native_operator"))
+    assert(plan.contains("AsOfJoinBackwardExec") || plan.contains("AsOfJoin"), plan)
+  }
+}
