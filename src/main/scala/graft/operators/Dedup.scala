@@ -374,6 +374,74 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** TRANSITIVE duplicate clusters: connected components over the near-dup
+    * pair graph (A~B, B~C ⇒ {A,B,C} one cluster even if A,C never paired —
+    * what greedy `dropNearDuplicates` approximates). Output: one row per
+    * doc, (id, cluster) where cluster = the component's minimum id.
+    *
+    * Algorithm: min-label propagation to a FIXPOINT — each iteration every
+    * node takes the minimum label among itself and its neighbors; converges
+    * in O(component diameter) rounds (near-dup components are shallow —
+    * LSH pairs are nearly cliques). Each round is one join + one
+    * aggregation; the driver only evaluates a scalar convergence count per
+    * round, never the data. The label relation is re-persisted per round
+    * and the superseded cache released. For graphs with deep chains the
+    * standard upgrade is path-doubling / large-star-small-star; for dedup
+    * graphs the diameter is small and this plan is simpler and shuffles
+    * less per round.
+    */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand, threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected edge list, both directions
+    val edges = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("_nmin"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
+        .filter(col("cluster") < col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** `dupClusters` oracle: reachable-label closure via recursive CTE, then
+    * min label per node — the same fixpoint the propagation loop reaches.
+    */
+  def dupClustersSql(table: String, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshPairsSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT $idCol, $idCol FROM $table
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id""".stripMargin
+
   def dropNearDuplicatesSql(table: String, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
     s"""WITH pairs AS (

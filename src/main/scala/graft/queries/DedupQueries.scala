@@ -53,5 +53,14 @@ object DedupQueries {
     Q("d05_simhash",
       (s, dir) => Dedup.simhash(Tables(s, dir).documents, "doc_id", "text", 16),
       Some(Dedup.simhashSql("documents", "doc_id", "text", 16))),
+
+    // Transitive duplicate clusters: connected components over the LSH
+    // near-dup pair graph via min-label propagation to fixpoint; the oracle
+    // computes the same fixpoint with a recursive CTE.
+    Q("d08_dup_clusters",
+      (s, dir) => Dedup.dupClusters(Tables(s, dir).documents,
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
+      Some(Dedup.dupClustersSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold))),
   )
 }

@@ -154,6 +154,17 @@ object TextQueries {
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
              |  FROM documents) WHERE rn <= 5""".stripMargin)),
 
+    // Benchmark decontamination: flag training docs sharing >= 50% of their
+    // trigram shingles with the "benchmark" slice (doc_id < 50); the eval
+    // shingle set broadcasts, the corpus never shuffles beyond per-doc counts.
+    Q("t13_decontaminate",
+      (s, dir) => graft.operators.Decontaminate.overlapFlags(
+        Tables(s, dir).documents.filter(col("doc_id") >= 50),
+        Tables(s, dir).documents.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 3, frac = 0.5),
+      Some(graft.operators.Decontaminate.overlapFlagsSql(
+        "documents", "doc_id", "text", n = 3, frac = 0.5, "doc_id < 50"))),
+
     // Token-budget packing: consecutive docs per source into <=2000-token
     // batches (exclusive prefix sum // budget).
     Q("t12_token_packing",

@@ -27,6 +27,42 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dupClusters finds TRANSITIVE components the greedy pair view misses") {
+    // chain: jaccard(10,11)=0.8 and jaccard(11,12)=0.83 pass the 0.7
+    // threshold; jaccard(10,12)=0.67 does NOT — 10 and 12 can only join
+    // through 11, so all three in cluster 10 proves transitive closure
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x y"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x y z w"),
+      (20L, "completely different content about catalyst plans and shuffles")
+    ).toDF("doc_id", "text")
+    val clusters = graft.operators.Dedup
+      .dupClusters(chain, "doc_id", "text", 3, 12, 2, 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(clusters(20L) == 20L)
+    // transitivity: 12 joins via 11 (pairwise 10~12 may or may not pass 0.5,
+    // but 11 links them either way)
+    assert(clusters(12L) == 10L)
+  }
+
+  test("decontaminate: full-overlap doc flagged, disjoint doc clean, fraction exact") {
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // contained in eval
+      (101L, "spark catalyst tungsten codegen whole stage pipelines")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today and tomorrow")
+    ).toDF("doc_id", "text")
+    val flags = graft.operators.Decontaminate
+      .overlapFlags(train, eval_, "doc_id", "text", 3, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(flags(100L)._1 == 7 && flags(100L)._2 == 1.0 && flags(100L)._3)
+    assert(flags(101L)._1 == 0 && !flags(101L)._3)
+  }
+
   test("groupedQuantileCont matches built-in percentile bit-for-bit") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val viaSort = Quantiles
