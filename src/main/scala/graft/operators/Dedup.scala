@@ -401,7 +401,10 @@ object Dedup {
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = df.select(col(idCol).as("id"))
+    // only nodes with at least one edge participate in propagation — on a
+    // mostly-unique corpus that's a tiny fraction of the table; singletons
+    // are unioned back at the end with themselves as cluster
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
@@ -422,7 +425,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** `dupClusters` oracle: reachable-label closure via recursive CTE, then

@@ -114,35 +114,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
-  /** Probe buckets for multi-probe LSH: the query's own bucket plus every
-    * bucket at Hamming distance 1 (flip each bit once) — numPlanes+1 probes.
+  /** Bit-flip index sets for multi-probe LSH at Hamming radius `radius`:
+    * Seq() (the bucket itself), every single flip, every pair of flips, …
+    * Enumerated at plan-build time — the probe count is a compile-time
+    * constant of the operator, so both engines expand the identical list.
     */
-  private def probeBuckets(bucket: Column, numPlanes: Int): Column = {
-    val flips = (0 until numPlanes).map { i =>
-      val flipped = when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
-      concat(substring(bucket, 1, i), flipped,
-        substring(bucket, i + 2, numPlanes - i - 1))
-    }
-    array((bucket +: flips): _*)
+  private def flipSets(numPlanes: Int, radius: Int): Seq[Seq[Int]] = {
+    def combos(k: Int): Seq[Seq[Int]] =
+      (0 until numPlanes).combinations(k).map(_.toSeq).toSeq
+    (0 to radius).flatMap(combos)
   }
 
-  private def probeBucketsSql(bucket: String, numPlanes: Int): String = {
-    val flips = (0 until numPlanes).map { i =>
-      val flipped = s"CASE WHEN substr($bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END"
-      s"substr($bucket, 1, $i) || $flipped || substr($bucket, ${i + 2}, ${numPlanes - i - 1})"
+  private def flipBits(bucket: Column, bits: Seq[Int], numPlanes: Int): Column =
+    bits.foldLeft(bucket) { (b, i) =>
+      val flipped = when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(b, 1, i), flipped, substring(b, i + 2, numPlanes - i - 1))
     }
-    (bucket +: flips).mkString("[", ", ", "]")
+
+  private def probeBuckets(bucket: Column, numPlanes: Int, radius: Int): Column =
+    array(flipSets(numPlanes, radius).map(flipBits(bucket, _, numPlanes)): _*)
+
+  private def probeBucketsSql(bucket: String, numPlanes: Int, radius: Int): String = {
+    def flip(b: String, i: Int): String = {
+      val flipped = s"CASE WHEN substr($b, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END"
+      s"substr($b, 1, $i) || $flipped || substr($b, ${i + 2}, ${numPlanes - i - 1})"
+    }
+    flipSets(numPlanes, radius)
+      .map(bits => bits.foldLeft(bucket)(flip))
+      .mkString("[", ", ", "]")
   }
 
   /** LSH-bucketed approximate top-k with multi-probe: candidates are scored
-    * if they fall in the query's bucket OR any bucket at Hamming distance 1
-    * (single-probe recall on random vectors is poor; multi-probe trades
-    * (numPlanes+1)× more bucket lookups for much better recall while still
-    * touching only a fraction of the corpus). Same output shape as
+    * if they fall in any bucket within Hamming distance `probeRadius` of
+    * the query's bucket (single-probe recall on random vectors is poor;
+    * multi-probe trades sum(C(numPlanes,r)) bucket lookups for much better
+    * recall while still touching a fraction of the corpus — the recall/
+    * throughput knobs are numPlanes up, radius up). Same output shape as
     * `cosineTopK`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, numPlanes: Int): DataFrame = {
+      vecCol: String, dim: Int, k: Int, numPlanes: Int,
+      probeRadius: Int = 1): DataFrame = {
     val planes = VectorFns.lshPlanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("bucket", VectorFns.lshBucket(col("cvec"), planes))
@@ -150,7 +162,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
       .withColumn("probe",
-        explode(probeBuckets(VectorFns.lshBucket(col("qvec"), planes), numPlanes)))
+        explode(probeBuckets(VectorFns.lshBucket(col("qvec"), planes),
+          numPlanes, probeRadius)))
     val joined = c.join(broadcast(q),
       col("neighbor_id") =!= col("query_id") && c("bucket") === q("probe"))
     val scored = joined.withColumn("cos_sim",
@@ -165,7 +178,8 @@ object Similarity {
   }
 
   def lshTopKSql(table: String, idCol: String, vecCol: String,
-      dim: Int, k: Int, numPlanes: Int, queryPred: String): String = {
+      dim: Int, k: Int, numPlanes: Int, queryPred: String,
+      probeRadius: Int = 1): String = {
     val planes = VectorFns.lshPlanes(numPlanes, dim)
     val dot = VectorFns.dotSql("q.qvec", "c.cvec", dim)
     s"""WITH c AS (
@@ -180,7 +194,7 @@ object Similarity {
        |  FROM $table WHERE $queryPred),
        |q AS (
        |  SELECT query_id, qvec, qnorm,
-       |         unnest(${probeBucketsSql("bucket", numPlanes)}) AS probe
+       |         unnest(${probeBucketsSql("bucket", numPlanes, probeRadius)}) AS probe
        |  FROM q0),
        |scored AS (
        |  SELECT q.query_id, c.neighbor_id,

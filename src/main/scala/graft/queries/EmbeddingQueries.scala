@@ -50,10 +50,10 @@ object EmbeddingQueries {
         Similarity.lshTopK(
           corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
           idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
-          numPlanes = NumPlanes)
+          numPlanes = NumPlanes, probeRadius = 2)
       },
       Some(Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
-        Dim, K, NumPlanes, QueryPredSql))),
+        Dim, K, NumPlanes, QueryPredSql, probeRadius = 2))),
 
     Q("e05_knn_ivf",
       (s, dir) => {

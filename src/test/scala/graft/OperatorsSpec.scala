@@ -161,6 +161,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("LSH top-k recall improves with probe radius; radius 2 is usable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5))
+    val recalls = Seq(0, 1, 2).map { r =>
+      val approx = pairs(Similarity.lshTopK(emb, q, "vec_id", "embedding", 64, 5,
+        numPlanes = 4, probeRadius = r))
+      (exact & approx).size.toDouble / exact.size
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2), s"curve $recalls")
+    assert(recalls(2) >= 0.7, s"radius-2 recall too low: $recalls")
+  }
+
   test("IVF recall improves monotonically with nprobe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
