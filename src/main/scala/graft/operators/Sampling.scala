@@ -53,6 +53,21 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Deterministic WEIGHTED sampling: keep a row iff its id-derived uniform
+    * u in [0,1) falls below the row's weight (probability ∝ weight, clamped
+    * to [0,1]). Hash-derived, never `rand()`: resampling the same corpus
+    * keeps the same rows, and per-row inclusion is independent of
+    * partitioning and cluster size. The standard knob for temperature-
+    * weighting data sources in a training mix.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column): DataFrame = {
+    val u = hashBucket(col(idCol)).cast("double") / 10000.0
+    df.filter(u < weightCol.cast("double"))
+  }
+
+  def weightedSamplePredSql(idCol: String, weightExpr: String): String =
+    s"(CAST(${hashBucketSql(idCol)} AS DOUBLE) / 10000.0) < ($weightExpr)"
+
   /** Token-budget packing: assign docs (ordered by id within a stratum) to
     * consecutive batches of at most `budget` tokens — batch id =
     * floor(exclusive-prefix-sum / budget). Oversized single docs get their

@@ -165,6 +165,20 @@ object TextQueries {
       Some(graft.operators.Decontaminate.overlapFlagsSql(
         "documents", "doc_id", "text", n = 3, frac = 0.5, "doc_id < 50"))),
 
+    // Deterministic weighted sampling (temperature-weighting a training
+    // mix): keep P(doc) = 1.0 for English, 0.3 otherwise, decided by the
+    // doc's own hash — never rand(), so both engines select the same rows.
+    Q("t14_weighted_sample",
+      (s, dir) => graft.operators.Sampling.weightedSample(
+          Tables(s, dir).documents, "doc_id",
+          when(col("lang") === "en", 1.0).otherwise(0.3))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept")),
+      Some(s"""SELECT lang, COUNT(*) AS n_kept FROM documents
+              |WHERE ${graft.operators.Sampling.weightedSamplePredSql("doc_id",
+                "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.3 END")}
+              |GROUP BY lang""".stripMargin)),
+
     // Token-budget packing: consecutive docs per source into <=2000-token
     // batches (exclusive prefix sum // budget).
     Q("t12_token_packing",

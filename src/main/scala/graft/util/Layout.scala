@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers (SURVEY.md §4 "physical layout decisions"):
   * bucketing for co-located joins and aggregations.
@@ -23,4 +24,60 @@ object Layout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Small-file compaction for a hive-partitioned parquet dataset.
+    *
+    * Incremental sinks (per-day appends, streaming foreachBatch) accrete
+    * files far smaller than a scan split; at fleet scale that bloats
+    * driver-side split planning and object-store metadata and caps scan
+    * parallelism at file granularity. Rewrite each hive partition into
+    * ceil(partition_bytes / targetFileBytes) files: per-partition row
+    * counts + a global bytes/row estimate size the output, a salt column
+    * spreads each partition's rows across exactly that many reducers, and
+    * dynamic partition overwrite swaps partitions in place (idempotent,
+    * re-runnable). Returns the number of files after compaction.
+    */
+  def compact(spark: SparkSession, root: String, partitionCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(new Path(root))
+    val totalBytes = before.map(_.getLen).sum
+    val df = spark.read.parquet(root)
+    val totalRows = df.count()
+    if (totalRows == 0) return before.size.toLong
+    val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
+    val parts = partitionCols.map(col)
+    val sized = df.groupBy(parts: _*)
+      .agg(count(lit(1)).as("_rows"))
+      .withColumn("_files",
+        greatest(lit(1L), ceil(col("_rows") * bytesPerRow / targetFileBytes)).cast("int"))
+      .drop("_rows")
+    val salted = df.join(broadcast(sized), partitionCols)
+      .withColumn("_salt", pmod(hash(df.columns.map(col): _*), col("_files")))
+      // sever lineage from the files being replaced: Spark (rightly)
+      // refuses to overwrite a path its plan still reads, so materialize
+      // first. At fleet scale the equivalent is compact-to-temp + rename,
+      // or a table format's rewrite commit; in-place is fine for a
+      // single-cluster utility.
+      .localCheckpoint(true)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    salted
+      .repartition((parts :+ col("_salt")): _*)
+      .drop("_files", "_salt")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(root)
+    dataFiles(new Path(root)).size.toLong
+  }
 }

@@ -46,4 +46,31 @@ class LayoutSpec extends SparkSpec {
       .groupBy("l_orderkey").agg(sum("l_quantity"))
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
+
+  test("compact rewrites a fragmented partitioned dataset into few files, content intact") {
+    val root = tmpDir("compact_root")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // fragment: 8 files per lang partition
+    docs.repartition(8)
+      .write.mode("overwrite").partitionBy("lang").parquet(root)
+    def files(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else Seq(f)
+      walk(new java.io.File(dir))
+    }
+    val before = files(root).size
+    val langs = docs.select("lang").distinct().count()
+    val after = Layout.compact(spark, root, Seq("lang"),
+      targetFileBytes = 1L << 30) // huge target → one file per partition
+    assert(before > langs, s"fixture not fragmented: $before files")
+    assert(after == langs, s"expected $langs files after compaction, got $after")
+    assert(files(root).size == after)
+    // content identical
+    val back = spark.read.parquet(root).select("doc_id", "text", "lang")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }
