@@ -9,12 +9,23 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.01")
-        val plan = df.queryExecution.executedPlan.toString
+        df.count() // settle AQE: joins/codegen below reflect the FINAL plan
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
         val joins = "(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct|ShuffledHashJoin)".r
           .findAllIn(plan).toSeq.groupBy(identity).map{case(k,v)=>s"$k x${v.size}"}.mkString(", ")
         val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-        val wsc = "WholeStageCodegen".r.findAllIn(plan).size
-        println(f"$name%-35s joins[$joins] shuffles=$exchanges codegenSpans=$wsc")
+        // whole-stage codegen spans print as "*(n)" stage markers
+        val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq
+          .distinct.size
+        val scans = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(plan).map(_.group(1).count(_ == ':')).toSeq
+          .groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (w, xs) => if (xs.size > 1) s"$w x${xs.size}" else s"$w" }
+        println(f"$name%-35s joins[$joins] shuffles=$exchanges codegenSpans=$wsc scanCols=[${scans.mkString(", ")}]")
       } catch { case e: Throwable => println(s"$name AUDIT-ERROR ${e.getMessage.take(80)}") }
     }
     spark.stop()
