@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // but put heavy queries into GC storms (30x blowups in round 1's bench).
   // The box has 125 GiB — give the forked JVM real headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // ~75 queries x several codegen units: the default 240m JIT code cache
+  // fills mid-bench and compilation stops (interpreted generated code)
+  "-XX:ReservedCodeCacheSize=512m",
 )

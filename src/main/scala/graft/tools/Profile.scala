@@ -23,6 +23,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // an engine with ~75 distinct query plans overflows the default
+      // 100-entry generated-class cache every sweep, recompiling the
+      // heaviest codegen units (seconds each) on every run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .appName("graft-profile").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
