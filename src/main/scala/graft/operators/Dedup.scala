@@ -403,9 +403,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only nodes with at least one edge participate in propagation — on a
     // mostly-unique corpus that's a tiny fraction of the table; singletons
-    // are unioned back at the end with themselves as cluster
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // are unioned back at the end with themselves as cluster. Seed with
+    // min(own id, direct-neighbor min): round 0 of propagation folded into
+    // initialization, one fewer loop round on shallow dup graphs.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
