@@ -427,6 +427,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // an exact operator must not silently return a partial fixpoint: a
+    // component chain deeper than maxIters would converge wrong. Dup graphs
+    // are shallow (LSH pairs are near-cliques); hitting this means the
+    // input isn't one — raise maxIters, or switch to a path-doubling CC.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not reach the label fixpoint in $maxIters rounds; " +
+        "component diameter exceeds maxIters — raise it for this input")
     df.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

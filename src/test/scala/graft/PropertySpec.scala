@@ -41,6 +41,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native WordShingles is bit-identical to the composed built-in form (edge whitespace included)") {
+    // the old expression this replaced — still the semantic definition and
+    // the shape mirrored by TextFns.shinglesSql in DuckDB
+    def composed(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = TextFns.tokens(c)
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+    }
+    val edge = Seq("", " ", "\t", "a", "a b", "a b c", "a  b   c d",
+      "\tleading tab stays after space-trim x y", "trailing tab\t a b",
+      "a\nb\nc d", "  spaces  around  words  ", "one nbsp word here")
+    val rand = samples(Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)), Gen.const(" "), Gen.const("\t"),
+      Gen.const("\n"))), 50).map(_.mkString(" "))
+    val rows = (edge ++ rand).toDF("v")
+      .select(TextFns.shingles(col("v"), 3).as("native"),
+        composed(col("v"), 3).as("old"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch native=${r.getSeq[String](0)} old=${r.getSeq[String](1)}")
+    }
+  }
+
   test("jaccard pairs are ordered (id_a < id_b) and bounded in (0,1]") {
     val docs = Seq(
       (0L, "a b c d e f"), (1L, "a b c d e g"), (2L, "a b c d e f"),
