@@ -34,6 +34,34 @@ object EventQueries {
               |  event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Interval (stream-stream) join, batch twin of EventStreams.joinWithin:
+    // every (purchase, click) pair of the same user with the click in the
+    // 30 minutes up to the purchase. At scale both sides shuffle once on
+    // user_id and the time predicate prunes within the key group — the
+    // batch shape of a watermarked stream-stream join's state bound.
+    Q("s09_interval_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select(col("user_id").as("cuid"), col("ts").as("cts"))
+        purchases.join(clicks,
+            col("user_id") === col("cuid") &&
+              col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+              col("cts") <= col("pts"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            date_format(max(col("cts")), TsFmtSpark).as("last_click"))
+      },
+      Some(s"""SELECT p.user_id, COUNT(*) AS n_pairs,
+              |  strftime(MAX(c.ts), '$TsFmtDuck') AS last_click
+              |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+              |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              |  ON p.user_id = c.user_id
+              | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+              |GROUP BY p.user_id""".stripMargin)),
+
     // Sliding window: 2h wide, 1h slide — each event lands in two windows.
     Q("s02_sliding_2h",
       (s, dir) => {
