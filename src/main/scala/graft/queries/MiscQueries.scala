@@ -316,31 +316,35 @@ object MiscQueries {
     // smallest of the distinct 32-bit md5 hashes, est = (k-1)/(h_(k)/2^32);
     // a group with fewer than k distinct hashes is exact by construction.
     // This is the oracle-checkable twin of approx_count_distinct (HLL,
-    // engine-specific — spec-covered with tolerance). Scale note: the
-    // rank-k window sorts distinct hashes per group; at 100 TB the same
-    // bottom-k is a TopKAggregator-style partial heap — the estimator and
-    // its result are unchanged.
+    // engine-specific — spec-covered with tolerance). Scale path: a
+    // BottomKSketch partial heap (ObjectHashAggregate) finds count and
+    // h_(k) in one pass — nothing is globally sorted; the only full-data
+    // shuffle is the distinct() the estimator's input contract requires.
     Q("q24_approx_distinct_parts",
       (s, dir) => {
+        import s.implicits._
         val t = Tables(s, dir)
         val k = 1024
-        val hashed = t.lineitem.select(col("l_returnflag"),
+        // dedup the RAW key pairs first (cheap partial hash-agg, no md5 on
+        // the full table), hash the ~|parts|×|flags| survivors, then dedup
+        // hashes — identical to hashing every row (same hash set), 10× less
+        // md5 work
+        val hashed = t.lineitem.select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
+          .select(col("l_returnflag"),
             graft.functions.TextFns.md5Hash32(col("l_partkey").cast("string")).as("h"))
           .distinct()
-        val counts = hashed.groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_distinct_hashes"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l_returnflag")).orderBy(col("h"))
-        val kth = hashed.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === k)
-          .select(col("l_returnflag"), col("h").as("kth"))
-        counts.join(kth, Seq("l_returnflag"), "left")
-          .select(col("l_returnflag"),
-            when(col("kth").isNull, col("n_distinct_hashes").cast("double"))
+        val kmv = hashed.as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new graft.operators.BottomKSketch(k).toColumn.name("kmv"))
+          .toDF("l_returnflag", "kmv")
+        kmv.select(col("l_returnflag"),
+            when(col("kmv._2").isNull, col("kmv._1").cast("double"))
               .otherwise(lit((k - 1).toDouble) /
-                (col("kth").cast("double") / lit(4294967296.0)))
+                (col("kmv._2").cast("double") / lit(4294967296.0)))
               .as("est_parts"),
-            col("n_distinct_hashes"))
+            col("kmv._1").as("n_distinct_hashes"))
       },
       Some(s"""WITH hashed AS (
               |  SELECT DISTINCT l_returnflag,

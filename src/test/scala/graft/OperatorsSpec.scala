@@ -290,4 +290,27 @@ class OperatorsSpec extends SparkSpec {
     assert(keys.toSeq == Seq(Some(10L), Some(12L), Some(12L), None, None))
     assert(out(1).getAs[Double]("o_price") == 9.0)
   }
+
+  test("BottomKSketch matches sort-based rank-k over distinct values") {
+    import graft.operators.BottomKSketch
+    val rnd = new scala.util.Random(42)
+    val k = 16
+    // three groups: below k, exactly k, well above k distinct values
+    val groups = Map(
+      "small" -> Seq.fill(k - 3)(rnd.nextLong()).distinct,
+      "exact" -> Seq.fill(k * 3)(rnd.nextLong()).distinct.take(k),
+      "big"   -> Seq.fill(k * 20)(rnd.nextLong()).distinct)
+    val rows = groups.toSeq.flatMap { case (g, vs) => vs.map(g -> _) }
+    val out = spark.createDataset(rows).as[(String, Long)]
+      .repartition(8) // force multi-partition partial buffers + merges
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new BottomKSketch(k).toColumn.name("kmv"))
+      .collect().toMap
+    for ((g, vs) <- groups) {
+      val (n, kth) = out(g)
+      assert(n == vs.size, s"$g count")
+      val expected = if (vs.size >= k) Some(vs.sorted.apply(k - 1)) else None
+      assert(kth == expected, s"$g kth")
+    }
+  }
 }
