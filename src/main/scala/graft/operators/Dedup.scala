@@ -219,13 +219,19 @@ object Dedup {
       .select(col("id"), col("n_sh"),
         posexplode(slice(col("shs"), lit(1), col("plen"))).as(Seq("pos0", "sh")))
       .select(col("id"), col("n_sh"), (col("pos0") + 1).cast("long").as("pos"), col("sh"))
+    // 1-ulp hygiene: these are PRUNING bounds ahead of exact verification,
+    // so they may only ever be loosened. When t·(|a|+|b|)/(1+t) is exactly
+    // an integer, double rounding can land one ulp above it and ceil would
+    // then over-prune a boundary pair — subtract a tiny epsilon before ceil
+    // (and widen the length-ratio window the same way).
+    val Eps = 1e-9
     val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("a.n_sh") + col("b.n_sh")).cast("double"))
+      (col("a.n_sh") + col("b.n_sh")).cast("double") - Eps)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("b.n_sh").cast("double") >= col("a.n_sh").cast("double") * threshold &&
-          col("b.n_sh").cast("double") <= col("a.n_sh").cast("double") / threshold &&
+          col("b.n_sh").cast("double") >= col("a.n_sh").cast("double") * threshold - Eps &&
+          col("b.n_sh").cast("double") <= col("a.n_sh").cast("double") / threshold + Eps &&
           (lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
             .cast("double") >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -302,6 +308,9 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — trailing hashes would be computed but never banded")
     val numBands = numHashes / rowsPerBand
     val wide = minhashSignatures(df, idCol, textCol, n, numHashes)
     val bandSigs = (0 until numBands).map { j =>
@@ -330,6 +339,8 @@ object Dedup {
 
   def minhashLshPairsSql(table: String, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val minCols = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       s"MIN((base * $a + $b) % $MinhashP) AS m$i"
     }.mkString(", ")

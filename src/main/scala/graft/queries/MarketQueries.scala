@@ -64,7 +64,9 @@ object MarketQueries {
     // ingest path. One page has no table and must contribute zero rows.
     Q("m02_distributed_page_ingest",
       (s, _) => {
-        val dir = java.nio.file.Paths.get("target", "m02_pages")
+        // fixtures land under a java.io.tmpdir-scoped unique directory per
+        // invocation: CWD-independent, and concurrent runs can't race
+        val dir = java.nio.file.Files.createTempDirectory("graft_m02_pages_")
         def land(rel: String, content: String): Unit = {
           val p = dir.resolve(rel)
           java.nio.file.Files.createDirectories(p.getParent)
@@ -101,8 +103,11 @@ object MarketQueries {
     // work, and only the changed page's rows are ingested.
     Q("m03_changed_page_gate",
       (s, _) => {
-        val dir = java.nio.file.Paths.get("target", "m03_pages")
-        val ledger = java.nio.file.Paths.get("target", "m03_ledger").toString
+        // unique tmpdir per invocation (see m02): pages and the hash ledger
+        // share one root so the whole scenario is self-contained
+        val root = java.nio.file.Files.createTempDirectory("graft_m03_")
+        val dir = root.resolve("pages")
+        val ledger = root.resolve("ledger").toString
         def land(rel: String, content: String): Unit = {
           val p = dir.resolve(rel)
           java.nio.file.Files.createDirectories(p.getParent)
