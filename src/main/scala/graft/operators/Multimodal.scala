@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in batch-shaped passes.
   *
-  * The container has no media codecs, so the decode kernels here are
-  * CLEARLY-MARKED deterministic STUBS (derive fake dimensions/features from
-  * the bytes); everything Spark-side — schema, batching, partitioning, the
-  * operator signatures — is real and is what a production decoder would plug
-  * into.
+  * Dimension decode is a REAL pure-JVM header parse (PNG IHDR / JPEG SOF
+  * scan / GIF / BMP — `graft.plans.ImageHeaders`, byte arithmetic only, no
+  * codec library). Full pixel decode and model inference remain external by
+  * nature; `extractFeatures`' embed kernel is a clearly-marked deterministic
+  * stand-in at the exact boundary a production model call would occupy.
   *
   * Scale notes: `withMediaMeta` is pure narrow column work (codegen'd, no
   * shuffle). `extractFeatures` uses mapPartitions with explicit micro-batches
@@ -21,18 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a binary media column. The width/height
-    * "decode" is a STUB: real decoders (jpeg/png headers) would replace the
-    * arithmetic marked below.
+  /** Typed metadata extracted from a binary media column: exact byte stats
+    * plus real container dimensions (null format/width/height when the bytes
+    * are not a recognized PNG/JPEG/GIF/BMP header).
     */
-  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
+    val dims = graft.plans.ImageDims(col(binCol))
     df.withColumn("media_meta", struct(
       length(col(binCol)).cast("long").as("byte_len"),
       md5(col(binCol)).as("content_hash"),
-      // STUB decode: fake dimensions derived from byte length — replace with
-      // a real header parse when codecs are available.
-      (length(col(binCol)) % 640 + 1).cast("int").as("width"),
-      (length(col(binCol)) % 480 + 1).cast("int").as("height")))
+      dims.getField("format").as("format"),
+      dims.getField("width").as("width"),
+      dims.getField("height").as("height")))
+  }
 
   /** Batched feature extraction over (id, bytes) pairs — the inference-UDF
     * shape: rows stream through mapPartitions in fixed-size batches and the

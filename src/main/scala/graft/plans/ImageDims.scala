@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM image container header parsing — byte arithmetic only, no codec
+  * or imaging library. Covers the four containers whose dimensions live in a
+  * fixed or scannable header position:
+  *
+  *  - PNG:  8-byte signature, IHDR chunk ⇒ width/height big-endian 32-bit at
+  *          byte offsets 16/20.
+  *  - JPEG: FF D8 FF signature, then a marker-segment scan to the first SOF
+  *          (start-of-frame FFC0–FFCF minus DHT/JPG/DAC) ⇒ height/width
+  *          big-endian 16-bit at SOF+5/SOF+7.
+  *  - GIF:  "GIF87a"/"GIF89a" ⇒ width/height little-endian 16-bit at 6/8.
+  *  - BMP:  "BM", DIB header size at 14 ⇒ legacy BITMAPCOREHEADER (size 12)
+  *          has 16-bit dims at 18/20, modern headers have signed 32-bit dims
+  *          at 18/22 (height negative for top-down rows ⇒ abs).
+  *
+  * Anything else (including truncated headers) parses to null. The same
+  * decision procedure is mirrored in DuckDB SQL (hex-string byte arithmetic,
+  * recursive CTE for the JPEG scan) by `graft.queries.MediaSql`, which is
+  * what makes the mm-queries oracle-checkable on real image bytes.
+  */
+object ImageHeaders {
+
+  /** (format, width, height), or None when `bytes` is not a recognized
+    * image header. Total function of the leading bytes — no exceptions.
+    */
+  def parse(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    val r = parseRow(bytes)
+    if (r == null) None
+    else Some((r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private def row(fmt: String, w: Long, h: Long): InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    r.update(0, UTF8String.fromString(fmt))
+    r.setInt(1, w.toInt)
+    r.setInt(2, h.toInt)
+    r
+  }
+
+  /** SOF0–SOF15 carry frame dimensions; C4=DHT, C8=JPG, CC=DAC do not. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** InternalRow(format UTF8String, width Int, height Int) or null — the
+    * codegen-callable form (static forwarder reachable from generated Java).
+    */
+  def parseRow(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // PNG: signature + IHDR must be the first chunk (per spec)
+    if (n >= 24 && u8(b, 0) == 0x89 && u8(b, 1) == 0x50 && u8(b, 2) == 0x4e &&
+        u8(b, 3) == 0x47 && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a &&
+        u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        u8(b, 12) == 'I' && u8(b, 13) == 'H' && u8(b, 14) == 'D' && u8(b, 15) == 'R') {
+      row("png", be32(b, 16), be32(b, 20))
+    } else if (n >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) {
+      // JPEG: scan marker segments from offset 2 to the first SOF
+      var pos = 2
+      while (pos + 3 < n) {
+        if (u8(b, pos) != 0xff) return null // desynced — not a marker
+        val marker = u8(b, pos + 1)
+        if (marker == 0xff) pos += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          pos += 2 // standalone TEM/RSTn/SOI
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return null // EOI or SOS: entropy data next, no SOF seen
+        } else {
+          val segLen = be16(b, pos + 2)
+          if (segLen < 2) return null
+          if (isSof(marker)) {
+            if (pos + 8 >= n) return null
+            return row("jpeg", be16(b, pos + 7), be16(b, pos + 5))
+          }
+          pos += 2 + segLen
+        }
+      }
+      null
+    } else if (n >= 10 && u8(b, 0) == 'G' && u8(b, 1) == 'I' && u8(b, 2) == 'F' &&
+        u8(b, 3) == '8' && (u8(b, 4) == '7' || u8(b, 4) == '9') && u8(b, 5) == 'a') {
+      row("gif", le16(b, 6), le16(b, 8))
+    } else if (n >= 26 && u8(b, 0) == 'B' && u8(b, 1) == 'M') {
+      val hdrSize = le32(b, 14)
+      if (hdrSize == 12) row("bmp", le16(b, 18), le16(b, 20)) // BITMAPCOREHEADER
+      else row("bmp", le32(b, 18).toLong, math.abs(le32(b, 22).toLong))
+    } else null
+  }
+}
+
+/** `ImageDims(binary)` ⇒ struct(format string, width int, height int), null
+  * when the bytes are not a recognized PNG/JPEG/GIF/BMP header (SURVEY.md
+  * §2.10 custom-Expression surface). Runs inside whole-stage codegen via a
+  * static call — one narrow pass, no UDF/serialization boundary.
+  */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageHeaders.parseRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val r = ctx.freshName("dims")
+      s"""
+         |InternalRow $r = graft.plans.ImageHeaders.parseRow($bytes);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageDims {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(bin: Column): Column =
+    ColumnBridge.column(ImageDims(ColumnBridge.expression(bin)))
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+/** DuckDB SQL mirror of `graft.plans.ImageHeaders` — the same header
+  * decision procedure expressed as hex-string byte arithmetic (DuckDB has no
+  * blob indexing, but `hex(blob)` + `substr`/`strpos` gives exact byte
+  * values), with a recursive CTE standing in for the JPEG marker scan.
+  * Keeping the two decision procedures in lockstep is what makes the
+  * multimodal queries hash-checkable against the oracle on real image bytes.
+  */
+object MediaSql {
+
+  /** Value of byte `pos` (0-based SQL expression) of hex-string column `h`. */
+  def byteAt(h: String, pos: String): String =
+    s"((strpos('0123456789ABCDEF', substr($h, 2*($pos)+1, 1))-1)*16" +
+      s" + (strpos('0123456789ABCDEF', substr($h, 2*($pos)+2, 1))-1))"
+
+  def byteAt(h: String, pos: Int): String = byteAt(h, pos.toString)
+
+  def be16(h: String, pos: String): String =
+    s"(${byteAt(h, pos)}*256 + ${byteAt(h, s"($pos)+1")})"
+  def be16(h: String, pos: Int): String = be16(h, pos.toString)
+
+  def le16(h: String, pos: Int): String =
+    s"(${byteAt(h, pos)} + ${byteAt(h, pos + 1)}*256)"
+
+  def be32(h: String, pos: Int): String =
+    s"(${byteAt(h, pos)}*16777216 + ${byteAt(h, pos + 1)}*65536" +
+      s" + ${byteAt(h, pos + 2)}*256 + ${byteAt(h, pos + 3)})"
+
+  /** Signed little-endian int32 at byte `pos`. */
+  def le32s(h: String, pos: Int): String = {
+    val u = s"(${byteAt(h, pos)} + ${byteAt(h, pos + 1)}*256" +
+      s" + ${byteAt(h, pos + 2)}*65536 + ${byteAt(h, pos + 3)}*16777216)"
+    s"(CASE WHEN $u >= 2147483648 THEN $u - 4294967296 ELSE $u END)"
+  }
+
+  val PngSigHex = "89504E470D0A1A0A"
+  val IhdrHex = "49484452"
+  val Gif87Hex = "474946383761"
+  val Gif89Hex = "474946383961"
+
+  /** Fixed-offset branches (everything except JPEG), as (condition, format,
+    * width, height) tuples over a relation exposing hex column `h` and byte
+    * length `n`. Branch order matches the parser; magics are mutually
+    * exclusive so order only matters for readability.
+    */
+  def fixedBranches(h: String, n: String): Seq[(String, String, String, String)] = Seq(
+    (s"$n >= 24 AND substr($h,1,16) = '$PngSigHex' AND substr($h,25,8) = '$IhdrHex'",
+      "png", be32(h, 16), be32(h, 20)),
+    (s"$n >= 10 AND substr($h,1,12) IN ('$Gif87Hex','$Gif89Hex')",
+      "gif", le16(h, 6), le16(h, 8)),
+    (s"$n >= 26 AND substr($h,1,4) = '424D' AND ${le32s(h, 14)} = 12",
+      "bmp", le16(h, 18), le16(h, 20)),
+    (s"$n >= 26 AND substr($h,1,4) = '424D' AND ${le32s(h, 14)} <> 12",
+      "bmp", le32s(h, 18), s"abs(${le32s(h, 22)})"))
+
+  /** The JPEG marker-scan as recursive-CTE SQL. `src` must expose columns
+    * (`key`, `h`, `n`); emits CTEs `jscan` and `jpegdims(key, format, w, h)`.
+    * Mirrors ImageHeaders.parseRow's loop exactly: fill bytes advance 1,
+    * standalone TEM/RST/SOI advance 2, EOI/SOS/bad-length/desync abort,
+    * SOF with 8 readable bytes emits a found row that stops recursing.
+    */
+  def jpegScanCtes(src: String): String = {
+    val b = (p: String) => byteAt("h", p)
+    s"""jscan AS (
+       |  SELECT key, h, n, 2 AS pos, CAST(NULL AS INTEGER) AS sof
+       |  FROM $src WHERE n >= 4 AND substr(h,1,6) = 'FFD8FF'
+       |  UNION ALL
+       |  SELECT key, h, n,
+       |    CASE WHEN sof_marker THEN pos
+       |         WHEN marker = 255 THEN pos + 1
+       |         WHEN marker = 1 OR (marker BETWEEN 208 AND 216) THEN pos + 2
+       |         ELSE pos + 2 + seglen END AS pos,
+       |    CASE WHEN sof_marker THEN pos END AS sof
+       |  FROM (
+       |    SELECT key, h, n, pos, marker, seglen,
+       |      (marker BETWEEN 192 AND 207) AND marker NOT IN (196, 200, 204) AS sof_marker
+       |    FROM (
+       |      SELECT key, h, n, pos, ${b("pos+1")} AS marker,
+       |        ${be16("h", "pos+2")} AS seglen
+       |      FROM jscan
+       |      WHERE sof IS NULL AND pos + 3 < n AND ${b("pos")} = 255))
+       |  WHERE marker = 255
+       |     OR marker = 1 OR (marker BETWEEN 208 AND 216)
+       |     OR (marker NOT IN (217, 218) AND seglen >= 2
+       |         AND (NOT sof_marker OR pos + 8 < n))
+       |),
+       |jpegdims AS (
+       |  SELECT key, 'jpeg' AS format,
+       |    ${be16("h", "sof+7")} AS w, ${be16("h", "sof+5")} AS h_px
+       |  FROM jscan WHERE sof IS NOT NULL
+       |)""".stripMargin
+  }
+
+  /** Full dims relation over `src(key, h, n)`: one row per key that parses,
+    * columns (key, format, w, h_px). Combine with a LEFT JOIN for nulls.
+    * `includeJpeg = false` drops the recursive scan for inputs that provably
+    * cannot carry the JPEG magic (e.g. valid UTF-8 text: 0xFF is never a
+    * UTF-8 byte, and PNG's 0x89 is never a UTF-8 FIRST byte — those branches
+    * are unreachable, but the cheap fixed-offset ones stay mirrored).
+    */
+  def dimsCtes(src: String, includeJpeg: Boolean = true): String = {
+    val fixed = fixedBranches("h", "n").map { case (cond, fmt, w, hpx) =>
+      s"SELECT key, '$fmt' AS format, $w AS w, $hpx AS h_px FROM $src WHERE $cond"
+    }.mkString("\n  UNION ALL ")
+    if (includeJpeg)
+      s"""${jpegScanCtes(src)},
+         |alldims AS (
+         |  $fixed
+         |  UNION ALL SELECT key, format, w, h_px FROM jpegdims
+         |)""".stripMargin
+    else s"alldims AS (\n  $fixed\n)"
+  }
+}

@@ -5,15 +5,47 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.util.Tables
 
-/** Multimodal plumbing declared over `documents` with text bytes standing in
-  * for media payloads (the container has no codecs — see Multimodal's STUB
-  * markers). The byte-level operations (lengths, hashes, frame slicing) are
-  * real and oracle-checked against DuckDB's blob functions.
+/** Multimodal plumbing: binary payload metadata with REAL container
+  * dimension decode (`graft.plans.ImageHeaders` — pure-JVM PNG/JPEG/GIF/BMP
+  * header parse), frame sampling, and batched feature extraction. mm03 runs
+  * the parser over committed real image bytes (fixtures rendered by
+  * `graft.tools.GenImageFixtures` with the JDK's own encoders); the oracle
+  * mirrors the byte-level decision procedure in DuckDB SQL (MediaSql).
   */
 object MultimodalQueries {
 
+  /** Committed image-fixture parquet as an absolute filesystem path (both
+    * Spark and the DuckDB oracle need a real file). Resolution order:
+    * unpacked classpath resource (test runs); else walk up from the code
+    * source to the sbt build root (sbt bgRun repackages resources into a
+    * jar under `<root>/target/bg-jobs`, so the jar location anchors the
+    * repo); else the CWD-relative source path.
+    */
+  lazy val fixturePath: String = {
+    import java.nio.file.{Files, Paths}
+    val rel = "graft/fixtures/images.parquet"
+    val url = getClass.getResource("/" + rel)
+    val fromClasspath = Option(url).filter(_.getProtocol == "file")
+      .map(u => Paths.get(u.toURI))
+    val fromCodeSource = fromClasspath.orElse {
+      val start = Paths.get(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+        .find(p => Files.exists(p.resolve("build.sbt")))
+        .map(_.resolve("src/main/resources/" + rel))
+        .filter(Files.exists(_))
+    }
+    val path = fromCodeSource.getOrElse(
+      Paths.get("src/main/resources/" + rel).toAbsolutePath)
+    require(Files.exists(path), s"fixture missing: $path")
+    path.toString
+  }
+
   val all: Seq[Q] = Seq(
-    // Binary metadata extraction: byte length, content hash, stub dims.
+    // Binary metadata extraction over arbitrary payloads: byte length,
+    // content hash, and the real header parse (text payloads are valid
+    // UTF-8, so PNG/JPEG magics cannot occur — only the ASCII-magic GIF/BMP
+    // branches are even reachable, and the oracle mirrors them exactly).
     Q("mm01_media_meta",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -22,15 +54,47 @@ object MultimodalQueries {
           .select(col("doc_id"),
             col("media_meta.byte_len").as("byte_len"),
             col("media_meta.content_hash").as("content_hash"),
+            col("media_meta.format").as("format"),
             col("media_meta.width").as("width"),
             col("media_meta.height").as("height"))
       },
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-             |  md5(text) AS content_hash,
-             |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-             |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
-             |FROM documents""".stripMargin)),
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, text, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents),
+             |src AS (SELECT doc_id AS key, h, n FROM b),
+             |${MediaSql.dimsCtes("src", includeJpeg = false)}
+             |SELECT b.doc_id, CAST(b.n AS BIGINT) AS byte_len,
+             |  md5(b.text) AS content_hash, d.format AS format,
+             |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
+             |FROM b LEFT JOIN alldims d ON d.key = b.doc_id""".stripMargin)),
+
+    // Real image decode over committed fixture bytes: every format branch
+    // (PNG IHDR, JPEG SOF scan incl. a truncated file, GIF, both BMP DIB
+    // header generations) plus must-be-null payloads, hash-checked against
+    // the DuckDB mirror of the same byte arithmetic.
+    Q("mm03_image_dims",
+      (s, _) => {
+        val imgs = s.read.parquet(fixturePath)
+        Multimodal.withMediaMeta(imgs, "payload")
+          .select(col("name"),
+            col("media_meta.byte_len").as("byte_len"),
+            // DuckDB md5 only takes VARCHAR — hash the (identical,
+            // uppercase-hex) encoding in both engines
+            md5(hex(col("payload"))).as("content_hash"),
+            col("media_meta.format").as("format"),
+            col("media_meta.width").as("width"),
+            col("media_meta.height").as("height"))
+      },
+      Some(s"""WITH RECURSIVE imgs AS (
+             |  SELECT name, payload, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$fixturePath')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${MediaSql.dimsCtes("src")}
+             |SELECT i.name, CAST(i.n AS BIGINT) AS byte_len,
+             |  md5(i.h) AS content_hash, d.format AS format,
+             |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
+             |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin)),
 
     // Frame sampling: 16-byte frames, every 4th frame, per-frame hash.
     Q("mm02_frame_sample",

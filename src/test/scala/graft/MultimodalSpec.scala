@@ -14,10 +14,59 @@ class MultimodalSpec extends SparkSpec {
 
   test("withMediaMeta attaches typed metadata from binary payloads") {
     val m = Multimodal.withMediaMeta(media, "payload")
-      .select("id", "media_meta.byte_len", "media_meta.width", "media_meta.height")
+      .select("id", "media_meta.byte_len", "media_meta.format",
+        "media_meta.width", "media_meta.height")
       .orderBy("id").collect()
-    assert(m(0).getLong(1) == 100L && m(0).getInt(2) == 101 && m(0).getInt(3) == 101)
+    assert(m(0).getLong(1) == 100L)
     assert(m(1).getLong(1) == 33L)
+    // text payloads are not image headers: format/dims must be null
+    assert(m.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("ImageHeaders matches the JDK's own decoder on every format") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.plans.ImageHeaders
+    import graft.tools.GenImageFixtures.{encode, render}
+    val sizes = Seq((640, 480), (31, 17), (123, 77), (1, 1), (2048, 3))
+    for ((fmt, io) <- Seq(("png", "png"), ("jpeg", "jpg"), ("gif", "gif"), ("bmp", "bmp"));
+         (w, h) <- sizes) {
+      val bytes = encode(render(w, h, w + h, java.awt.image.BufferedImage.TYPE_INT_RGB), io)
+      assert(ImageHeaders.parse(bytes) == Some((fmt, w, h)), s"$fmt $w x $h")
+      // independent decode path agrees
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("ImageHeaders handles legacy BMP, truncation, and junk") {
+    import graft.plans.ImageHeaders
+    import graft.tools.GenImageFixtures
+    assert(ImageHeaders.parse(GenImageFixtures.coreHeaderBmp(25, 13)) ==
+      Some(("bmp", 25, 13)))
+    val fx = GenImageFixtures.fixtures().toMap
+    assert(ImageHeaders.parse(fx("not_an_image")).isEmpty)
+    assert(ImageHeaders.parse(fx("truncated_jpeg")).isEmpty)
+    assert(ImageHeaders.parse(fx("empty")).isEmpty)
+  }
+
+  test("committed fixture parquet decodes to the rendered dimensions") {
+    val imgs = spark.read.parquet(graft.queries.MultimodalQueries.fixturePath)
+    val got = Multimodal.withMediaMeta(imgs, "payload")
+      .select(col("name"), col("media_meta.format"),
+        col("media_meta.width"), col("media_meta.height"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2), r.getInt(3)))))
+      .toMap
+    assert(got("png_640x480") == Some(("png", 640, 480)))
+    assert(got("png_31x17") == Some(("png", 31, 17)))
+    assert(got("jpeg_640x480") == Some(("jpeg", 640, 480)))
+    assert(got("jpeg_123x77") == Some(("jpeg", 123, 77)))
+    assert(got("gif_320x200") == Some(("gif", 320, 200)))
+    assert(got("bmp_97x53") == Some(("bmp", 97, 53)))
+    assert(got("bmp_core_25x13") == Some(("bmp", 25, 13)))
+    assert(got("not_an_image").isEmpty && got("truncated_jpeg").isEmpty
+      && got("empty").isEmpty)
   }
 
   test("extractFeatures runs batched and is deterministic") {
