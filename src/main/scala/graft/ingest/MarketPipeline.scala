@@ -98,12 +98,42 @@ object MarketPipeline {
       .replaceAll("\\s+", "_")
       .take(NameFns.MaxNameLen)
 
-  /** Normalize a raw enriched frame: canonical names + typed casts for the
-    * known market measures; unknown headers stay raw strings.
+  /** Header-drift synonym dictionary (SURVEY.md §7): sanitized header
+    * variants seen across market pages, mapped to the measure names the
+    * normalized layer declares. Keys are post-`canonicalName` forms, so a
+    * page titling its column "Value Sold" or "Qty Sold" lands in the same
+    * normalized column as one titling it "Total Value Sold" — which is what
+    * lets `unionDrifting` align renamed headers, not just missing ones.
+    */
+  val HeaderSynonyms: Map[String, String] = Map(
+    "value_sold" -> "total_value_sold",
+    "total_value" -> "total_value_sold",
+    "qty_sold" -> "total_quantity_sold",
+    "quantity_sold" -> "total_quantity_sold",
+    "total_qty_sold" -> "total_quantity_sold",
+    "price" -> "price_r",
+    "unit_price" -> "price_r",
+    "price_per_unit" -> "price_r",
+    "kg_sold" -> "total_kg_sold",
+    "avg_price_per_kg" -> "average_price_per_kg")
+
+  /** Canonical name with synonym folding; a synonym only applies when the
+    * canonical target isn't itself present (first writer wins otherwise).
+    */
+  private def resolveName(canonical: String, taken: Set[String]): String =
+    HeaderSynonyms.get(canonical)
+      .filterNot(taken.contains)
+      .getOrElse(canonical)
+
+  /** Normalize a raw enriched frame: canonical names + synonym folding +
+    * typed casts for the known market measures; unknown headers stay raw
+    * strings.
     */
   def normalize(df: DataFrame): DataFrame = {
+    val canon = df.columns.filterNot(MetaCols.contains).map(canonicalName).toSet
     val renamed = df.columns.foldLeft(df) { (d, c) =>
-      if (MetaCols.contains(c)) d else d.withColumnRenamed(c, canonicalName(c))
+      if (MetaCols.contains(c)) d
+      else d.withColumnRenamed(c, resolveName(canonicalName(c), canon - canonicalName(c)))
     }
     val moneyCols = Seq("price", "average_price_per_kg", "total_value_sold")
     val longCols = Seq("quantity_available", "total_quantity_sold")
@@ -133,8 +163,16 @@ object MarketPipeline {
   def fromParsedPages(parsed: DataFrame): DataFrame = {
     val canonHeaders = transform(col("headers"), canonicalNameCol(_))
     def bind(name: String): Column = {
-      val pos = array_position(canonHeaders, name)
-      when(pos > 0, element_at(col("cells"), pos.cast("int")))
+      // accept the canonical header or any declared synonym of it, in
+      // declaration order (canonical first) — the executor-side twin of
+      // normalize()'s synonym folding
+      val aliases = name +: HeaderSynonyms.collect {
+        case (drifted, canonical) if canonical == name => drifted
+      }.toSeq.sorted
+      coalesce(aliases.map { a =>
+        val pos = array_position(canonHeaders, a)
+        when(pos > 0, element_at(col("cells"), pos.cast("int")))
+      }: _*)
     }
     parsed.select(
       col("page_path"), col("scrape_date"), col("row_idx").cast("long").as("row_idx"),

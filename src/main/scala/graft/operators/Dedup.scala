@@ -407,19 +407,53 @@ object Dedup {
     val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand, threshold)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(pairs, maxIters)
+    // labels are persisted and materialized — the pair relation is done
+    pairs.unpersist()
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Connected components over an undirected pair list `(id_a, id_b)`:
+    * one row per participating node, `(id, cluster)` with cluster = the
+    * component's minimum id. The result is an eagerly materialized
+    * local checkpoint (its blocks are context-cleaned once unreferenced).
+    *
+    * Min-label propagation with POINTER DOUBLING: each round first takes
+    * the min label across direct neighbors (one hop), then jumps through
+    * the label itself (L(v) := min(L(v), L(L(v)))) — label chains compose,
+    * so remaining depth roughly halves per round and a diameter-d
+    * component converges in O(log d) rounds instead of O(d). Labels are
+    * always ids of participating nodes (seed mins are neighbors), so the
+    * jump join is total. Labels only ever decrease and never escape the
+    * component, and a (hop+jump) fixpoint is a plain-propagation fixpoint
+    * (jump ≤ hop ≤ labels pointwise), i.e. the component minimum — the
+    * doubling changes round count, never the result. Per round the driver
+    * evaluates one scalar; per-round caches are released as superseded,
+    * and the edge relation is released on convergence.
+    *
+    * Iterative-plan hygiene: each round's label relation references the
+    * previous one MORE than once (neighbor join + jump self-join), so
+    * carrying the logical plan forward would DOUBLE its tree per round —
+    * exponential analyzer/optimizer cost long before any data moves. Every
+    * round therefore cuts lineage with an eager `localCheckpoint` (cached
+    * blocks, no lineage), keeping the per-round plan constant-size.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val Mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions
-    val edges = pairs.union(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .withColumnRenamed("id_a", "src").withColumnRenamed("id_b", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(Mem)
     // only nodes with at least one edge participate in propagation — on a
     // mostly-unique corpus that's a tiny fraction of the table; singletons
-    // are unioned back at the end with themselves as cluster. Seed with
+    // are handled by callers (left join + coalesce to own id). Seed with
     // min(own id, direct-neighbor min): round 0 of propagation folded into
     // initialization, one fewer loop round on shallow dup graphs.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("id"), min(col("dst"))).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -427,27 +461,31 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("_nmin"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jump: follow the new label one more step, L(v) := L(L(v))
+      val next = hop.as("x")
+        .join(hop.select(col("id").as("_lid"), col("cluster").as("_lcl")),
+          col("x.cluster") === col("_lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.cluster"), coalesce(col("_lcl"), col("x.cluster"))).as("cluster"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
         .filter(col("cluster") < col("_old")).count()
-      labels.unpersist()
-      labels = next
+      labels = next // superseded checkpoint blocks are context-cleaned
       converged = changed == 0
       iter += 1
     }
-    // an exact operator must not silently return a partial fixpoint: a
-    // component chain deeper than maxIters would converge wrong. Dup graphs
-    // are shallow (LSH pairs are near-cliques); hitting this means the
-    // input isn't one — raise maxIters, or switch to a path-doubling CC.
+    edges.unpersist()
+    // an exact operator must not silently return a partial fixpoint: with
+    // pointer doubling even a diameter-2^20 chain fits the default budget,
+    // so hitting this means something is structurally wrong with the input.
     if (!converged) throw new IllegalStateException(
-      s"dupClusters did not reach the label fixpoint in $maxIters rounds; " +
-        "component diameter exceeds maxIters — raise it for this input")
-    df.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      s"connectedComponents did not reach the label fixpoint in $maxIters " +
+        "pointer-doubling rounds (depth budget ~2^maxIters) — raise maxIters")
+    labels
   }
 
   /** `dupClusters` oracle: reachable-label closure via recursive CTE, then

@@ -39,6 +39,23 @@ object MarketQueries {
       |<tr><td class="tleft2">Sack 7kg</td><td class="tleft">75.50</td><td class="tleft">755.00</td><td class="tleft">10</td></tr>
       |</tbody></table></html>""".stripMargin
 
+  /** Same table shape as FixturePage but with DRIFTED header names
+    * ("Unit Price" / "Value Sold" / "Qty Sold") — the renamed-header case
+    * the synonym dictionary (MarketPipeline.HeaderSynonyms) folds back
+    * into the canonical measures.
+    */
+  private[graft] val FixturePageDrifted: String =
+    """<html><div id="right2"><b>2026-08-15</b></div>
+      |<table class="alltable"><thead>
+      |<th class="header">Container</th>
+      |<th class="header">Unit Price</th>
+      |<th class="header">Value Sold</th>
+      |<th class="header">Qty Sold</th></thead>
+      |<tbody>
+      |<tr><td class="tleft2">Tray</td><td class="tleft">45.00</td><td class="tleft">450.00</td><td class="tleft">10</td></tr>
+      |<tr><td class="tleft2">Basket 2kg</td><td class="tleft">R 120.00</td><td class="tleft">1,200.00</td><td class="tleft">10</td></tr>
+      |</tbody></table></html>""".stripMargin
+
   private[graft] val PageNoTable: String =
     """<html><div id="right2"><b>2026-08-13</b></div>
       |<p>No market data published for this commodity today.</p></html>""".stripMargin
@@ -142,6 +159,41 @@ object MarketQueries {
              |   '2026-08-14', 'oranges_navel', 'summary'))
              |AS t(container, price_r, total_value_sold, total_quantity_sold,
              |     scrape_date, commodity, link_type)""".stripMargin)),
+
+    // Header drift end-to-end: one page with canonical headers, one with
+    // renamed headers ("Unit Price"/"Value Sold"/"Qty Sold"); the synonym
+    // dictionary folds the drifted names during normalize, so
+    // unionDrifting aligns them into ONE typed frame with no null columns.
+    Q("m04_header_drift_union",
+      (s, _) => {
+        def ingestOne(page: String, commodity: String) = {
+          val raw = HtmlTable.ingest(s, page)
+          val date = HtmlTable.scrapeDate(page).get
+          MarketPipeline.normalize(MarketPipeline.dropTotalsRows(
+            MarketPipeline.enrich(raw, date, commodity, "summary", date)))
+        }
+        MarketPipeline.unionDrifting(Seq(
+            ingestOne(FixturePage, "apples_golden_delicious"),
+            ingestOne(FixturePageDrifted, "oranges_navel")))
+          .select(
+            col("container"),
+            col("price_r").cast("double").as("price_r"),
+            col("total_value_sold").cast("double").as("total_value_sold"),
+            col("total_quantity_sold"),
+            date_format(col("scrape_date"), "yyyy-MM-dd").as("scrape_date"),
+            col("commodity"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('10kg Bag', CAST(1234.5 AS DOUBLE), CAST(12345.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-12', 'apples_golden_delicious'),
+             |  ('5kg Box', CAST(99.0 AS DOUBLE), CAST(990.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-12', 'apples_golden_delicious'),
+             |  ('Tray', CAST(45.0 AS DOUBLE), CAST(450.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-15', 'oranges_navel'),
+             |  ('Basket 2kg', CAST(120.0 AS DOUBLE), CAST(1200.0 AS DOUBLE), CAST(10 AS BIGINT),
+             |   '2026-08-15', 'oranges_navel'))
+             |AS t(container, price_r, total_value_sold, total_quantity_sold,
+             |     scrape_date, commodity)""".stripMargin)),
 
     Q("m01_market_pipeline_e2e",
       (s, _) => {

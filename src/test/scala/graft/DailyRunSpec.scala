@@ -82,6 +82,37 @@ class DailyRunSpec extends SparkSpec {
     assert(spark.read.parquet(raw).count() == 7)
   }
 
+  test("ingestPagesStream: killed mid-run, restart lands exactly-once") {
+    val pagesDir = tmpDir("kill_pages")
+    val checkpoint = tmpDir("kill_ckpt")
+    val raw = tmpDir("kill_raw")
+    def land(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(pagesDir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    val commodities = Seq("apples", "pears", "plums", "grapes", "melons")
+    commodities.zipWithIndex.foreach { case (c, i) =>
+      land(s"$c/summary.html", s"<html>${page(i + 1)}</html>")
+    }
+    // kill WITHOUT draining — depending on timing this interrupts batch 0
+    // before, during, or after its foreachBatch write (all three must
+    // recover identically: an uncommitted batch is re-run under the same
+    // batch id and its dynamic-overwrite partitions are replaced, a
+    // committed one is not re-run)
+    val q = DailyRun.ingestPagesStream(spark, pagesDir, "2026-08-12", checkpoint, raw)
+    q.stop()
+    // restart drains to completion; the raw layer must hold each page's
+    // rows exactly once, whatever the kill interrupted
+    DailyRun.ingestPagesStream(spark, pagesDir, "2026-08-12", checkpoint, raw)
+      .awaitTermination()
+    val out = spark.read.parquet(raw)
+    assert(out.count() == (1 to 5).sum) // page(i) yields i non-total rows
+    assert(out.groupBy(col("commodity"), col("container")).count()
+      .filter(col("count") > 1).count() == 0, "no duplicated (page, row)")
+    assert(out.select("commodity").distinct().count() == 5)
+  }
+
   test("changedPages gate: unchanged pruned, changed and new pass") {
     import spark.implicits._
     val prior = Seq(("a.html", "h1"), ("b.html", "h2")).toDF("page_path", "table_hash")

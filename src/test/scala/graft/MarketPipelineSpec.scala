@@ -65,6 +65,47 @@ class MarketPipelineSpec extends SparkSpec {
     assert(u.filter(col("commodity") === "pears" && col("Total Quantity Sold").isNull).count() == 3)
   }
 
+  test("synonym dictionary folds RENAMED headers into canonical measures") {
+    // same table, headers renamed the way real pages drift: "Unit Price",
+    // "Value Sold", "Qty Sold"
+    val drifted = html
+      .replace("Price (R)", "Unit Price")
+      .replace("Total Value Sold", "Value Sold")
+      .replace("Total Quantity Sold", "Qty Sold")
+    val a = normalize(dropTotalsRows(ingestOne("apples")))
+    val b = normalize(dropTotalsRows(
+      enrich(HtmlTable.ingest(spark, drifted), "2026-08-13", "pears", "summary", "r")))
+    // both normalize to the SAME canonical measure columns...
+    for (c <- Seq("price_r", "total_value_sold", "total_quantity_sold")) {
+      assert(a.columns.contains(c), s"canonical page missing $c")
+      assert(b.columns.contains(c), s"drifted page missing $c")
+    }
+    // ...so the union has no drift-nulls and the typed values line up
+    val u = unionDrifting(Seq(a, b))
+    assert(u.count() == 4)
+    assert(u.filter(col("price_r").isNull || col("total_value_sold").isNull
+      || col("total_quantity_sold").isNull).count() == 0)
+    assert(u.filter(col("commodity") === "pears")
+      .agg(sum(col("total_quantity_sold"))).head.getLong(0) == 20L)
+  }
+
+  test("fromParsedPages binds drifted headers through the synonym map") {
+    import spark.implicits._
+    val parsed = Seq(
+      ("p1.html", "2026-08-12", 0L,
+        Seq("Container", "Unit Price", "Value Sold", "Qty Sold"),
+        Seq("Crate", "R 10.00", "100.00", "10")),
+      ("p2.html", "2026-08-12", 0L,
+        Seq("Container", "Price (R)", "Total Value Sold", "Total Quantity Sold"),
+        Seq("Bag", "20.00", "200.00", "10")),
+    ).toDF("page_path", "scrape_date", "row_idx", "headers", "cells")
+    val out = fromParsedPages(parsed).orderBy("page_path").collect()
+    assert(out(0).getAs[java.math.BigDecimal]("price_r").doubleValue() == 10.0)
+    assert(out(0).getAs[java.math.BigDecimal]("total_value_sold").doubleValue() == 100.0)
+    assert(out(0).getAs[Long]("total_quantity_sold") == 10L)
+    assert(out(1).getAs[java.math.BigDecimal]("price_r").doubleValue() == 20.0)
+  }
+
   test("partitioned raw sink is idempotent under re-runs (ST2)") {
     val root = tmpDir("raw")
     writeRaw(ingestOne("apples"), root)

@@ -47,6 +47,22 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters(12L) == 10L)
   }
 
+  test("connectedComponents converges on a diameter-50 chain in O(log d) rounds") {
+    // path graph 0-1-2-...-50: min-label needs ~50 plain-propagation rounds,
+    // far over the 10-round budget given here — only pointer doubling
+    // (depth halves per round, ~6 rounds for d=50) can converge in time
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.connectedComponents(pairs, maxIters = 10)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 51)
+    assert(m.values.forall(_ == 0L), "every chain node labels to the component min")
+    // two components + an isolated edge keep their own minima
+    val two = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("id_a", "id_b")
+    val m2 = graft.operators.Dedup.connectedComponents(two, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("decontaminate: full-overlap doc flagged, disjoint doc clean, fraction exact") {
     val train = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"), // contained in eval
