@@ -16,7 +16,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     StarQueries.all ++ SqlQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       EventQueries.all ++ EmbeddingQueries.all ++ MarketQueries.all ++
-      MultimodalQueries.all ++ MiscQueries.all
+      MultimodalQueries.all ++ MiscQueries.all ++ LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's implied headline analytic: top-5 by revenue

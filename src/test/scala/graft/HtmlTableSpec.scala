@@ -89,8 +89,9 @@ class HtmlTableSpec extends SparkSpec {
     assert(bound.head.getAs[String]("container") == "10kg Bag")
     assert(bound.head.getAs[java.math.BigDecimal]("price_r")
       .compareTo(new java.math.BigDecimal("1234.50")) == 0)
-    // "Total Qty Sold" is not a canonical measure header → null, no error
-    assert(bound.head.isNullAt(bound.head.fieldIndex("total_quantity_sold")))
+    // "Total Qty Sold" is a declared synonym of total_quantity_sold
+    // (MarketPipeline.HeaderSynonyms) → binds through the drift dictionary
+    assert(bound.head.getAs[Long]("total_quantity_sold") == 42L)
   }
 
   test("DailyRun.ingestLandedPages lands a cleaned partitioned raw layer from page files") {

@@ -74,4 +74,26 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlanString(q("s07_asof_native_operator"))
     assert(plan.contains("AsOfJoinBackwardExec") || plan.contains("AsOfJoin"), plan)
   }
+
+  test("b01: bucketed fact-fact join is a SortMergeJoin with ZERO exchanges below it") {
+    // at sf0.001 the planner would (rightly) broadcast the tiny orders
+    // side; disable broadcast to surface the plan the layout exists for —
+    // two 100 TB fact sides, where only bucketing avoids the shuffles
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val plan = finalPlanString(q("b01_bucketed_order_join"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the bucketed layout proves co-partitioning: the ONLY exchange in
+      // the plan is the final 5-row aggregation; neither join side shuffles
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.size == 1,
+        s"expected only the final-agg exchange, got ${exchanges.size}:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
