@@ -39,6 +39,19 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one untimed FULL sweep: every query's codegen units get compiled AND
+    // JIT-warmed before anything is measured. Without it the first timed
+    // sweep pays C2 compilation for the heavy dedup verify joins, which is
+    // what made d03/d07/d08 medians swing ±40% run-to-run in round 2 —
+    // median-of-3 can't hide a cold first sample when the other two also
+    // straddle JIT tier-up. Disable with SPARK_GRAFT_BENCH_WARM=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1") {
+      for ((_, fn) <- names) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      System.gc()
+    }
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to runs; (name, fn) <- names) {
