@@ -208,4 +208,35 @@ object TextFns {
     val t = tokensSql(col)
     s"CASE WHEN len($t) < $n THEN [] ELSE list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(($t)[i:i+${n - 1}], ' ')) END"
   }
+
+  // ---- within-document repetition (Gopher-style quality signals) -------
+
+  /** Fraction of element occurrences that are repeats of an earlier one:
+    * 1 - distinct/total, 0.0 for an empty array. Integer counts + ONE
+    * division keep the double bit-identical across engines.
+    */
+  def dupFrac(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    when(n > 0, lit(1.0) - size(array_distinct(arr)).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  def dupFracSql(arrSql: String): String =
+    s"CASE WHEN len($arrSql) > 0 THEN 1.0 - CAST(len(list_distinct($arrSql)) AS DOUBLE) / CAST(len($arrSql) AS DOUBLE) ELSE 0.0 END"
+
+  /** Fraction of occurrences claimed by the single most frequent element
+    * (1/n for all-unique, 1.0 for constant; 0.0 for empty). O(d·n) HOF per
+    * row over the distinct set — fine for documents (d ≲ vocab), and the
+    * caller stages `arr` in a projection so it is computed once (Catalyst
+    * does not inline non-cheap multiply-referenced aliases).
+    */
+  def topFrac(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    val maxCnt = array_max(transform(array_distinct(arr),
+      x => size(filter(arr, y => y === x))))
+    when(n > 0, maxCnt.cast("double") / n).otherwise(lit(0.0))
+  }
+
+  def topFracSql(arrSql: String): String =
+    s"CASE WHEN len($arrSql) > 0 THEN CAST(list_max(list_transform(list_distinct($arrSql), x -> len(list_filter($arrSql, y -> y = x)))) AS DOUBLE) / CAST(len($arrSql) AS DOUBLE) ELSE 0.0 END"
 }

@@ -130,20 +130,38 @@ object MiscQueries {
     Q("q27_fuzzy_part_names",
       (s, dir) => {
         val t = Tables(s, dir)
-        val p = t.part.select(col("p_brand").as("brand"), col("p_type").as("typ"),
-          col("p_partkey").as("key"), col("p_name").as("name"))
-        // Two prunes before the O(len²) distance: a free length prefilter
-        // (|len(a)-len(b)| > 12 ⇒ dist > 12) in the join condition, and the
-        // thresholded levenshtein (returns -1 and early-exits its DP loop
-        // once the distance provably exceeds 12).
-        p.as("a").join(p.as("b"),
+        // Distance computations scale with DISTINCT names, not rows: group
+        // to (brand, typ, name, cnt) first, run levenshtein once per name
+        // pair, and weight the pair count by multiplicities. Row pairs with
+        // a.key < b.key map exactly onto name pairs: an unordered cross
+        // pair contributes cnt_a·cnt_b (whichever row has the smaller key
+        // plays 'a'), a same-name group contributes C(cnt,2) — and only
+        // when cnt ≥ 2 (a lone row is no pair, and must not pull min_dist
+        // to 0). The naive row-pair form did 100× the levenshtein work at
+        // 10× the rows (quadratic in bucket size); this form is quadratic
+        // only in per-bucket distinct names. Same two prunes as before:
+        // free length prefilter + thresholded early-exit levenshtein.
+        val names = t.part
+          .groupBy(col("p_brand").as("brand"), col("p_type").as("typ"),
+            col("p_name").as("name"))
+          .agg(count(lit(1)).as("cnt"))
+        names.as("a").join(names.as("b"),
             col("a.brand") === col("b.brand") && col("a.typ") === col("b.typ") &&
-              col("a.key") < col("b.key") &&
+              col("a.name") <= col("b.name") &&
+              (col("a.name") < col("b.name") || col("a.cnt") >= 2) &&
               abs(length(col("a.name")) - length(col("b.name"))) <= 12)
           .withColumn("dist", levenshtein(col("a.name"), col("b.name"), 12).cast("long"))
           .filter(col("dist") >= 0)
+          .withColumn("w",
+            // C(cnt,2) via shiftright: Spark's `/` is double division, and
+            // doubles lose exactness past 2^52 — the product is even, so a
+            // right shift is the exact long halving
+            when(col("a.name") === col("b.name"),
+              shiftright(col("a.cnt") * (col("a.cnt") - 1), 1))
+              .otherwise(col("a.cnt") * col("b.cnt")))
           .groupBy(col("a.brand").as("brand"))
-          .agg(count(lit(1)).as("n_close_pairs"), min(col("dist")).as("min_dist"))
+          .agg(sum(col("w")).cast("long").as("n_close_pairs"),
+            min(col("dist")).as("min_dist"))
       },
       Some("""SELECT a.p_brand AS brand, COUNT(*) AS n_close_pairs,
              |  CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist

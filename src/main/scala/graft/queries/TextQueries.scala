@@ -217,5 +217,32 @@ object TextQueries {
       Some("""SELECT source, COUNT(*) AS n_kept FROM documents
              |WHERE NOT (lower(text) LIKE '%total%' OR lower(text) LIKE '%summary%')
              |GROUP BY source""".stripMargin)),
+
+    // Within-document repetition metrics (Gopher-style quality signals):
+    // duplicate-token fraction, duplicate-trigram fraction, and the share
+    // of the single most frequent token. All integer-count ratios (one
+    // final division each) so the doubles hash-match DuckDB. The token and
+    // shingle arrays are staged in a projection — computed once per doc,
+    // referenced by several metrics (Catalyst keeps non-cheap
+    // multiply-referenced aliases staged).
+    Q("t15_repetition",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"),
+            TextFns.tokens(col("text")).as("toks"),
+            TextFns.shingles(col("text"), 3).as("tri3"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            TextFns.dupFrac(col("toks")).as("dup_token_frac"),
+            TextFns.dupFrac(col("tri3")).as("dup_trigram_frac"),
+            TextFns.topFrac(col("toks")).as("top_token_frac"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(${TextFns.tokensSql("text")}) AS BIGINT) AS n_tokens,
+              |  ${TextFns.dupFracSql(TextFns.tokensSql("text"))} AS dup_token_frac,
+              |  ${TextFns.dupFracSql(TextFns.shinglesSql("text", 3))} AS dup_trigram_frac,
+              |  ${TextFns.topFracSql(TextFns.tokensSql("text"))} AS top_token_frac
+              |FROM documents""".stripMargin)),
   )
 }

@@ -106,4 +106,27 @@ class FunctionsSpec extends SparkSpec {
     assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
     assert(p1.flatten.forall(w => w >= -7.5 && w <= 7.5 && (w * 2) == (w * 2).round))
   }
+
+  test("repetition metrics: dupFrac/topFrac on known docs") {
+    def metrics(text: String): (Long, Double, Double, Double) = {
+      val r = Seq(text).toDF("text")
+        .select(TextFns.tokens(col("text")).as("toks"),
+          TextFns.shingles(col("text"), 3).as("tri3"))
+        .select(size(col("toks")).cast("long"),
+          TextFns.dupFrac(col("toks")), TextFns.dupFrac(col("tri3")),
+          TextFns.topFrac(col("toks"))).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    // all-unique: no dup tokens, top token holds 1/n
+    assert(metrics("a b c d") == ((4L, 0.0, 0.0, 0.25)))
+    // constant doc: all repeats, one trigram repeated 3x (of 4 total)
+    val (n, dt, dg, tt) = metrics("x x x x x x")
+    assert(n == 6L && dt == 1.0 - 1.0 / 6.0 && tt == 1.0)
+    assert(dg == 1.0 - 1.0 / 4.0)
+    // empty and whitespace-only are all-zero, not NaN
+    assert(metrics("") == ((0L, 0.0, 0.0, 0.0)))
+    assert(metrics("   ") == ((0L, 0.0, 0.0, 0.0)))
+    // mixed: "the cat the dog" — 'the' twice of 4, all trigrams unique
+    assert(metrics("the cat the dog") == ((4L, 0.25, 0.0, 0.5)))
+  }
 }
