@@ -38,7 +38,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=q27,t15 (comma-separated name prefixes) restricts
+    // the sweep — a local iteration aid; the driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // one untimed FULL sweep: every query's codegen units get compiled AND
     // JIT-warmed before anything is measured. Without it the first timed
     // sweep pays C2 compilation for the heavy dedup verify joins, which is
