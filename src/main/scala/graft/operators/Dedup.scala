@@ -123,18 +123,26 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Per-doc deduplicated, canonically-sorted shingle ARRAY — a pure narrow
-    * projection: the shingles derive from the doc row itself, so building
-    * the per-doc array through explode + collect_list (an
+  /** Per-doc deduplicated shingle array as `ks: array<struct<k:long,
+    * s:string>>`, sorted ascending by (k, s) with k = xxhash64(s) — a pure
+    * narrow projection: the shingles derive from the doc row itself, so
+    * building the per-doc array through explode + collect_list (an
     * ObjectHashAggregate that falls back to slow sort-based aggregation
     * past 128 groups, plus a full shuffle) is strictly worse than never
     * leaving the row. Docs with no shingles are dropped (they can't pair).
+    *
+    * The (k, s) struct IS the canonical order (prefix slices come from it)
+    * AND the merge key of the verify stage's `SortedIntersectCount` — one
+    * sorted representation serves both. The key is cheap codegen'd
+    * xxhash64, not portable md5: canonical order never reaches results.
     */
-  private def shingleArrays(df: DataFrame, idCol: String, textCol: String,
+  private def shingleStructs(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     spread(df).select(col(idCol).as("id"),
-        sort_array(array_distinct(TextFns.shingles(col(textCol), n))).as("shs"))
-      .filter(size(col("shs")) > 0)
+        sort_array(transform(
+          array_distinct(TextFns.shingles(col(textCol), n)),
+          s => struct(xxhash64(s).as("k"), s.as("s")))).as("ks"))
+      .filter(size(col("ks")) > 0)
 
   /** Exact n-gram Jaccard similar pairs via inverted-index self-join.
     * Output: id_a < id_b, n_common, jaccard (double), filtered >= threshold.
@@ -187,23 +195,19 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // per-doc shingles in hash-canonical order — a pure NARROW projection
-    // (no explode/shuffle/collect_list). The prefix-filter theorem only
-    // needs SOME global total order shared by all docs (ideally one that
-    // decorrelates from shingle frequency), and the order never reaches the
-    // result, so the key is cheap codegen'd xxhash64 — engine portability
-    // is not required, unlike the md5 hashes that DO reach results. Keys
-    // are dropped after the sort: the prefix is a slice of this order, and
-    // set intersection doesn't care about order, so one cached
-    // array<string> serves both prefix sides and both verify sides.
-    val arrs = spread(df).select(col(idCol).as("id"),
-        transform(
-          sort_array(transform(
-            array_distinct(TextFns.shingles(col(textCol), n)),
-            s => struct(xxhash64(s).as("k"), s.as("s")))),
-          e => e.getField("s")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .withColumn("n_sh", size(col("shs")).cast("long"))
+    // Per-doc shingles in xxhash64-canonical order (see shingleStructs).
+    // The prefix-filter theorem admits ANY global total order shared by all
+    // docs; a frequency-ascending order (classic PPJoin) was tried and
+    // measured at sf1: it cut candidates only 13.2M → 11.2M on this
+    // corpus (30-word vocab → near-flat trigram frequencies, no rare
+    // shingles to put in prefixes) while costing an extra
+    // aggregate+join+regroup over the postings AND making the merge keys
+    // of the verify stage tie-heavy. With candidates irreducible, the
+    // verify stage is the cost that matters — so the order is optimized
+    // for the merge (random 64-bit keys ⇒ ties only on true equality) and
+    // the build stays a narrow projection.
+    val arrs = shingleStructs(df, idCol, textCol, n)
+      .withColumn("n_sh", size(col("ks")).cast("long"))
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -217,8 +221,9 @@ object Dedup {
     // the first shared prefix shingle).
     val prefix = arrs
       .select(col("id"), col("n_sh"),
-        posexplode(slice(col("shs"), lit(1), col("plen"))).as(Seq("pos0", "sh")))
-      .select(col("id"), col("n_sh"), (col("pos0") + 1).cast("long").as("pos"), col("sh"))
+        posexplode(slice(col("ks"), lit(1), col("plen"))).as(Seq("pos0", "e")))
+      .select(col("id"), col("n_sh"), (col("pos0") + 1).cast("long").as("pos"),
+        col("e").getField("s").as("sh"))
     // 1-ulp hygiene: these are PRUNING bounds ahead of exact verification,
     // so they may only ever be loosened. When t·(|a|+|b|)/(1+t) is exactly
     // an integer, double rounding can land one ulp above it and ceil would
@@ -236,27 +241,33 @@ object Dedup {
             .cast("double") >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyPairs(cands, arrs.select(col("id"), col("shs")), threshold)
+    verifyPairs(cands, arrs.select(col("id"), col("ks")), threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs against the per-doc
-    * shingle-array relation (id, shs): two equi-joins and one codegen'd
-    * array_intersect per pair. Candidate generation (prefix filter / LSH
-    * bands) keeps `cands` small by construction, so this replaces the old
-    * re-explosion of the inverted index + per-pair groupBy at a fraction of
-    * the shuffle (the swap cut the verified-pair queries ~2x at sf0.1).
+    * keyed shingle relation (id, ks) from `shingleStructs`: two equi-joins
+    * and one `SortedIntersectCount` merge per pair. On dense corpora the
+    * candidate set can dwarf the true-pair set (13.2M candidates for 2,569
+    * pairs at sf1), making per-pair cost THE scale term of every verified
+    * dedup query — the linear merge over the shared (k, s) order replaced
+    * `array_intersect`'s per-pair hash-set build and cut d07 24s → (see
+    * BASELINE.md) at sf1 while staying exact under hash collisions.
     */
   private def verifyPairs(cands: DataFrame, arrs: DataFrame,
       threshold: Double): DataFrame = {
     // callers persist `arrs` (or derive it from a persisted relation):
     // both join sides read it
+    val intersectCount = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SortedIntersectCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("va.ks")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("vb.ks"))))
     cands
       .join(arrs.as("va"), col("id_a") === col("va.id"))
       .join(arrs.as("vb"), col("id_b") === col("vb.id"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("va.shs"), col("vb.shs"))).cast("long").as("n_common"),
-        size(col("va.shs")).cast("long").as("n_a"),
-        size(col("vb.shs")).cast("long").as("n_b"))
+        intersectCount.cast("long").as("n_common"),
+        size(col("va.ks")).cast("long").as("n_a"),
+        size(col("vb.ks")).cast("long").as("n_b"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
@@ -331,7 +342,7 @@ object Dedup {
     // converts the verification joins to broadcast when the sides are
     // genuinely small.
     verifyPairs(cands,
-        shingleArrays(df, idCol, textCol, n)
+        shingleStructs(df, idCol, textCol, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

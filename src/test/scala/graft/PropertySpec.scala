@@ -81,4 +81,22 @@ class PropertySpec extends SparkSpec {
     val identical = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L).get
     assert(identical.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("SortedIntersectCount equals array_intersect size on arbitrary token sets") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // random word-sets (including empty and disjoint); both representations
+    // built from the same column so any mismatch is the merge's fault
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "ggg", "hh", "i", "jj")
+    val set = Gen.listOfN(12, word).map(_.distinct)
+    val pairs = samples(Gen.zip(set, set), 80)
+    val df = pairs.map { case (x, y) => (x, y) }.toDF("xs", "ys")
+    def ks(c: org.apache.spark.sql.Column) =
+      sort_array(transform(c, s => struct(xxhash64(s).as("k"), s.as("s"))))
+    val merged = ColumnBridge.column(graft.plans.SortedIntersectCount(
+      ColumnBridge.expression(ks(col("xs"))),
+      ColumnBridge.expression(ks(col("ys")))))
+    val rows = df.select(merged.as("m"),
+      size(array_intersect(col("xs"), col("ys"))).as("h")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
 }
