@@ -239,4 +239,21 @@ object TextFns {
 
   def topFracSql(arrSql: String): String =
     s"CASE WHEN len($arrSql) > 0 THEN CAST(list_max(list_transform(list_distinct($arrSql), x -> len(list_filter($arrSql, y -> y = x)))) AS DOUBLE) / CAST(len($arrSql) AS DOUBLE) ELSE 0.0 END"
+
+  // ---- composite quality-rule gate (Gopher-style) ----------------------
+
+  /** Exact total character count of the tokens (BIGINT fold). */
+  def sumTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, t) => a + length(t))
+
+  def sumTokenLenSql(toksSql: String): String =
+    s"CAST(coalesce(list_sum(list_transform($toksSql, t -> len(t))), 0) AS BIGINT)"
+
+  /** Occurrences of the single most frequent token (0 for empty). */
+  def topTokenCount(toks: Column): Column =
+    coalesce(array_max(transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x)))), lit(0)).cast("long")
+
+  def topTokenCountSql(toksSql: String): String =
+    s"CAST(coalesce(list_max(list_transform(list_distinct($toksSql), x -> len(list_filter($toksSql, y -> y = x)))), 0) AS BIGINT)"
 }

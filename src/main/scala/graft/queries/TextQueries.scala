@@ -244,5 +244,59 @@ object TextQueries {
               |  ${TextFns.dupFracSql(TextFns.shinglesSql("text", 3))} AS dup_trigram_frac,
               |  ${TextFns.topFracSql(TextFns.tokensSql("text"))} AS top_token_frac
               |FROM documents""".stripMargin)),
+
+    // Gopher-style composite quality gate: every rule is an EXACT integer
+    // comparison (ratio thresholds cross-multiplied), so both engines make
+    // bit-identical keep/drop decisions — no double thresholds anywhere.
+    // Single narrow pass; the token array is staged once per doc.
+    Q("t16_quality_rules",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            TextFns.sumTokenLen(col("toks")).as("sum_len"),
+            regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
+            TextFns.stopwordHits(col("toks"),
+              TextFns.LangStopwords.flatMap(_._2)).as("n_stop"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            TextFns.topTokenCount(col("toks")).as("max_cnt"))
+          .select(col("doc_id"), col("n_tok").as("n_tokens"),
+            (col("n_tok") < 30).cast("long").as("f_short"),
+            (col("sum_len") < col("n_tok") * 2 || col("sum_len") > col("n_tok") * 8)
+              .cast("long").as("f_meanlen"),
+            (col("n_punct") * 10 > col("n_tok")).cast("long").as("f_symbol"),
+            (col("n_stop") < 2).cast("long").as("f_stop"),
+            ((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 3)
+              .cast("long").as("f_dup"),
+            (col("max_cnt") * 5 > col("n_tok")).cast("long").as("f_top"))
+          .withColumn("keep",
+            (col("f_short") + col("f_meanlen") + col("f_symbol") +
+              col("f_stop") + col("f_dup") + col("f_top") === 0).cast("long"))
+      },
+      Some {
+        val toks = TextFns.tokensSql("text")
+        s"""WITH counts AS (
+           |  SELECT doc_id,
+           |    CAST(len($toks) AS BIGINT) AS n_tok,
+           |    ${TextFns.sumTokenLenSql(toks)} AS sum_len,
+           |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           |    CAST(${TextFns.stopwordHitsSql(toks, TextFns.LangStopwords.flatMap(_._2))} AS BIGINT) AS n_stop,
+           |    CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
+           |    ${TextFns.topTokenCountSql(toks)} AS max_cnt
+           |  FROM documents),
+           |flags AS (
+           |  SELECT doc_id, n_tok AS n_tokens,
+           |    CAST(n_tok < 30 AS BIGINT) AS f_short,
+           |    CAST(sum_len < n_tok * 2 OR sum_len > n_tok * 8 AS BIGINT) AS f_meanlen,
+           |    CAST(n_punct * 10 > n_tok AS BIGINT) AS f_symbol,
+           |    CAST(n_stop < 2 AS BIGINT) AS f_stop,
+           |    CAST((n_tok - n_distinct) * 10 > n_tok * 3 AS BIGINT) AS f_dup,
+           |    CAST(max_cnt * 5 > n_tok AS BIGINT) AS f_top
+           |  FROM counts)
+           |SELECT *, CAST(f_short + f_meanlen + f_symbol + f_stop + f_dup + f_top = 0 AS BIGINT) AS keep
+           |FROM flags""".stripMargin
+      }),
   )
 }
