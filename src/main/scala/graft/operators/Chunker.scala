@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Chunk-level (paragraph-analog) deduplication: split each document into
+  * fixed-width word chunks, fingerprint each chunk, and measure what share
+  * of a document's chunks also appear in OTHER documents. This is the
+  * boilerplate-removal primitive of a training-data pipeline — repeated
+  * headers/footers/licence blocks show up as high cross-doc chunk
+  * frequency even when whole-document hashes are unique.
+  *
+  * Scale notes (100 TB):
+  * - Chunks are disjoint (not sliding), so the exploded relation is
+  *   ~n_tokens/width rows per document — a constant factor of the corpus,
+  *   not a quadratic blowup.
+  * - The chunk-frequency aggregation and the chunk→frequency join both hash
+  *   on `ch`, so the exchange introduced by the aggregation is reused by
+  *   the join (one shuffle of the chunk relation, map-side combined).
+  * - The final per-document rollup shuffles on the doc id (counts only).
+  */
+object Chunker {
+
+  /** Exploded (id, chunk_idx, ch) relation: md5 fingerprint per
+    * `width`-word chunk. Documents shorter than one token produce no rows
+    * (same as unnest of an empty list in the oracle).
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    val nChunks = floor((size(col("toks")) + width - 1) / width).cast("int")
+    df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("idx", explode(
+        when(col("toks").isNotNull && size(col("toks")) > 0,
+          sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("id"), col("idx").cast("long").as("chunk_idx"),
+        md5(array_join(slice(col("toks"), col("idx") * width + 1, lit(width)), " "))
+          .as("ch"))
+  }
+
+  /** Per-document cross-doc duplication stats at chunk granularity:
+    * n_chunks, n_shared_chunks (chunks whose fingerprint occurs in >1
+    * distinct document), and their ratio (one exact-int division, so the
+    * double is engine-stable).
+    */
+  def dupChunkStats(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    val ch = chunks(df, idCol, textCol, width)
+    val freq = ch.groupBy(col("ch"))
+      .agg(countDistinct(col("id")).as("docs_with"))
+    ch.join(freq, Seq("ch"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("docs_with") > 1).cast("long")).as("n_shared_chunks"))
+      .withColumn("dup_chunk_frac",
+        col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  def dupChunkStatsSql(table: String, idCol: String, textCol: String,
+      width: Int): String = {
+    val toks = TextFns.tokensSql(textCol)
+    s"""WITH docs AS (SELECT $idCol AS id, $toks AS toks FROM $table),
+       |exploded AS (
+       |  SELECT id, toks, unnest(range(0, (len(toks) + ${width - 1}) // $width)) AS i
+       |  FROM docs),
+       |chunked AS (
+       |  SELECT id, i,
+       |    md5(array_to_string(toks[(i * $width + 1):(i * $width + $width)], ' ')) AS ch
+       |  FROM exploded),
+       |freq AS (SELECT ch, COUNT(DISTINCT id) AS docs_with FROM chunked GROUP BY 1)
+       |SELECT chunked.id AS $idCol, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       |  CAST(SUM(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
+       |FROM chunked JOIN freq ON chunked.ch = freq.ch
+       |GROUP BY 1""".stripMargin
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Dedup
+import graft.operators.{Chunker, Dedup}
 import graft.util.Tables
 
 /** Deduplication queries over `documents` — each Dedup operator declared
@@ -62,5 +62,13 @@ object DedupQueries {
         "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
       Some(Dedup.dupClustersSql("documents", "doc_id", "text",
         N, NumHashes, RowsPerBand, LshThreshold))),
+
+    // Chunk-level (paragraph-analog) dedup stats: share of each document's
+    // 20-word chunks that also occur in other documents — the
+    // boilerplate-removal signal (repeated headers/licence blocks).
+    Q("d09_chunk_dup_stats",
+      (s, dir) => Chunker.dupChunkStats(Tables(s, dir).documents,
+        "doc_id", "text", 20),
+      Some(Chunker.dupChunkStatsSql("documents", "doc_id", "text", 20))),
   )
 }
