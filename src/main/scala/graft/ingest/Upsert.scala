@@ -29,4 +29,60 @@ object Upsert {
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")
   }
+
+  /** Slowly-changing-dimension Type 2 history: collapse consecutive runs of
+    * identical `attrs` values per key into validity intervals.
+    *
+    * A new version starts whenever any tracked attribute differs from the
+    * previous observation of the same key (ordered by `tsCol`, tie-broken
+    * by `tieCol` so the sequence is total in both engines). Output: keys ++
+    * attrs ++ (valid_from, valid_to, version, is_current); `valid_to` is
+    * the next version's start, null while current.
+    *
+    * Scale: two windows over the SAME (keys) partitioning — the second
+    * reuses the first's exchange, so the whole op is one shuffle of the
+    * observation stream. No joins.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+      attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changed = attrs
+      .map(a => lag(col(a), 1).over(w).isNull || lag(col(a), 1).over(w) =!= col(a))
+      .reduce(_ || _)
+    val versions = df
+      .withColumn("_new_version", changed)
+      .filter(col("_new_version"))
+    val wv = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    versions
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select((keys ++ attrs).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("version"), col("is_current")): _*)
+  }
+
+  /** DuckDB twin of `scd2` over `table` (same window semantics). */
+  def scd2Sql(table: String, keys: Seq[String], tsCol: String, tieCol: String,
+      attrs: Seq[String], pred: String = "TRUE"): String = {
+    val k = keys.mkString(", ")
+    val order = s"$tsCol ASC, $tieCol ASC"
+    val changed = attrs
+      .map(a => s"(LAG($a) OVER (PARTITION BY $k ORDER BY $order) IS NULL OR " +
+        s"LAG($a) OVER (PARTITION BY $k ORDER BY $order) <> $a)")
+      .mkString(" OR ")
+    val cols = (keys ++ attrs).mkString(", ")
+    s"""WITH flagged AS (
+       |  SELECT *, ($changed) AS new_version
+       |  FROM $table WHERE $pred),
+       |versions AS (SELECT * FROM flagged WHERE new_version)
+       |SELECT $cols,
+       |  $tsCol AS valid_from,
+       |  LEAD($tsCol) OVER (PARTITION BY $k ORDER BY $order) AS valid_to,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY $k ORDER BY $order) AS BIGINT) AS version,
+       |  CAST(LEAD($tsCol) OVER (PARTITION BY $k ORDER BY $order) IS NULL AS BIGINT) AS is_current
+       |FROM versions""".stripMargin
+  }
 }

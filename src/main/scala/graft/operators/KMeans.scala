@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Distributed Lloyd's k-means over embedding columns, built so the full
+  * iteration — centroid means AND nearest-centroid assignment — is
+  * bit-identical across engines (the DuckDB oracle replays the exact same
+  * computation and hash-matches the assignments):
+  *
+  *  - Vectors are quantized to exact fixed-point longs (`floor(v*1000+0.5)`,
+  *    explicit floor form so no engine's round-tie semantics is involved).
+  *    Centroid SUM/COUNT is then exact integer arithmetic — double sums of
+  *    floats, whose value depends on partition order, never occur.
+  *  - Centroid components are `CAST(sum AS DOUBLE)/CAST(n AS DOUBLE)` —
+  *    one deterministic double op on exact ints.
+  *  - Squared-Euclidean distance is a left fold seeded at 0.0 in ascending
+  *    dimension order; the oracle emits the identical parenthesis tree, so
+  *    IEEE addition order matches term for term.
+  *  - Arg-min scans clusters in ascending id with strict `<`, equivalent to
+  *    `ROW_NUMBER() OVER (ORDER BY dist, cluster)` — ties (exactly equal
+  *    doubles) break identically.
+  *
+  * Init seeds cluster j with the j-th CONTIGUOUS id block
+  * (`id DIV ceil((max_id+1)/k)`, exact integer math, one tiny max-agg —
+  * no global sort). Striped `id % k` init makes every seed centroid the
+  * global mean (they collapse and clusters starve); contiguous blocks give
+  * distinct seeds whenever ids correlate with content locality, and are
+  * never worse than random partition when they don't. Ids must be ≥ 0.
+  *
+  * Scale notes (100 TB): each iteration is ONE shuffle — the centroid
+  * aggregation (k × dim longs, map-side combined) — followed by a broadcast
+  * of a single collected-list row (k × dim doubles) and a narrow arg-min
+  * projection. No n×k row blowup, no window, no driver collect; this is the
+  * MLlib iteration shape expressed declaratively. The per-row distance fold
+  * uses higher-order functions (interpreted, not codegen) — linear in
+  * n·k·dim; a codegen'd variant would embed driver-collected centroids in a
+  * DotProductConst-style loop expression at the cost of a collect per
+  * iteration.
+  */
+object KMeans {
+
+  /** Exact fixed-point (1e-3) quantization of a float-array column. */
+  def quantize(vecCol: Column): Column =
+    transform(vecCol, v => floor(v.cast("double") * 1000.0 + 0.5).cast("long"))
+
+  def quantizeSql(vecCol: String): String =
+    s"list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+
+  /** Deterministic squared-Euclidean distance between the quantized vector
+    * (as doubles) and a centroid array: left fold from 0.0, ascending dims.
+    */
+  private def distSq(qd: Column, cent: Column): Column =
+    aggregate(zip_with(qd, cent, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** The oracle's identical parenthesis tree: (((0.0 + t1) + t2) + ...). */
+  private def distSqSql(q: String, cent: String, dim: Int): String =
+    (1 to dim).foldLeft("0.0") { (acc, i) =>
+      val t = s"(CAST($q[$i] AS DOUBLE) - $cent[$i]) * (CAST($q[$i] AS DOUBLE) - $cent[$i])"
+      s"($acc + $t)"
+    }
+
+  /** Final cluster assignment after `iters` Lloyd iterations.
+    * Output: (vec_id, cluster).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, s"k=$k and iters=$iters must be positive")
+    val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+    val mx = df.agg(max(col(idCol)).as("mx"))
+    var assigned = base
+      .crossJoin(broadcast(mx))
+      .withColumn("cluster", expr(s"vec_id DIV ((mx + $k) DIV $k)").cast("long"))
+      .select(col("vec_id"), col("q"), col("cluster"))
+    for (_ <- 1 to iters) {
+      val cents = assigned
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("q"), i + 1))): _*).as("s"))
+        .select(col("cluster"),
+          transform(col("s"), s => s.cast("double") / col("n").cast("double")).as("cent"))
+      // all (nonempty-cluster) centroids as ONE broadcast row, cluster-sorted
+      // so the arg-min fold scans ascending ids in both engines
+      val one = cents
+        .agg(sort_array(collect_list(struct(col("cluster"), col("cent")))).as("cents"))
+      assigned = base
+        .crossJoin(broadcast(one))
+        .withColumn("qd", transform(col("q"), x => x.cast("double")))
+        .withColumn("best", aggregate(col("cents"),
+          struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cluster")),
+          (best, c) => {
+            val d = distSq(col("qd"), c.getField("cent"))
+            when(d < best.getField("dist"),
+              struct(d.as("dist"), c.getField("cluster").as("cluster")))
+              .otherwise(best)
+          }))
+        .select(col("vec_id"), col("q"), col("best").getField("cluster").as("cluster"))
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
+  /** Oracle CTE chain ending in a relation `<out>` = (vec_id, q, cluster)
+    * after `iters` iterations (ROW_NUMBER arg-min ≡ the strict-less fold).
+    */
+  private def assignCtes(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""base AS (
+         |  SELECT $idCol AS vec_id, ${quantizeSql(vecCol)} AS q FROM $table),
+         |assign0 AS (
+         |  SELECT vec_id, q,
+         |    CAST(vec_id // ((mx + $k) // $k) AS BIGINT) AS cluster
+         |  FROM base CROSS JOIN (SELECT MAX(vec_id) AS mx FROM base))""".stripMargin)
+    val sums = (1 to dim).map(i => s"SUM(q[$i])").mkString("[", ", ", "]")
+    for (j <- 1 to iters) {
+      sb.append(
+        s""",
+           |cents$j AS (
+           |  SELECT cluster, COUNT(*) AS n, $sums AS s
+           |  FROM assign${j - 1} GROUP BY cluster),
+           |centd$j AS (
+           |  SELECT cluster, list_transform(s, x -> CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) AS cent
+           |  FROM cents$j),
+           |scored$j AS (
+           |  SELECT v.vec_id, v.q, c.cluster,
+           |    ${distSqSql("v.q", "c.cent", dim)} AS dist
+           |  FROM base v CROSS JOIN centd$j c),
+           |assign$j AS (
+           |  SELECT vec_id, q, cluster FROM (
+           |    SELECT vec_id, q, cluster,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+           |    FROM scored$j) WHERE rn = 1)""".stripMargin)
+    }
+    (sb.toString, s"assign$iters")
+  }
+
+  def assignSql(table: String, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): String = {
+    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k, iters)
+    s"WITH $ctes\nSELECT vec_id, cluster FROM $out"
+  }
+
+  /** SemDeDup-style semantic dedup: k-means clusters bound the candidate
+    * pairs, then any row within cosine `threshold` of a LOWER-id row in the
+    * SAME cluster is dropped. Output: kept (idCol, cluster).
+    *
+    * Scale: the pair join is an equi-join on cluster id — within-cluster
+    * quadratic only (that bound is the point of clustering first; raise k
+    * to shrink clusters). Cosine reuses the codegen'd DotProductFloat.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val asg = assign(df, idCol, vecCol, dim, k, iters)
+      .withColumnRenamed("vec_id", "id")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", VectorFns.norm(col("vec"), dim))
+      .join(asg, Seq("id"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("a.vec"), col("b.vec"), dim), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos_sim") >= threshold)
+    val dropped = pairs.select(col("b.id").as("id")).distinct()
+    v.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  def semanticDedupSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, threshold: Double): String = {
+    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k, iters)
+    s"""WITH $ctes,
+       |v AS (
+       |  SELECT t.$idCol AS id, t.$vecCol AS vec,
+       |         ${VectorFns.normSql(s"t.$vecCol", dim)} AS nrm, a.cluster
+       |  FROM $table t JOIN $out a ON t.$idCol = a.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT b.id FROM v a JOIN v b
+       |    ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $threshold)
+       |SELECT v.id AS $idCol, v.cluster FROM v
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = v.id)""".stripMargin
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{KMeans, Similarity}
 import graft.util.Tables
 
 /** Similarity-search queries over `embeddings` (64-dim float vectors):
@@ -77,5 +77,23 @@ object EmbeddingQueries {
         NearDupThreshold, NumPlanes),
       Some(Similarity.lshNearDupPairsSql("embeddings", "vec_id", "embedding",
         Dim, NearDupThreshold, NumPlanes))),
+
+    // Distributed Lloyd's k-means (2 iterations, id%k seed): assignment is
+    // bit-identical across engines via integer-quantized vectors + exact
+    // fold-ordered distances — the oracle replays the full iteration.
+    Q("e07_kmeans_assign",
+      (s, dir) => KMeans.assign(Tables(s, dir).embeddings,
+        "vec_id", "embedding", Dim, k = 8, iters = 2),
+      Some(KMeans.assignSql("embeddings", "vec_id", "embedding",
+        Dim, k = 8, iters = 2))),
+
+    // SemDeDup: k-means clusters bound the candidate pairs, then cosine
+    // near-dups within each cluster are dropped keep-lowest-id.
+    Q("e08_semantic_dedup",
+      (s, dir) => KMeans.semanticDedup(Tables(s, dir).embeddings,
+        "vec_id", "embedding", Dim, k = 8, iters = 2,
+        threshold = NearDupThreshold),
+      Some(KMeans.semanticDedupSql("embeddings", "vec_id", "embedding",
+        Dim, k = 8, iters = 2, threshold = NearDupThreshold))),
   )
 }

@@ -208,5 +208,20 @@ object EventQueries {
       Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
               |  COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM events GROUP BY 1""".stripMargin)),
+
+    // SCD Type-2 history: per-user event_type transitions become validity
+    // intervals [valid_from, valid_to) with a version sequence — the
+    // change-data-capture shape of the reference's "only re-scrape when the
+    // page changed" contract, expressed relationally.
+    Q("s10_scd2_history",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ingest.Upsert.scd2(
+          t.events.filter(col("user_id") < 50),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          attrs = Seq("event_type"))
+      },
+      Some(graft.ingest.Upsert.scd2Sql("events", Seq("user_id"), "ts",
+        "event_id", Seq("event_type"), pred = "user_id < 50"))),
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.KMeans
+
+class KMeansSpec extends SparkSpec {
+
+  private val dim = 4
+
+  /** Three well-separated blobs around (±10, 0) and (0, 10) in the first
+    * two dims, 20 points each, deterministic offsets.
+    */
+  private def blobs() = {
+    val centers = Seq(Array(10f, 0f, 0f, 0f), Array(-10f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f))
+    val rows = for {
+      (c, b) <- centers.zipWithIndex
+      i <- 0 until 20
+    } yield Row((b * 20 + i).toLong,
+      c.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5 - 2) * 0.1f })
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("kmeans separates well-separated blobs into pure clusters") {
+    val asg = KMeans.assign(blobs(), "vec_id", "embedding", dim, k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.size == 60)
+    // every blob's 20 members share one label, and the three labels differ
+    val labels = (0 until 3).map { b =>
+      val ls = (0 until 20).map(i => asg((b * 20 + i).toLong)).distinct
+      assert(ls.size == 1, s"blob $b split across clusters $ls")
+      ls.head
+    }
+    assert(labels.distinct.size == 3)
+  }
+
+  test("kmeans assignment is deterministic across runs") {
+    val df = blobs()
+    val a = KMeans.assign(df, "vec_id", "embedding", dim, 3, 2).collect().toSeq
+    val b = KMeans.assign(df, "vec_id", "embedding", dim, 3, 2).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+
+  test("kmeans survives emptied clusters (k > natural clusters)") {
+    // k=10 over 3 blobs: some clusters lose all members after iteration 1;
+    // the op must still assign every row to a surviving centroid
+    val asg = KMeans.assign(blobs(), "vec_id", "embedding", dim, k = 10, iters = 3)
+    assert(asg.count() == 60)
+    assert(asg.filter(col("cluster") < 0).count() == 0)
+  }
+
+  test("semanticDedup keeps the lowest id of each near-dup set and all singletons") {
+    // two identical vectors (1,2) plus one distant vector — drop id 2 only
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, Array(1f, 0f, 0f, 0f)),
+      Row(2L, Array(1f, 0f, 0f, 0f)),
+      Row(3L, Array(0f, 5f, 0f, 0f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val kept = KMeans.semanticDedup(df, "vec_id", "embedding", dim,
+      k = 2, iters = 2, threshold = 0.9).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+}
