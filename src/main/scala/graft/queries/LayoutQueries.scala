@@ -67,5 +67,30 @@ object LayoutQueries {
               |  CAST(SUM(${sqlDec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Partition pruning: events laid out hive-partitioned by ingest_date
+    // (the daily-sink layout every incremental pipeline lands on); a
+    // single-day query must touch ONE partition directory — the scan's
+    // PartitionFilters prune the other ~29 days at planning time, the
+    // file-listing analog of reading 1/30th of 100 TB (plan-asserted in
+    // PlanShapeSpec).
+    Q("b02_partition_pruned_day",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"g_events_bydate_${tag(dir)}").toString
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+          t.events.withColumn("ingest_date", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("ingest_date").parquet(root)
+        s.read.parquet(root)
+          .filter(col("ingest_date") === lit("2024-01-15").cast("date"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+              |GROUP BY event_type""".stripMargin)),
   )
 }

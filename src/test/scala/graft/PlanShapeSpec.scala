@@ -96,4 +96,17 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("b02: single-day query prunes to ONE date partition at planning time") {
+    val df = q("b02_partition_pruned_day")
+    df.count() // materialize (also writes the layout on first run)
+    val scan = planOf(df).toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("2024-01-15"), scan)
+    // the scan's partition count is 1 of ~30 days
+    val pruned = "partition count: (\\d+)".r.findFirstMatchIn(
+      planOf(df).toString + scan)
+    pruned.foreach(m => assert(m.group(1).toInt == 1, scan))
+  }
 }
