@@ -77,6 +77,14 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: join each micro-batch against a (small)
+    * static dimension relation. The static side is re-planned per batch —
+    * broadcast when under the threshold — so dim updates between batches
+    * are picked up and the stream side never shuffles for the join.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** ST1/ST2: checkpointed, idempotent streaming ingest — the EP2 loop as a
     * streaming query. Reads parquet files landing under `srcDir`, stamps the
     * ingestion run id, and appends to a date-partitioned parquet sink via

@@ -124,6 +124,23 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrich joins each micro-batch against the dim broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(in.toDF(), dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    in.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 2, "b", 2.0),
+      Ev(3, ts(2), 9, "c", 3.0)) // user 9 has no dim row -> null tier
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("stream-stream interval join attributes views to clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
