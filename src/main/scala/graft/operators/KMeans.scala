@@ -31,14 +31,13 @@ import graft.functions.VectorFns
   * never worse than random partition when they don't. Ids must be ≥ 0.
   *
   * Scale notes (100 TB): each iteration is ONE shuffle — the centroid
-  * aggregation (k × dim longs, map-side combined) — followed by a broadcast
-  * of a single collected-list row (k × dim doubles) and a narrow arg-min
-  * projection. No n×k row blowup, no window, no driver collect; this is the
-  * MLlib iteration shape expressed declaratively. The per-row distance fold
-  * uses higher-order functions (interpreted, not codegen) — linear in
-  * n·k·dim; a codegen'd variant would embed driver-collected centroids in a
-  * DotProductConst-style loop expression at the cost of a collect per
-  * iteration.
+  * aggregation (k × dim longs, map-side combined) — whose k-row result is
+  * collected to the driver (k × dim doubles, the same tiny driver round-trip
+  * MLlib's Lloyd iteration makes) and embedded as constants in a
+  * fully-codegen'd narrow arg-min projection (QuantizedDistConst loop per
+  * cluster — the unrolled k × dim literal chain would blow Janino's method
+  * limits). No n×k row blowup, no window; assignment cost is n·k·dim
+  * multiply-adds inside whole-stage codegen.
   */
 object KMeans {
 
@@ -49,57 +48,59 @@ object KMeans {
   def quantizeSql(vecCol: String): String =
     s"list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
 
-  /** Deterministic squared-Euclidean distance between the quantized vector
-    * (as doubles) and a centroid array: left fold from 0.0, ascending dims.
+  /** The oracle's parenthesis tree — (((0.0 + t1) + t2) + ...) — which
+    * QuantizedDistConst's codegen loop reproduces bit-for-bit.
     */
-  private def distSq(qd: Column, cent: Column): Column =
-    aggregate(zip_with(qd, cent, (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, t) => acc + t)
-
-  /** The oracle's identical parenthesis tree: (((0.0 + t1) + t2) + ...). */
   private def distSqSql(q: String, cent: String, dim: Int): String =
     (1 to dim).foldLeft("0.0") { (acc, i) =>
       val t = s"(CAST($q[$i] AS DOUBLE) - $cent[$i]) * (CAST($q[$i] AS DOUBLE) - $cent[$i])"
       s"($acc + $t)"
     }
 
+  /** Nearest-centroid expression over staged distance columns: strict-less
+    * first-min scan in ascending cluster order (≡ ROW_NUMBER ORDER BY dist,
+    * cluster). `cents` must be (clusterId, centroid) sorted by clusterId.
+    */
+  private def argmin(q: Column, cents: Seq[(Long, Array[Double])]): Column = {
+    val dists = cents.map { case (_, c) => graft.plans.QuantizedDistConst(q, c) }
+    val mn = dists match {
+      case Seq(only) => only
+      case ds => least(ds: _*)
+    }
+    cents.map(_._1).zip(dists).foldRight(lit(cents.last._1)) {
+      case ((cid, d), els) => when(d === mn, lit(cid)).otherwise(els)
+    }.cast("long")
+  }
+
   /** Final cluster assignment after `iters` Lloyd iterations.
     * Output: (vec_id, cluster).
+    *
+    * Each iteration: one shuffled centroid aggregation (k × dim exact long
+    * sums, map-side combined) whose k-row result is collected to the driver
+    * (k × dim doubles — the MLlib iteration shape), then a fully-codegen'd
+    * narrow arg-min projection with the centroids embedded as constants
+    * (QuantizedDistConst loops). Nothing but k rows ever leaves executors.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"k=$k and iters=$iters must be positive")
     val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
-    val mx = df.agg(max(col(idCol)).as("mx"))
-    var assigned = base
-      .crossJoin(broadcast(mx))
-      .withColumn("cluster", expr(s"vec_id DIV ((mx + $k) DIV $k)").cast("long"))
-      .select(col("vec_id"), col("q"), col("cluster"))
+    val mx = df.agg(max(col(idCol))).head().getLong(0)
+    var clusterOf: Column = expr(s"vec_id DIV ${(mx + k) / k}").cast("long")
     for (_ <- 1 to iters) {
-      val cents = assigned
+      val cents = base
+        .withColumn("cluster", clusterOf)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i => sum(element_at(col("q"), i + 1))): _*).as("s"))
         .select(col("cluster"),
           transform(col("s"), s => s.cast("double") / col("n").cast("double")).as("cent"))
-      // all (nonempty-cluster) centroids as ONE broadcast row, cluster-sorted
-      // so the arg-min fold scans ascending ids in both engines
-      val one = cents
-        .agg(sort_array(collect_list(struct(col("cluster"), col("cent")))).as("cents"))
-      assigned = base
-        .crossJoin(broadcast(one))
-        .withColumn("qd", transform(col("q"), x => x.cast("double")))
-        .withColumn("best", aggregate(col("cents"),
-          struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cluster")),
-          (best, c) => {
-            val d = distSq(col("qd"), c.getField("cent"))
-            when(d < best.getField("dist"),
-              struct(d.as("dist"), c.getField("cluster").as("cluster")))
-              .otherwise(best)
-          }))
-        .select(col("vec_id"), col("q"), col("best").getField("cluster").as("cluster"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      clusterOf = argmin(col("q"), cents.toIndexedSeq)
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    base.select(col("vec_id"), clusterOf.as("cluster"))
   }
 
   /** Oracle CTE chain ending in a relation `<out>` = (vec_id, q, cluster)

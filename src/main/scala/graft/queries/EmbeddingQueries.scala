@@ -83,17 +83,17 @@ object EmbeddingQueries {
     // fold-ordered distances — the oracle replays the full iteration.
     Q("e07_kmeans_assign",
       (s, dir) => KMeans.assign(Tables(s, dir).embeddings,
-        "vec_id", "embedding", Dim, k = 8, iters = 2),
+        "vec_id", "embedding", Dim, k = 32, iters = 2),
       Some(KMeans.assignSql("embeddings", "vec_id", "embedding",
-        Dim, k = 8, iters = 2))),
+        Dim, k = 32, iters = 2))),
 
     // SemDeDup: k-means clusters bound the candidate pairs, then cosine
     // near-dups within each cluster are dropped keep-lowest-id.
     Q("e08_semantic_dedup",
       (s, dir) => KMeans.semanticDedup(Tables(s, dir).embeddings,
-        "vec_id", "embedding", Dim, k = 8, iters = 2,
+        "vec_id", "embedding", Dim, k = 32, iters = 2,
         threshold = NearDupThreshold),
       Some(KMeans.semanticDedupSql("embeddings", "vec_id", "embedding",
-        Dim, k = 8, iters = 2, threshold = NearDupThreshold))),
+        Dim, k = 32, iters = 2, threshold = NearDupThreshold))),
   )
 }
