@@ -57,19 +57,24 @@ object KMeans {
       s"($acc + $t)"
     }
 
-  /** Nearest-centroid expression over staged distance columns: strict-less
-    * first-min scan in ascending cluster order (≡ ROW_NUMBER ORDER BY dist,
-    * cluster). `cents` must be (clusterId, centroid) sorted by clusterId.
+  /** (vec_id, q, cluster) frame assigning each row to its nearest centroid:
+    * distances are STAGED as real columns (each QuantizedDistConst loop
+    * compiles and evaluates once), then a first-min scan in ascending
+    * cluster order picks the label (≡ ROW_NUMBER ORDER BY dist, cluster).
+    * `cents` must be (clusterId, centroid) sorted by clusterId.
     */
-  private def argmin(q: Column, cents: Seq[(Long, Array[Double])]): Column = {
-    val dists = cents.map { case (_, c) => graft.plans.QuantizedDistConst(q, c) }
-    val mn = dists match {
-      case Seq(only) => only
-      case ds => least(ds: _*)
-    }
-    cents.map(_._1).zip(dists).foldRight(lit(cents.last._1)) {
+  private def assignNearest(base: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val staged = base.select(col("vec_id") +: col("q") +:
+      cents.zipWithIndex.map { case ((_, c), i) =>
+        graft.plans.QuantizedDistConst(col("q"), c).as(s"_d$i")
+      }: _*)
+    val dists = cents.indices.map(i => col(s"_d$i"))
+    val mn = if (dists.size == 1) dists.head else least(dists: _*)
+    val cluster = cents.map(_._1).zip(dists).foldRight(lit(cents.last._1)) {
       case ((cid, d), els) => when(d === mn, lit(cid)).otherwise(els)
     }.cast("long")
+    staged.select(col("vec_id"), col("q"), cluster.as("cluster"))
   }
 
   /** Final cluster assignment after `iters` Lloyd iterations.
@@ -86,10 +91,10 @@ object KMeans {
     require(k > 0 && iters >= 1, s"k=$k and iters=$iters must be positive")
     val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
     val mx = df.agg(max(col(idCol))).head().getLong(0)
-    var clusterOf: Column = expr(s"vec_id DIV ${(mx + k) / k}").cast("long")
+    var assigned = base
+      .withColumn("cluster", expr(s"vec_id DIV ${(mx + k) / k}").cast("long"))
     for (_ <- 1 to iters) {
-      val cents = base
-        .withColumn("cluster", clusterOf)
+      val cents = assigned
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i => sum(element_at(col("q"), i + 1))): _*).as("s"))
@@ -98,9 +103,9 @@ object KMeans {
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1)
-      clusterOf = argmin(col("q"), cents.toIndexedSeq)
+      assigned = assignNearest(base, cents.toIndexedSeq)
     }
-    base.select(col("vec_id"), clusterOf.as("cluster"))
+    assigned.select(col("vec_id"), col("cluster"))
   }
 
   /** Oracle CTE chain ending in a relation `<out>` = (vec_id, q, cluster)
