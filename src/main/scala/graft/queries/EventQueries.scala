@@ -223,5 +223,21 @@ object EventQueries {
       },
       Some(graft.ingest.Upsert.scd2Sql("events", Seq("user_id"), "ts",
         "event_id", Seq("event_type"), pred = "user_id < 50"))),
+
+    // Skew-salted two-phase aggregation on the hot low-cardinality key
+    // (event_type): phase 1 spreads each key across 16 salted partials so
+    // no reducer owns a whole hot key, phase 2 merges 16 rows per key.
+    // Decimal partials keep the merge exact, so the result hash-matches the
+    // single-phase oracle.
+    Q("q35_salted_skew_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.util.Skew.saltedSumCount(t.events, col("event_type"),
+            col("event_id"), Num.dec(col("value")), salts = 16)
+          .select(col("key").as("event_type"),
+            col("sum").cast("double").as("sum_value"), col("n"))
+      },
+      Some(s"""SELECT event_type, ${sqlSumd("value")} AS sum_value, COUNT(*) AS n
+              |FROM events GROUP BY 1""".stripMargin)),
   )
 }

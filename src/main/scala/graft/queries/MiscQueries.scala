@@ -382,5 +382,17 @@ object MiscQueries {
               |  END AS est_parts,
               |  n_distinct_hashes
               |FROM counts LEFT JOIN kth USING (l_returnflag)""".stripMargin)),
+
+    // Column-level data profiling (ANALYZE-TABLE shape): one pass computes
+    // every column's row/null/distinct counts and min/max; numeric and
+    // string extremes live in separate typed columns so no
+    // engine-dependent number formatting enters the hash.
+    Q("p01_profile_orders",
+      (s, dir) => graft.operators.Profiler.profile(Tables(s, dir).orders,
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority")),
+      Some(graft.operators.Profiler.profileSql("orders",
+        Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_orderstatus", "o_orderpriority")))),
   )
 }
