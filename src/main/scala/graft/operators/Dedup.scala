@@ -285,7 +285,7 @@ object Dedup {
     */
   private val MinhashP = 4294967311L
 
-  private[operators] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+  private[graft] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
     val r = new java.util.Random(0x5DEECE66DL)
     Seq.fill(k)((r.nextInt((1 << 30) - 1).toLong + 1L, r.nextInt(1 << 30).toLong))
   }
