@@ -35,6 +35,28 @@ object Multimodal {
       dims.getField("height").as("height")))
   }
 
+  /** Typed audio metadata from a binary column: real WAV/RIFF header parse
+    * (channels / sample rate / bits / data bytes; null for non-WAV) plus a
+    * derived duration_ms — exact integer arithmetic so both engines agree.
+    */
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val wav = graft.plans.AudioMeta(col(binCol))
+    // exact-int byte rate: sample_rate * channels * (bits DIV 8)
+    val bytesPerSec = wav.getField("sample_rate") *
+      wav.getField("channels").cast("long") *
+      floor(wav.getField("bits").cast("double") / 8.0).cast("long")
+    df.withColumn("audio_meta", struct(
+      wav.getField("format").as("format"),
+      wav.getField("channels").as("channels"),
+      wav.getField("sample_rate").as("sample_rate"),
+      wav.getField("bits").as("bits"),
+      wav.getField("data_bytes").as("data_bytes"),
+      // deterministic double division of exact ints, mirrored in the oracle
+      when(bytesPerSec > 0,
+        (wav.getField("data_bytes") * 1000L).cast("double") /
+          bytesPerSec.cast("double")).as("duration_ms")))
+  }
+
   /** Batched feature extraction over (id, bytes) pairs — the inference-UDF
     * shape: rows stream through mapPartitions in fixed-size batches and the
     * per-batch "model" (STUB: hash-derived float vector) runs once per batch.

@@ -92,6 +92,48 @@ object MediaSql {
        |)""".stripMargin
   }
 
+  def le16(h: String, pos: String): String =
+    s"(${byteAt(h, pos)} + ${byteAt(h, s"($pos)+1")}*256)"
+
+  /** Unsigned little-endian int32 at byte expression `pos`. */
+  def le32u(h: String, pos: String): String =
+    s"(${byteAt(h, pos)} + ${byteAt(h, s"($pos)+1")}*256" +
+      s" + ${byteAt(h, s"($pos)+2")}*65536 + ${byteAt(h, s"($pos)+3")}*16777216)"
+
+  /** The WAV (RIFF) chunk walk of `graft.plans.WavHeaders` as recursive-CTE
+    * SQL over `src(key, h, n)`; emits `wscan` and `wavmeta(key, format,
+    * channels, sample_rate, bits, data_bytes)`. Latch-first `fmt ` (size ≥
+    * 16, fully readable) and `data` sizes; chunks advance 8 + size + pad.
+    */
+  def wavCtes(src: String): String =
+    s"""wscan AS (
+       |  SELECT key, h, n, CAST(12 AS BIGINT) AS pos,
+       |    CAST(NULL AS BIGINT) AS fmtpos, CAST(NULL AS BIGINT) AS databytes
+       |  FROM $src
+       |  WHERE n >= 12 AND substr(h,1,8) = '52494646' AND substr(h,17,8) = '57415645'
+       |  UNION ALL
+       |  SELECT key, h, n, pos + 8 + size + (size % 2) AS pos,
+       |    CASE WHEN cid = '666D7420' AND fmtpos IS NULL AND size >= 16
+       |              AND pos + 24 <= n THEN pos ELSE fmtpos END AS fmtpos,
+       |    CASE WHEN cid = '64617461' AND databytes IS NULL THEN size
+       |         ELSE databytes END AS databytes
+       |  FROM (
+       |    SELECT key, h, n, pos, fmtpos, databytes,
+       |      substr(h, 2*pos+1, 8) AS cid, ${le32u("h", "pos+4")} AS size
+       |    FROM wscan WHERE pos + 8 <= n)
+       |),
+       |wavmeta AS (
+       |  SELECT key, 'wav' AS format,
+       |    CAST(${le16("h", "fmtpos+10")} AS INTEGER) AS channels,
+       |    CAST(${le32u("h", "fmtpos+12")} AS BIGINT) AS sample_rate,
+       |    CAST(${le16("h", "fmtpos+22")} AS INTEGER) AS bits,
+       |    CAST(databytes AS BIGINT) AS data_bytes
+       |  FROM (
+       |    SELECT key, h, MAX(fmtpos) AS fmtpos, MAX(databytes) AS databytes
+       |    FROM wscan GROUP BY key, h)
+       |  WHERE fmtpos IS NOT NULL
+       |)""".stripMargin
+
   /** Full dims relation over `src(key, h, n)`: one row per key that parses,
     * columns (key, format, w, h_px). Combine with a LEFT JOIN for nulls.
     * `includeJpeg = false` drops the recursive scan for inputs that provably

@@ -21,9 +21,9 @@ object MultimodalQueries {
     * jar under `<root>/target/bg-jobs`, so the jar location anchors the
     * repo); else the CWD-relative source path.
     */
-  lazy val fixturePath: String = {
+  def fixturePath(file: String): String = {
     import java.nio.file.{Files, Paths}
-    val rel = "graft/fixtures/images.parquet"
+    val rel = s"graft/fixtures/$file"
     val url = getClass.getResource("/" + rel)
     val fromClasspath = Option(url).filter(_.getProtocol == "file")
       .map(u => Paths.get(u.toURI))
@@ -40,6 +40,9 @@ object MultimodalQueries {
     require(Files.exists(path), s"fixture missing: $path")
     path.toString
   }
+
+  lazy val imageFixturePath: String = fixturePath("images.parquet")
+  lazy val audioFixturePath: String = fixturePath("audio.parquet")
 
   val all: Seq[Q] = Seq(
     // Binary metadata extraction over arbitrary payloads: byte length,
@@ -75,7 +78,7 @@ object MultimodalQueries {
     // the DuckDB mirror of the same byte arithmetic.
     Q("mm03_image_dims",
       (s, _) => {
-        val imgs = s.read.parquet(fixturePath)
+        val imgs = s.read.parquet(imageFixturePath)
         Multimodal.withMediaMeta(imgs, "payload")
           .select(col("name"),
             col("media_meta.byte_len").as("byte_len"),
@@ -88,13 +91,42 @@ object MultimodalQueries {
       },
       Some(s"""WITH RECURSIVE imgs AS (
              |  SELECT name, payload, hex(payload) AS h, octet_length(payload) AS n
-             |  FROM read_parquet('$fixturePath')),
+             |  FROM read_parquet('$imageFixturePath')),
              |src AS (SELECT name AS key, h, n FROM imgs),
              |${MediaSql.dimsCtes("src")}
              |SELECT i.name, CAST(i.n AS BIGINT) AS byte_len,
              |  md5(i.h) AS content_hash, d.format AS format,
              |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
              |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin)),
+
+    // Real audio decode over committed hand-built RIFF/WAVE bytes: the
+    // chunk walk (LIST/junk chunks skipped, pad bytes honored) latches
+    // fmt/data, yielding channels/rate/bits/duration; negatives (fmt-less
+    // RIFF, truncation, noise) must be null in BOTH engines.
+    Q("mm04_audio_meta",
+      (s, _) => {
+        val wavs = s.read.parquet(audioFixturePath)
+        Multimodal.withAudioMeta(wavs, "payload")
+          .select(col("name"),
+            col("audio_meta.format").as("format"),
+            col("audio_meta.channels").as("channels"),
+            col("audio_meta.sample_rate").as("sample_rate"),
+            col("audio_meta.bits").as("bits"),
+            col("audio_meta.data_bytes").as("data_bytes"),
+            col("audio_meta.duration_ms").as("duration_ms"))
+      },
+      Some(s"""WITH RECURSIVE wavs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$audioFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM wavs),
+             |${MediaSql.wavCtes("src")}
+             |SELECT w.name, m.format, m.channels, m.sample_rate, m.bits,
+             |  CAST(m.data_bytes AS BIGINT) AS data_bytes,
+             |  CASE WHEN m.sample_rate * m.channels * (m.bits // 8) > 0
+             |       THEN CAST(m.data_bytes * 1000 AS DOUBLE) /
+             |            CAST(m.sample_rate * m.channels * (m.bits // 8) AS DOUBLE)
+             |  END AS duration_ms
+             |FROM wavs w LEFT JOIN wavmeta m ON m.key = w.name""".stripMargin)),
 
     // Frame sampling: 16-byte frames, every 4th frame, per-frame hash.
     Q("mm02_frame_sample",

@@ -50,7 +50,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("committed fixture parquet decodes to the rendered dimensions") {
-    val imgs = spark.read.parquet(graft.queries.MultimodalQueries.fixturePath)
+    val imgs = spark.read.parquet(graft.queries.MultimodalQueries.imageFixturePath)
     val got = Multimodal.withMediaMeta(imgs, "payload")
       .select(col("name"), col("media_meta.format"),
         col("media_meta.width"), col("media_meta.height"))
@@ -78,6 +78,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(1L).length == 8)
     // batch size must not change results
     assert(f1(1L).toSeq == f2(1L).toSeq && f1(2L).toSeq == f2(2L).toSeq)
+  }
+
+  test("WavHeaders agrees with a WAV written by the JDK's own audio encoder") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val channels = 2; val rate = 22050f; val bits = 16; val frames = 500
+    val pcm = Array.tabulate[Byte](frames * channels * bits / 8)(i => (i % 127).toByte)
+    val fmt = new AudioFormat(rate, bits, channels, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val row = graft.plans.WavHeaders.parseRow(bos.toByteArray)
+    assert(row != null)
+    assert(row.getInt(1) == channels)
+    assert(row.getLong(2) == 22050L)
+    assert(row.getInt(3) == bits)
+    assert(row.getLong(4) == pcm.length.toLong)
   }
 
   test("sampleFrames slices fixed-size frames with a stride") {
