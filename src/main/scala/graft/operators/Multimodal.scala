@@ -57,6 +57,20 @@ object Multimodal {
           bytesPerSec.cast("double")).as("duration_ms")))
   }
 
+  /** Typed video metadata from a binary column: real MP4/ISO-BMFF box walk
+    * (mvhd timescale/duration; null for non-MP4) plus derived duration_ms.
+    */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val mp4 = graft.plans.VideoMeta(col(binCol))
+    df.withColumn("video_meta", struct(
+      mp4.getField("format").as("format"),
+      mp4.getField("timescale").as("timescale"),
+      mp4.getField("duration").as("duration"),
+      when(mp4.getField("timescale") > 0,
+        (mp4.getField("duration") * 1000L).cast("double") /
+          mp4.getField("timescale").cast("double")).as("duration_ms")))
+  }
+
   /** Batched feature extraction over (id, bytes) pairs — the inference-UDF
     * shape: rows stream through mapPartitions in fixed-size batches and the
     * per-batch "model" (STUB: hash-derived float vector) runs once per batch.

@@ -134,6 +134,88 @@ object MediaSql {
        |  WHERE fmtpos IS NOT NULL
        |)""".stripMargin
 
+  /** Unsigned big-endian int32 at byte expression `pos`. */
+  def be32u(h: String, pos: String): String =
+    s"(${byteAt(h, pos)}*16777216 + ${byteAt(h, s"($pos)+1")}*65536" +
+      s" + ${byteAt(h, s"($pos)+2")}*256 + ${byteAt(h, s"($pos)+3")})"
+
+  /** Big-endian int64 (sum form; overflows only on adversarial largesize
+    * values with the top bit set — the committed fixtures never carry one).
+    */
+  def be64(h: String, pos: String): String =
+    s"(${be32u(h, pos)}*4294967296 + ${be32u(h, s"($pos)+4")})"
+
+  /** One ISO-BMFF box-walk step over hex `h`: end offset of the box at
+    * `pos` given scan bound `bound` — size 0 ⇒ to bound, size 1 ⇒ 64-bit
+    * largesize (valid when fully readable and ≥ 16), size < 8 ⇒ NULL
+    * (malformed, stops the scan). Mirrors Mp4Headers.boxEnd.
+    */
+  private def boxEndSql(pos: String, bound: String): String =
+    s"""CASE WHEN sz = 0 THEN $bound
+       |     WHEN sz = 1 THEN (CASE WHEN ($pos)+16 <= $bound AND ls >= 16
+       |                            THEN ($pos)+ls END)
+       |     WHEN sz < 8 THEN NULL ELSE ($pos)+sz END""".stripMargin
+
+  /** The MP4 walk of `graft.plans.Mp4Headers` as recursive-CTE SQL over
+    * `src(key, h, n)`: a top-level scan latching `moov`, a moov-children
+    * scan latching `mvhd`, then the version-0/1 timescale+duration read.
+    * Emits CTEs ending in `mp4meta(key, format, timescale, duration)`.
+    */
+  def mp4Ctes(src: String): String = {
+    val Moov = "6D6F6F76"
+    val Mvhd = "6D766864"
+    s"""tscan AS (
+       |  SELECT key, h, n, CAST(0 AS BIGINT) AS pos,
+       |    CAST(NULL AS BIGINT) AS moov, CAST(NULL AS BIGINT) AS moovend
+       |  FROM $src WHERE n >= 12 AND substr(h, 9, 8) = '66747970'
+       |  UNION ALL
+       |  SELECT key, h, n, endpos AS pos,
+       |    CASE WHEN typ = '$Moov' THEN pos ELSE moov END AS moov,
+       |    CASE WHEN typ = '$Moov' THEN LEAST(endpos, n) ELSE moovend END AS moovend
+       |  FROM (
+       |    SELECT key, h, n, pos, moov, moovend, typ,
+       |      ${boxEndSql("pos", "n")} AS endpos
+       |    FROM (
+       |      SELECT key, h, n, pos, moov, moovend,
+       |        substr(h, 2*pos+9, 8) AS typ,
+       |        ${be32u("h", "pos")} AS sz, ${be64("h", "pos+8")} AS ls
+       |      FROM tscan WHERE moov IS NULL AND pos + 8 <= n))
+       |  WHERE endpos IS NOT NULL AND endpos > pos
+       |),
+       |tmoov AS (
+       |  SELECT key, h, n, MAX(moov) AS moov, MAX(moovend) AS moovend
+       |  FROM tscan GROUP BY key, h, n HAVING MAX(moov) IS NOT NULL
+       |),
+       |mscan AS (
+       |  SELECT key, h, n, moovend, moov + 8 AS pos, CAST(NULL AS BIGINT) AS mvhd
+       |  FROM tmoov
+       |  UNION ALL
+       |  SELECT key, h, n, moovend, endpos AS pos,
+       |    CASE WHEN typ = '$Mvhd' THEN pos ELSE mvhd END AS mvhd
+       |  FROM (
+       |    SELECT key, h, n, moovend, pos, mvhd, typ,
+       |      ${boxEndSql("pos", "moovend")} AS endpos
+       |    FROM (
+       |      SELECT key, h, n, moovend, pos, mvhd,
+       |        substr(h, 2*pos+9, 8) AS typ,
+       |        ${be32u("h", "pos")} AS sz, ${be64("h", "pos+8")} AS ls
+       |      FROM mscan WHERE mvhd IS NULL AND pos + 8 <= moovend))
+       |  WHERE endpos IS NOT NULL AND endpos > pos
+       |),
+       |mp4meta AS (
+       |  SELECT key, 'mp4' AS format,
+       |    CASE WHEN ver = 0 THEN ${be32u("h", "mvhd+20")}
+       |         ELSE ${be32u("h", "mvhd+28")} END AS timescale,
+       |    CASE WHEN ver = 0 THEN ${be32u("h", "mvhd+24")}
+       |         ELSE ${be64("h", "mvhd+32")} END AS duration
+       |  FROM (
+       |    SELECT key, h, n, ${byteAt("h", "mvhd+8")} AS ver, mvhd
+       |    FROM (SELECT key, h, n, MAX(mvhd) AS mvhd FROM mscan
+       |          GROUP BY key, h, n HAVING MAX(mvhd) IS NOT NULL))
+       |  WHERE (ver = 0 AND mvhd + 28 <= n) OR (ver = 1 AND mvhd + 40 <= n)
+       |)""".stripMargin
+  }
+
   /** Full dims relation over `src(key, h, n)`: one row per key that parses,
     * columns (key, format, w, h_px). Combine with a LEFT JOIN for nulls.
     * `includeJpeg = false` drops the recursive scan for inputs that provably

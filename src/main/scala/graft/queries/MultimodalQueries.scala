@@ -43,6 +43,7 @@ object MultimodalQueries {
 
   lazy val imageFixturePath: String = fixturePath("images.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
+  lazy val videoFixturePath: String = fixturePath("video.parquet")
 
   val all: Seq[Q] = Seq(
     // Binary metadata extraction over arbitrary payloads: byte length,
@@ -127,6 +128,33 @@ object MultimodalQueries {
              |            CAST(m.sample_rate * m.channels * (m.bits // 8) AS DOUBLE)
              |  END AS duration_ms
              |FROM wavs w LEFT JOIN wavmeta m ON m.key = w.name""".stripMargin)),
+
+    // Real video (MP4/ISO-BMFF) metadata over committed hand-built boxes:
+    // top-level walk to moov (free/largesize/size-0 boxes honored), child
+    // walk to mvhd, version-0/1 timescale+duration; negatives null in BOTH
+    // engines.
+    Q("mm05_video_meta",
+      (s, _) => {
+        val vids = s.read.parquet(videoFixturePath)
+        Multimodal.withVideoMeta(vids, "payload")
+          .select(col("name"),
+            col("video_meta.format").as("format"),
+            col("video_meta.timescale").as("timescale"),
+            col("video_meta.duration").as("duration"),
+            col("video_meta.duration_ms").as("duration_ms"))
+      },
+      Some(s"""WITH RECURSIVE vids AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$videoFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM vids),
+             |${MediaSql.mp4Ctes("src")}
+             |SELECT v.name, m.format,
+             |  CAST(m.timescale AS BIGINT) AS timescale,
+             |  CAST(m.duration AS BIGINT) AS duration,
+             |  CASE WHEN m.timescale > 0
+             |       THEN CAST(m.duration * 1000 AS DOUBLE) / CAST(m.timescale AS DOUBLE)
+             |  END AS duration_ms
+             |FROM vids v LEFT JOIN mp4meta m ON m.key = v.name""".stripMargin)),
 
     // Frame sampling: 16-byte frames, every 4th frame, per-frame hash.
     Q("mm02_frame_sample",

@@ -97,6 +97,20 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getLong(4) == pcm.length.toLong)
   }
 
+  test("Mp4Headers walks boxes to mvhd and rejects malformed files") {
+    import graft.tools.GenVideoFixtures
+    val byName = GenVideoFixtures.fixtures().toMap
+    val ok = graft.plans.Mp4Headers.parseRow(byName("mp4_v0_90s"))
+    assert(ok != null && ok.getLong(1) == 600L && ok.getLong(2) == 54000L)
+    val v1 = graft.plans.Mp4Headers.parseRow(byName("mp4_v1_junk_child"))
+    assert(v1 != null && v1.getLong(1) == 90000L && v1.getLong(2) == 2700000L)
+    val skip = graft.plans.Mp4Headers.parseRow(byName("mp4_free_and_large"))
+    assert(skip != null && skip.getLong(1) == 1000L && skip.getLong(2) == 12345L)
+    for (neg <- Seq("mp4_no_moov", "mp4_moov_without_mvhd",
+        "mp4_truncated_mvhd", "not_a_video", "empty"))
+      assert(graft.plans.Mp4Headers.parseRow(byName(neg)) == null, neg)
+  }
+
   test("sampleFrames slices fixed-size frames with a stride") {
     val frames = Multimodal.sampleFrames(media, "id", "payload", frameBytes = 16, stride = 2)
       .orderBy("id", "frame_idx").collect()
