@@ -90,7 +90,10 @@ object KMeans {
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"k=$k and iters=$iters must be positive")
     val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
-    val mx = df.agg(max(col(idCol))).head().getLong(0)
+    val mxRow = df.agg(max(col(idCol))).head()
+    require(!mxRow.isNullAt(0),
+      "KMeans.assign: empty input (or all-null ids) — nothing to cluster")
+    val mx = mxRow.getLong(0)
     var assigned = base
       .withColumn("cluster", expr(s"vec_id DIV ${(mx + k) / k}").cast("long"))
     for (_ <- 1 to iters) {
