@@ -242,9 +242,11 @@ object TextFns {
 
   // ---- composite quality-rule gate (Gopher-style) ----------------------
 
-  /** Exact total character count of the tokens (BIGINT fold). */
+  /** Exact total character count of the tokens (BIGINT fold; 0 for a null
+    * array, matching the SQL twin's coalesce).
+    */
   def sumTokenLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (a, t) => a + length(t))
+    coalesce(aggregate(toks, lit(0L), (a, t) => a + length(t)), lit(0L))
 
   def sumTokenLenSql(toksSql: String): String =
     s"CAST(coalesce(list_sum(list_transform($toksSql, t -> len(t))), 0) AS BIGINT)"

@@ -47,9 +47,12 @@ object Upsert {
       attrs: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
-    val changed = attrs
-      .map(a => lag(col(a), 1).over(w).isNull || lag(col(a), 1).over(w) =!= col(a))
-      .reduce(_ || _)
+    // null-safe change detection: `<=>` treats NULL==NULL as equal, so
+    // NULL→NULL is not a version and X→NULL is; the explicit first-row flag
+    // is needed because lag-IS-NULL cannot distinguish "no previous row"
+    // from "previous value was NULL"
+    val changed = (row_number().over(w) === 1) ||
+      attrs.map(a => !(lag(col(a), 1).over(w) <=> col(a))).reduce(_ || _)
     val versions = df
       .withColumn("_new_version", changed)
       .filter(col("_new_version"))
@@ -69,10 +72,11 @@ object Upsert {
       attrs: Seq[String], pred: String = "TRUE"): String = {
     val k = keys.mkString(", ")
     val order = s"$tsCol ASC, $tieCol ASC"
-    val changed = attrs
-      .map(a => s"(LAG($a) OVER (PARTITION BY $k ORDER BY $order) IS NULL OR " +
-        s"LAG($a) OVER (PARTITION BY $k ORDER BY $order) <> $a)")
-      .mkString(" OR ")
+    val changed = s"ROW_NUMBER() OVER (PARTITION BY $k ORDER BY $order) = 1 OR " +
+      attrs
+        .map(a => s"(LAG($a) OVER (PARTITION BY $k ORDER BY $order) " +
+          s"IS DISTINCT FROM $a)")
+        .mkString(" OR ")
     val cols = (keys ++ attrs).mkString(", ")
     s"""WITH flagged AS (
        |  SELECT *, ($changed) AS new_version

@@ -283,7 +283,7 @@ object Dedup {
     * algorithm is pinned by the Java spec), embedded as literals in both
     * engines.
     */
-  private val MinhashP = 4294967311L
+  private[graft] val MinhashP = 4294967311L
 
   private[graft] def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
     val r = new java.util.Random(0x5DEECE66DL)
@@ -300,8 +300,17 @@ object Dedup {
     * Docs with no shingles are dropped, like the exploded form did.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    minhashWide(spread(df), idCol, textCol, n, numHashes)
+
+  /** The signature build WITHOUT the local-scan spread — the shared core
+    * for batch (above) and streaming (`StreamingDedup`, where `.rdd`-based
+    * spreading is illegal). One definition ⇒ batch and streaming
+    * candidates can never silently disagree on hashing.
+    */
+  private[graft] def minhashWide(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
-    val based = spread(df).select(col(idCol).as("id"),
+    val based = df.select(col(idCol).as("id"),
         transform(array_distinct(TextFns.shingles(col(textCol), n)),
           s => TextFns.md5Hash32(s)).as("_bases"))
       .filter(size(col("_bases")) > 0)

@@ -71,7 +71,10 @@ object KMeans {
       }: _*)
     val dists = cents.indices.map(i => col(s"_d$i"))
     val mn = if (dists.size == 1) dists.head else least(dists: _*)
-    val cluster = cents.map(_._1).zip(dists).foldRight(lit(cents.last._1)) {
+    // default = LOWEST cluster id so an all-NULL-distance row (null/short
+    // vector) lands where the oracle's ROW_NUMBER (dist ASC NULLS LAST,
+    // cluster ASC) puts it — not on the arbitrary last centroid
+    val cluster = cents.map(_._1).zip(dists).foldRight(lit(cents.head._1)) {
       case ((cid, d), els) => when(d === mn, lit(cid)).otherwise(els)
     }.cast("long")
     staged.select(col("vec_id"), col("q"), cluster.as("cluster"))
@@ -93,7 +96,7 @@ object KMeans {
     val mxRow = df.agg(max(col(idCol))).head()
     require(!mxRow.isNullAt(0),
       "KMeans.assign: empty input (or all-null ids) — nothing to cluster")
-    val mx = mxRow.getLong(0)
+    val mx = mxRow.getAs[Number](0).longValue() // id may be int or long typed
     var assigned = base
       .withColumn("cluster", expr(s"vec_id DIV ${(mx + k) / k}").cast("long"))
     for (_ <- 1 to iters) {

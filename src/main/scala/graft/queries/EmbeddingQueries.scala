@@ -78,9 +78,10 @@ object EmbeddingQueries {
       Some(Similarity.lshNearDupPairsSql("embeddings", "vec_id", "embedding",
         Dim, NearDupThreshold, NumPlanes))),
 
-    // Distributed Lloyd's k-means (2 iterations, id%k seed): assignment is
-    // bit-identical across engines via integer-quantized vectors + exact
-    // fold-ordered distances — the oracle replays the full iteration.
+    // Distributed Lloyd's k-means (2 iterations, contiguous-id-block seed):
+    // assignment is bit-identical across engines via integer-quantized
+    // vectors + exact fold-ordered distances — the oracle replays the full
+    // iteration.
     Q("e07_kmeans_assign",
       (s, dir) => KMeans.assign(Tables(s, dir).embeddings,
         "vec_id", "embedding", Dim, k = 32, iters = 2),

@@ -20,6 +20,10 @@ import graft.util.{Layout, Tables}
 object LayoutQueries {
   import Num._
 
+  /** Derived-layout roots already (re)written by THIS JVM. */
+  private val writtenRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def tag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
@@ -79,9 +83,11 @@ object LayoutQueries {
         val t = Tables(s, dir)
         val root = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), s"g_events_bydate_${tag(dir)}").toString
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+        // rewrite once per JVM, not per on-disk _SUCCESS: a marker surviving
+        // from an earlier run would silently serve STALE data after the
+        // source dataset is regenerated (b01's ensureTable has the same
+        // per-session freshness semantics via the in-memory catalog)
+        if (writtenRoots.add(root))
           t.events.withColumn("ingest_date", to_date(col("ts")))
             .write.mode("overwrite").partitionBy("ingest_date").parquet(root)
         s.read.parquet(root)

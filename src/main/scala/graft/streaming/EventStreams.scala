@@ -77,10 +77,12 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
-  /** Stream-static enrichment: join each micro-batch against a (small)
-    * static dimension relation. The static side is re-planned per batch —
-    * broadcast when under the threshold — so dim updates between batches
-    * are picked up and the stream side never shuffles for the join.
+  /** Stream-static enrichment: join each micro-batch against a SMALL static
+    * dimension relation. The broadcast is forced (the dim must fit in
+    * memory — that is this operator's contract; drop the hint for a large
+    * dim and let the threshold decide), the static side is re-planned per
+    * batch so dim updates between batches are picked up, and the stream
+    * side never shuffles for the join.
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")

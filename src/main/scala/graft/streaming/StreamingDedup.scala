@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.TextFns
 import graft.operators.Dedup
 
 /** Streaming near-duplicate detection: documents arrive as a stream and are
@@ -50,15 +49,9 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val numBands = numHashes / rowsPerBand
-    val based = docs.select(col(idCol).as("id"),
-        transform(array_distinct(TextFns.shingles(col(textCol), n)),
-          s => TextFns.md5Hash32(s)).as("_bases"))
-      .filter(size(col("_bases")) > 0)
-    val mins = Dedup.minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("_bases"),
-        x => pmod(x * lit(a) + lit(b), lit(4294967311L)))).as(s"m$i")
-    }
-    val wide = based.select(col("id") +: mins: _*)
+    // the SAME signature build as Dedup.minhashSignatures (shared core) —
+    // batch and streaming candidates can never disagree on hashing
+    val wide = Dedup.minhashWide(docs, idCol, textCol, n, numHashes)
     val bandSigs = (0 until numBands).map { j =>
       concat_ws("|", lit(j) +: ((j * rowsPerBand) until ((j + 1) * rowsPerBand))
         .map(i => col(s"m$i").cast("string")): _*)

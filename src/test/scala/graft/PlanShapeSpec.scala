@@ -99,14 +99,30 @@ class PlanShapeSpec extends SparkSpec {
 
   test("b02: single-day query prunes to ONE date partition at planning time") {
     val df = q("b02_partition_pruned_day")
-    df.count() // materialize (also writes the layout on first run)
+    // collect() (NOT count()) so THIS DataFrame's executedPlan — the one we
+    // read metrics from below — is the plan that actually ran
+    df.collect()
     val scan = planOf(df).toString.linesIterator
       .filter(_.contains("FileScan")).mkString("\n")
     assert(scan.contains("PartitionFilters"), scan)
     assert(scan.contains("2024-01-15"), scan)
-    // the scan's partition count is 1 of ~30 days
-    val pruned = "partition count: (\\d+)".r.findFirstMatchIn(
-      planOf(df).toString + scan)
-    pruned.foreach(m => assert(m.group(1).toInt == 1, scan))
+    // the 1-of-30 property itself, from the executed scan's own metrics
+    // (inputFiles/plan strings don't reflect pruning)
+    val exec = planOf(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps finished stages in QueryStageExec whose inner plan is not a
+    // child of the tree — recurse through them to reach the scan
+    def allScans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      } ++ p.collect {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+      }.flatten
+    val scans = allScans(exec)
+    assert(scans.nonEmpty, exec.toString)
+    val partsRead = scans.head.metrics("numPartitions").value
+    assert(partsRead == 1, s"scan read $partsRead partitions, expected 1")
   }
 }
