@@ -149,6 +149,20 @@ class DailyRunSpec extends SparkSpec {
     assert(merged == Map(1L -> "new", 2L -> "keep", 3L -> "tie-update", 4L -> "insert"))
   }
 
+  test("scd2: NULL attribute transitions version null-safely") {
+    import spark.implicits._
+    // key 1: a -> NULL -> NULL -> a : three versions (a, NULL, a) —
+    // NULL→NULL is NOT a change, X→NULL and NULL→X are; first row always is
+    val obs = Seq((1L, 1L, Option("a")), (1L, 2L, None),
+      (1L, 3L, None), (1L, 4L, Option("a")))
+      .toDF("k", "ts", "attr")
+    val hist = graft.ingest.Upsert.scd2(obs, Seq("k"), "ts", "ts", Seq("attr"))
+      .orderBy("version").collect()
+      .map(r => (r.getLong(4), Option(r.getString(1)), r.getLong(5) == 1L))
+    assert(hist.toSeq == Seq((1L, Some("a"), false), (2L, None, false),
+      (3L, Some("a"), true)))
+  }
+
   test("typed record layer: normalized rows as Dataset[MarketRecord]") {
     val raw = tmpDir("typed_raw")
     val ledger = tmpDir("typed_ledger")
