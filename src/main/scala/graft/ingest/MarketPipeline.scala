@@ -42,12 +42,12 @@ object MarketPipeline {
     */
   def enrich(df: DataFrame, scrapeDate: String, commodity: String,
       linkType: String, runId: String): DataFrame = {
-    val trimmed = df.columns.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
-    trimmed
-      .withColumn("scrape_date", lit(scrapeDate))
-      .withColumn("commodity", lit(commodity))
-      .withColumn("link_type", lit(linkType))
-      .withColumn("ingestion_run_id", lit(runId))
+    df.select(df.columns.map(c => trim(col(c)).as(c)).toIndexedSeq: _*)
+      .withColumns(Map(
+        "scrape_date" -> lit(scrapeDate),
+        "commodity" -> lit(commodity),
+        "link_type" -> lit(linkType),
+        "ingestion_run_id" -> lit(runId)))
   }
 
   /** F2: drop aggregate rows — any row whose concatenated business-column

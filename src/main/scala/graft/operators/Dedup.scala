@@ -11,8 +11,11 @@ import graft.functions.TextFns
   * output parity — equal (tf, df) pairs produce bit-identical doubles in
   * both engines, so ranking ties resolve identically.
   *
-  * Scale: two hash aggregations (per-doc-term, per-term) + a broadcast of
-  * the tiny (term, df) relation, then a per-doc top-k window.
+  * Scale: two hash aggregations (per-doc-term, per-term) + the tf⋈df join,
+  * then a per-doc top-k window. The df relation is NOT hint-broadcast:
+  * vocabulary is unbounded on web text (hundreds of millions of distinct
+  * terms), so a forced broadcast OOMs the driver exactly where the operator
+  * matters; AQE broadcasts it at runtime when it is genuinely small.
   */
 object TfIdf {
   import graft.functions.TextFns
@@ -24,7 +27,7 @@ object TfIdf {
     val dfreq = terms.groupBy(col("term"))
       .agg(countDistinct(col("id")).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6))

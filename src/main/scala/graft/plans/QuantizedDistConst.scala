@@ -21,12 +21,19 @@ case class QuantizedDistConst(child: Expression, cent: Array[Double])
 
   override def dataType: DataType = DoubleType
 
+  // null both for a null vector AND for one shorter than the centroid:
+  // the oracle's distSqSql indexes q[i] past a short list's end and gets a
+  // NULL distance, so a partial fold here would diverge from it (the NULL
+  // distances then sort NULLS LAST and the row lands on the lowest cluster
+  // id in BOTH engines — see KMeans.assignNearest's default arm).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), cent.length)
+    if (x.numElements() < cent.length) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
+    while (i < cent.length) {
       val d = x.getLong(i).toDouble - cent(i)
       acc += d * d
       i += 1
@@ -38,17 +45,19 @@ case class QuantizedDistConst(child: Expression, cent: Array[Double])
     val cRef = ctx.addReferenceObj("cent", cent, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $cRef.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getLong($i) - $cRef[$i];
-         |  $acc += $d * $d;
+         |if ($a.numElements() < $cRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $cRef.length; $i++) {
+         |    double $d = (double) $a.getLong($i) - $cRef[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

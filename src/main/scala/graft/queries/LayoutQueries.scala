@@ -20,9 +20,16 @@ import graft.util.{Layout, Tables}
 object LayoutQueries {
   import Num._
 
-  /** Derived-layout roots already (re)written by THIS JVM. */
-  private val writtenRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Derived layouts already (re)written by THIS JVM, keyed by root/table.
+    * `computeIfAbsent` makes the write-then-read safe under concurrency: a
+    * second caller for the same key BLOCKS until the first finishes the
+    * write, instead of racing ahead and reading a half-written layout.
+    */
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def oncePerKey(key: String)(work: => Unit): Unit =
+    written.computeIfAbsent(key, _ => { work; java.lang.Boolean.TRUE })
 
   private def tag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -34,7 +41,7 @@ object LayoutQueries {
     * the orphaned directory first.
     */
   private def ensureTable(s: org.apache.spark.sql.SparkSession, table: String)
-      (write: => Unit): Unit = {
+      (write: => Unit): Unit = oncePerKey(table) {
     if (!s.catalog.tableExists(table)) {
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table)
@@ -87,9 +94,10 @@ object LayoutQueries {
         // from an earlier run would silently serve STALE data after the
         // source dataset is regenerated (b01's ensureTable has the same
         // per-session freshness semantics via the in-memory catalog)
-        if (writtenRoots.add(root))
+        oncePerKey(root) {
           t.events.withColumn("ingest_date", to_date(col("ts")))
             .write.mode("overwrite").partitionBy("ingest_date").parquet(root)
+        }
         s.read.parquet(root)
           .filter(col("ingest_date") === lit("2024-01-15").cast("date"))
           .groupBy(col("event_type"))

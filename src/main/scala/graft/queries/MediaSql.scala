@@ -139,8 +139,11 @@ object MediaSql {
     s"(${byteAt(h, pos)}*16777216 + ${byteAt(h, s"($pos)+1")}*65536" +
       s" + ${byteAt(h, s"($pos)+2")}*256 + ${byteAt(h, s"($pos)+3")})"
 
-  /** Big-endian int64 (sum form; overflows only on adversarial largesize
-    * values with the top bit set — the committed fixtures never carry one).
+  /** Big-endian int64 (sum form). The BIGINT multiply overflows when the
+    * high word has its top bit set, so callers must evaluate it ONLY where
+    * a 64-bit field is actually present (the mp4 walk guards it behind
+    * `sz = 1`); evaluated on an arbitrary box body it would make the oracle
+    * ERROR on otherwise-valid files.
     */
   def be64(h: String, pos: String): String =
     s"(${be32u(h, pos)}*4294967296 + ${be32u(h, s"($pos)+4")})"
@@ -178,7 +181,8 @@ object MediaSql {
        |    FROM (
        |      SELECT key, h, n, pos, moov, moovend,
        |        substr(h, 2*pos+9, 8) AS typ,
-       |        ${be32u("h", "pos")} AS sz, ${be64("h", "pos+8")} AS ls
+       |        ${be32u("h", "pos")} AS sz,
+       |        CASE WHEN ${be32u("h", "pos")} = 1 THEN ${be64("h", "pos+8")} END AS ls
        |      FROM tscan WHERE moov IS NULL AND pos + 8 <= n))
        |  WHERE endpos IS NOT NULL AND endpos > pos
        |),
@@ -198,7 +202,8 @@ object MediaSql {
        |    FROM (
        |      SELECT key, h, n, moovend, pos, mvhd,
        |        substr(h, 2*pos+9, 8) AS typ,
-       |        ${be32u("h", "pos")} AS sz, ${be64("h", "pos+8")} AS ls
+       |        ${be32u("h", "pos")} AS sz,
+       |        CASE WHEN ${be32u("h", "pos")} = 1 THEN ${be64("h", "pos+8")} END AS ls
        |      FROM mscan WHERE mvhd IS NULL AND pos + 8 <= moovend))
        |  WHERE endpos IS NOT NULL AND endpos > pos
        |),

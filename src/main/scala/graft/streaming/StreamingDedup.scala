@@ -38,7 +38,13 @@ object StreamingDedup {
   final case class CandidatePair(id_a: Long, id_b: Long, est_jaccard: Double,
       capped: Boolean)
 
-  final case class BucketState(ids: List[Long], sigs: List[Seq[Long]])
+  /** `ids`/`sigs` are the admitted docs (zipped); `refused` records docs a
+    * full bucket turned away, so a RE-DELIVERED refused doc is silent
+    * instead of emitting a duplicate capped marker — idempotent re-delivery
+    * holds for admitted and refused docs alike.
+    */
+  final case class BucketState(ids: List[Long], sigs: List[Seq[Long]],
+      refused: List[Long])
 
   /** Candidate near-dup pairs for a STREAMING (idCol, textCol) frame. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
@@ -65,14 +71,21 @@ object StreamingDedup {
       .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil, Nil))
+          // O(1) membership for the re-delivery test (the List state is
+          // encoder-friendly; the Set is rebuilt once per group invocation,
+          // not per row — a hot bucket stays O(cap), not O(cap²))
+          var seen = st.ids.iterator.++(st.refused.iterator).toSet
+          var admitted = st.ids.size
           val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
           // ascending id order: batch-internal pairs come out (lower, higher)
           // deterministically regardless of task scheduling
           for (d <- rows.toSeq.sortBy(_.id)) {
-            if (!st.ids.contains(d.id)) {            // idempotent re-delivery
-              if (st.ids.size >= maxPerBucket) {
+            if (!seen.contains(d.id)) {              // idempotent re-delivery
+              seen += d.id
+              if (admitted >= maxPerBucket) {
                 out += CandidatePair(d.id, -1L, 0.0, capped = true)
+                st = st.copy(refused = d.id :: st.refused)
               } else {
                 for ((pid, psig) <- st.ids.zip(st.sigs)) {
                   val matching = psig.zip(d.sig).count { case (x, y) => x == y }
@@ -81,7 +94,8 @@ object StreamingDedup {
                     out += CandidatePair(math.min(pid, d.id),
                       math.max(pid, d.id), est, capped = false)
                 }
-                st = BucketState(d.id :: st.ids, d.sig :: st.sigs)
+                st = BucketState(d.id :: st.ids, d.sig :: st.sigs, st.refused)
+                admitted += 1
               }
             }
           }
