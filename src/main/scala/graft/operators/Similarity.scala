@@ -208,46 +208,94 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Collected coarse centroids: (cent_id, weights-as-doubles, L2 norm),
+    * sorted by id. The norm is accumulated left-to-right in doubles —
+    * the identical IEEE op sequence as `VectorFns.normSql`, so a
+    * driver-side constant norm is bit-equal to the oracle's SQL norm.
+    */
+  private[operators] def collectCentroids(cents: DataFrame, idCol: String,
+      vecCol: String): Seq[(Long, Array[Double], Double)] =
+    cents.select(col(idCol).cast("long"), col(vecCol)).collect().map { r =>
+      val w = r.getSeq[Float](1).toArray.map(_.toDouble)
+      var acc = 0.0
+      var i = 0
+      while (i < w.length) { acc += w(i) * w(i); i += 1 }
+      (r.getLong(0), w, math.sqrt(acc))
+    }.sortBy(_._1).toIndexedSeq
+
+  /** Staged constant-centroid cosine columns `_s0.._s{n-1}` appended to
+    * `side` — one codegen'd DotProductConst loop per centroid, a pure
+    * narrow projection (the KMeans.assignNearest pattern).
+    */
+  private def stagedSims(side: DataFrame, vec: String, nrm: String,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame =
+    side.select(col("*") +: cents.zipWithIndex.map { case ((_, w, n2), i) =>
+      (graft.plans.DotProductConst(col(vec), w) / (col(nrm) * lit(n2))).as(s"_s$i")
+    }: _*)
+
   /** IVF-style approximate top-k (the inverted-file scale path):
     * - coarse centroids = the first `nlist` corpus vectors (deterministic
     *   seed choice, no Lloyd iterations — parallel double means would be
-    *   run-order dependent and break oracle parity);
+    *   run-order dependent and break oracle parity); they are collected to
+    *   the driver (nlist rows — the same tiny round-trip a Lloyd iteration
+    *   makes) and embedded as constants;
     * - every corpus vector is assigned to its nearest centroid by cosine
-    *   (tie-break on centroid id) → an inverted list per centroid;
-    * - a query probes its `nprobe` nearest centroids and scores only those
-    *   lists' members.
-    * At scale the corpus shuffles once on list id and each query touches
-    * nprobe/nlist of the data; recall vs. brute force is spec-checked.
+    *   (tie-break on centroid id) via a STAGED constant-centroid argmax —
+    *   one codegen'd dot-product column per centroid folded through
+    *   greatest/when, a zero-shuffle narrow projection (no n×nlist row
+    *   blowup, no window exchange; the KMeans.assignNearest pattern);
+    * - a query probes its `nprobe` nearest centroids (explode the staged
+    *   sims, one small window over the query side only) and scores only
+    *   those lists' members.
+    * At scale the corpus side never shuffles before the final per-query
+    * top-k and each query touches ~nprobe/nlist of the data; recall vs.
+    * brute force is spec-checked.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val cents = broadcast(
-      corpus.filter(col(idCol) < nlist)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cvec2"))
-        .withColumn("cnorm2", VectorFns.norm(col("cvec2"), dim)))
+    val cents = collectCentroids(
+      corpus.filter(col(idCol) < nlist), idCol, vecCol)
+    require(cents.nonEmpty, s"ivfTopK: no corpus rows with $idCol < $nlist to seed centroids")
+    ivfScore(corpus, queries, idCol, vecCol, dim, k, nprobe, cents)
+  }
 
-    def nearestCentroids(side: DataFrame, vec: String, nrm: String, n: Int,
-        outCol: String): DataFrame = {
-      val w = Window.partitionBy(col("_vid"))
-        .orderBy(col("_csim").desc, col("cent_id").asc)
-      side.crossJoin(cents)
-        .withColumn("_csim", VectorFns.cosineFromNorms(
-          VectorFns.dot(col(vec), col("cvec2"), dim), col(nrm), col("cnorm2")))
-        .withColumn("_crank", row_number().over(w))
-        .filter(col("_crank") <= n)
-        .withColumnRenamed("cent_id", outCol)
-        .drop("cvec2", "cnorm2", "_csim", "_crank")
-    }
-
+  /** Shared IVF scoring path over a constant centroid table (seeded or
+    * k-means-trained): nearest-centroid corpus assignment (narrow staged
+    * argmax), query probes, inverted-list cosine top-k.
+    */
+  private[operators] def ivfScore(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, nprobe: Int,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
-      .withColumn("_vid", col("neighbor_id"))
-    val assigned = nearestCentroids(c, "cvec", "cnorm", 1, "list_id").drop("_vid")
+    val simCols = cents.indices.map(i => col(s"_s$i"))
+    // argmax with ROW_NUMBER semantics (sim DESC NULLS LAST, cent_id ASC):
+    // greatest() skips nulls; when(null === mx) never fires so a row whose
+    // sims are ALL null falls through to the lowest centroid id — exactly
+    // where the oracle's NULLS-LAST rank puts it.
+    val staged = stagedSims(c, "cvec", "cnorm", cents)
+    val mx = if (simCols.size == 1) simCols.head else greatest(simCols: _*)
+    val listId = cents.map(_._1).zip(simCols).foldRight(lit(cents.head._1)) {
+      case ((cid, s), els) => when(s === mx, lit(cid)).otherwise(els)
+    }.cast("long")
+    val assigned = staged.select(col("neighbor_id"), col("cvec"), col("cnorm"),
+      listId.as("list_id"))
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
-      .withColumn("_vid", col("query_id"))
-    val probes = nearestCentroids(q, "qvec", "qnorm", nprobe, "probe_list").drop("_vid")
+    val probeStructs = cents.zipWithIndex.map { case ((cid, _, _), i) =>
+      struct(lit(cid).as("probe_list"), col(s"_s$i").as("_csim"))
+    }
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("probe_list").asc)
+    val probes = stagedSims(q, "qvec", "qnorm", cents)
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(probeStructs: _*)).as("pc"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("pc.probe_list").as("probe_list"), col("pc._csim").as("_csim"))
+      .withColumn("_crank", row_number().over(pw))
+      .filter(col("_crank") <= nprobe)
+      .drop("_csim", "_crank")
 
     val scored = assigned.join(broadcast(probes),
         col("neighbor_id") =!= col("query_id") && col("list_id") === col("probe_list"))

@@ -6,7 +6,11 @@ object PlanAudit {
       .config("spark.ui.enabled","false").config("spark.sql.shuffle.partitions","8")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=e05,q2 restricts the audit (same contract as Verify)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.01")
         df.count() // settle AQE: joins/codegen below reflect the FINAL plan
