@@ -114,19 +114,35 @@ object KMeans {
     assigned.select(col("vec_id"), col("cluster"))
   }
 
+  /** The corpus-scaled cluster count of the auto-k operators:
+    * max(minK, n / docsPerCluster). Tying k to the corpus size keeps the
+    * within-cluster pair work of SemDeDup at ~n·docsPerCluster instead of
+    * n²/minK — the bounded regime the operator's n²/k contract promises.
+    * Exact integer math, mirrored by `autoKSql`.
+    */
+  def autoK(n: Long, minK: Int, docsPerCluster: Int): Int =
+    math.max(minK.toLong, n / docsPerCluster).toInt
+
+  private def autoKSql(table: String, minK: Int, docsPerCluster: Int): String =
+    s"(SELECT GREATEST($minK, COUNT(*) // $docsPerCluster) AS k FROM $table)"
+
   /** Oracle CTE chain ending in a relation `<out>` = (vec_id, q, cluster)
     * after `iters` iterations (ROW_NUMBER arg-min ≡ the strict-less fold).
+    * `kSql` is the SQL form of the cluster count — a literal, or a scalar
+    * one-row relation (auto-k) cross-joined into the seeding expression.
     */
   private def assignCtes(table: String, idCol: String, vecCol: String,
-      dim: Int, k: Int, iters: Int): (String, String) = {
+      dim: Int, kSql: String, iters: Int): (String, String) = {
     val sb = new StringBuilder
     sb.append(
-      s"""base AS (
+      s"""params AS (SELECT CAST(($kSql) AS BIGINT) AS k),
+         |base AS (
          |  SELECT $idCol AS vec_id, ${quantizeSql(vecCol)} AS q FROM $table),
          |assign0 AS (
          |  SELECT vec_id, q,
-         |    CAST(vec_id // ((mx + $k) // $k) AS BIGINT) AS cluster
-         |  FROM base CROSS JOIN (SELECT MAX(vec_id) AS mx FROM base))""".stripMargin)
+         |    CAST(vec_id // ((mx + k) // k) AS BIGINT) AS cluster
+         |  FROM base CROSS JOIN (SELECT MAX(vec_id) AS mx FROM base)
+         |  CROSS JOIN params)""".stripMargin)
     val sums = (1 to dim).map(i => s"SUM(q[$i])").mkString("[", ", ", "]")
     for (j <- 1 to iters) {
       sb.append(
@@ -152,7 +168,7 @@ object KMeans {
 
   def assignSql(table: String, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): String = {
-    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k, iters)
+    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k.toString, iters)
     s"WITH $ctes\nSELECT vec_id, cluster FROM $out"
   }
 
@@ -181,9 +197,30 @@ object KMeans {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** `semanticDedup` with the cluster count derived from the corpus size
+    * (`autoK`): the declared query form, so the n²/k bound demonstrably
+    * tightens as the corpus grows instead of relying on a pinned k. One
+    * extra O(1)-result count() on the input; everything else identical.
+    */
+  def semanticDedupAutoK(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int, threshold: Double, minK: Int = 32,
+      docsPerCluster: Int = 500): DataFrame =
+    semanticDedup(df, idCol, vecCol, dim,
+      autoK(df.count(), minK, docsPerCluster), iters, threshold)
+
+  def semanticDedupAutoKSql(table: String, idCol: String, vecCol: String,
+      dim: Int, iters: Int, threshold: Double, minK: Int = 32,
+      docsPerCluster: Int = 500): String =
+    semanticDedupSqlWithK(table, idCol, vecCol, dim,
+      autoKSql(table, minK, docsPerCluster), iters, threshold)
+
   def semanticDedupSql(table: String, idCol: String, vecCol: String,
-      dim: Int, k: Int, iters: Int, threshold: Double): String = {
-    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k, iters)
+      dim: Int, k: Int, iters: Int, threshold: Double): String =
+    semanticDedupSqlWithK(table, idCol, vecCol, dim, k.toString, iters, threshold)
+
+  private def semanticDedupSqlWithK(table: String, idCol: String, vecCol: String,
+      dim: Int, kSql: String, iters: Int, threshold: Double): String = {
+    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, kSql, iters)
     s"""WITH $ctes,
        |v AS (
        |  SELECT t.$idCol AS id, t.$vecCol AS vec,

@@ -89,12 +89,16 @@ object EmbeddingQueries {
         Dim, k = 32, iters = 2))),
 
     // SemDeDup: k-means clusters bound the candidate pairs, then cosine
-    // near-dups within each cluster are dropped keep-lowest-id.
+    // near-dups within each cluster are dropped keep-lowest-id. The
+    // cluster count is DERIVED from the corpus (max(32, n/500), mirrored
+    // in the oracle's params CTE) so the within-cluster pair work stays
+    // ~n·500 as the corpus grows — the n²/k contract demonstrated in the
+    // declared query, not just documented.
     Q("e08_semantic_dedup",
-      (s, dir) => KMeans.semanticDedup(Tables(s, dir).embeddings,
-        "vec_id", "embedding", Dim, k = 32, iters = 2,
+      (s, dir) => KMeans.semanticDedupAutoK(Tables(s, dir).embeddings,
+        "vec_id", "embedding", Dim, iters = 2,
         threshold = NearDupThreshold),
-      Some(KMeans.semanticDedupSql("embeddings", "vec_id", "embedding",
-        Dim, k = 32, iters = 2, threshold = NearDupThreshold))),
+      Some(KMeans.semanticDedupAutoKSql("embeddings", "vec_id", "embedding",
+        Dim, iters = 2, threshold = NearDupThreshold))),
   )
 }
