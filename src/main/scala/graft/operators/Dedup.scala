@@ -110,6 +110,8 @@ object Dedup {
     * entry. Halves the Jaccard pair query at sf0.1. At cluster scale the
     * equivalent is checkpointing the inverted index to storage once per
     * dedup campaign rather than recomputing the tokenize+explode per pass.
+    * Lifetime: callers release it via `materializeAndRelease` before
+    * returning — nothing leaks into a long-lived session.
     */
   // A small corpus often arrives as one file = one partition, which would
   // serialize the shingle+hash work on a single core; spread it first.
@@ -118,6 +120,22 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame = {
     val defaultPar = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
+  }
+
+  /** Eagerly materialize `result` (localCheckpoint: computes now, severs
+    * lineage — pair results are small next to their inputs), then release
+    * the shared cached relations that fed it. The dedup operators return
+    * through this so a long-lived session never accumulates their
+    * MEMORY_AND_DISK relations (round-4 advice: the d03/d04/d06/d07 entry
+    * points leaked their caches until a global clearCache). The
+    * checkpoint's own blocks are context-cleaned once the returned frame
+    * is unreferenced.
+    */
+  private def materializeAndRelease(result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist())
+    out
   }
 
   private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -163,14 +181,16 @@ object Dedup {
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    materializeAndRelease(
+      common
+        .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+        .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      sh)
   }
 
   def ngramJaccardPairsSql(table: String, idCol: String, textCol: String,
@@ -244,7 +264,9 @@ object Dedup {
             .cast("double") >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyPairs(cands, arrs.select(col("id"), col("ks")), threshold)
+    materializeAndRelease(
+      verifyPairs(cands, arrs.select(col("id"), col("ks")), threshold),
+      arrs)
   }
 
   /** Exact Jaccard verification of candidate pairs against the per-doc
@@ -353,11 +375,12 @@ object Dedup {
     // and a forced broadcast would OOM where a shuffle join completes; AQE
     // converts the verification joins to broadcast when the sides are
     // genuinely small.
-    verifyPairs(cands,
-        shingleStructs(df, idCol, textCol, n)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val arrs = shingleStructs(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(
+      verifyPairs(cands, arrs, threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      arrs)
   }
 
   def minhashLshPairsSql(table: String, idCol: String, textCol: String,

@@ -22,4 +22,14 @@ object ColumnBridge {
       org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** True when no `persist`ed relation is registered in the session's cache
+    * (the CacheManager is private[sql]) — the hygiene assertion that the
+    * dedup operators release their shared cached relations on return.
+    * localCheckpoint block cleanup is the context cleaner's job and is NOT
+    * visible here; this sees exactly what `df.persist` registers.
+    */
+  def noCachedRelations(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -27,6 +27,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dedup operators release their cached relations on return (no session leak)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.catalog.clearCache() // isolate from whatever ran before
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "ngramJaccardPairs" -> (() => Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)),
+      "ngramJaccardPairsPrefix" -> (() => Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)),
+      "minhashLshPairs" -> (() => Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 3, 0.8)),
+      "dropNearDuplicates" -> (() => Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 12, 3, 0.8)),
+      "dupClusters" -> (() => Dedup.dupClusters(docs, "doc_id", "text", 3, 12, 3, 0.8)))
+    for ((name, op) <- ops) {
+      op().count() // materialize like a caller would
+      assert(ColumnBridge.noCachedRelations(spark),
+        s"$name left persisted relations registered in the session cache")
+    }
+  }
+
   test("dupClusters finds TRANSITIVE components the greedy pair view misses") {
     // chain: jaccard(10,11)=0.8 and jaccard(11,12)=0.83 pass the 0.7
     // threshold; jaccard(10,12)=0.67 does NOT — 10 and 12 can only join
