@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   * number formatting enters the hash).
   *
   * Scale: ONE pass — a single global aggregation computes every column's
-  * stats together (count/min/max partial-aggregate map-side;
-  * count(DISTINCT) expands per column but stays one shuffle), then the
+  * stats together (count/min/max partial-aggregate map-side), then the
   * 1-row result explodes into one row per column. No per-column scans.
+  * Distinct counts: exact `count(DISTINCT)` Expands the input once per
+  * profiled column before the shuffle — correct, and the oracle anchor
+  * (p01), but c columns × n rows of Expand output is the wrong trade at
+  * 100 TB. `approx = true` swaps in `approx_count_distinct` (HLL++):
+  * constant-size sketches, NO Expand, genuinely one map-side-combined
+  * aggregation — the ANALYZE mode for a real drop, spec-checked against
+  * the exact twin within HLL tolerance (like q24's estimator).
   */
 object Profiler {
 
@@ -20,10 +26,12 @@ object Profiler {
     * (column, n, n_null, n_distinct, min_num, max_num, min_str, max_str).
     */
   def profile(df: DataFrame, numericCols: Seq[String],
-      stringCols: Seq[String]): DataFrame = {
+      stringCols: Seq[String], approx: Boolean = false): DataFrame = {
+    def nd(c: String) =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
     val aggs = (numericCols ++ stringCols).flatMap { c =>
       Seq(count(col(c)).as(s"_cnt_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"),
+        nd(c).as(s"_nd_$c"),
         min(col(c)).as(s"_min_$c"),
         max(col(c)).as(s"_max_$c"))
     }

@@ -394,5 +394,17 @@ object MiscQueries {
       Some(graft.operators.Profiler.profileSql("orders",
         Seq("o_orderkey", "o_custkey", "o_totalprice"),
         Seq("o_orderstatus", "o_orderpriority")))),
+
+    // The 100 TB ANALYZE mode of p01: HLL++ distinct counts — no Expand,
+    // one map-side-combined pass. Sketch estimates are engine-specific, so
+    // there is no DuckDB oracle (rows-only gate); ProfilerSpec checks the
+    // estimates against the exact twin within HLL tolerance and asserts
+    // the Expand-free single-pass plan.
+    Q("p02_profile_orders_approx",
+      (s, dir) => graft.operators.Profiler.profile(Tables(s, dir).orders,
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority"),
+        approx = true),
+      None),
   )
 }

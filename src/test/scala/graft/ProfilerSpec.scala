@@ -31,4 +31,28 @@ class ProfilerSpec extends SparkSpec {
     val scans = "FileScan".r.findAllIn(plan).size
     assert(scans == 1, plan)
   }
+
+  test("approx profile matches exact within HLL tolerance, plan has no Expand") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = (Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"))
+    val approx = Profiler.profile(df, cols._1, cols._2, approx = true)
+    // the scale property: approx_count_distinct drops the per-column Expand
+    // (exact count-distinct rewrites through one) and stays a single scan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+    // every other stat is identical to the exact twin; n_distinct within
+    // the default HLL++ relative error (5%, generous margin here)
+    val exact = Profiler.profile(df, cols._1, cols._2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (r <- approx.collect()) {
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2))
+      assert(math.abs(r.getLong(3) - e.getLong(3)) <= math.max(2, 0.1 * e.getLong(3)),
+        s"${r.getString(0)}: approx ${r.getLong(3)} vs exact ${e.getLong(3)}")
+      assert(Seq(4, 5, 6, 7).forall(i =>
+        (r.isNullAt(i) && e.isNullAt(i)) || r.get(i) == e.get(i)))
+    }
+  }
 }
