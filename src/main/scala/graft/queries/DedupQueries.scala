@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Chunker, Dedup}
+import graft.operators.{Chunker, Dedup, SpanDedup}
 import graft.util.Tables
 
 /** Deduplication queries over `documents` — each Dedup operator declared
@@ -70,5 +70,14 @@ object DedupQueries {
       (s, dir) => Chunker.dupChunkStats(Tables(s, dir).documents,
         "doc_id", "text", 20),
       Some(Chunker.dupChunkStatsSql("documents", "doc_id", "text", 20))),
+
+    // Exact substring-level dedup: maximal repeated 8-token spans at
+    // ARBITRARY offsets (sorted n-gram-run formulation — linear, sort/
+    // hash-based, no all-pairs; d09's fixed-width chunks are the coarse
+    // approximation). SpanDedup.stripDupSpans is the remover built on it.
+    Q("d10_dup_spans",
+      (s, dir) => SpanDedup.dupSpans(Tables(s, dir).documents,
+        "doc_id", "text", width = 8),
+      Some(SpanDedup.dupSpansSql("documents", "doc_id", "text", width = 8))),
   )
 }
