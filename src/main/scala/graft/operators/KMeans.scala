@@ -51,34 +51,41 @@ object KMeans {
   /** The oracle's parenthesis tree — (((0.0 + t1) + t2) + ...) — which
     * QuantizedDistConst's codegen loop reproduces bit-for-bit.
     */
-  private def distSqSql(q: String, cent: String, dim: Int): String =
+  private[operators] def distSqSql(q: String, cent: String, dim: Int): String =
     (1 to dim).foldLeft("0.0") { (acc, i) =>
       val t = s"(CAST($q[$i] AS DOUBLE) - $cent[$i]) * (CAST($q[$i] AS DOUBLE) - $cent[$i])"
       s"($acc + $t)"
     }
 
-  /** (vec_id, q, cluster) frame assigning each row to its nearest centroid:
-    * distances are STAGED as real columns (each QuantizedDistConst loop
-    * compiles and evaluates once), then a first-min scan in ascending
-    * cluster order picks the label (≡ ROW_NUMBER ORDER BY dist, cluster).
-    * `cents` must be (clusterId, centroid) sorted by clusterId.
+  /** Append `outCol` = nearest-centroid cluster id to `df` (which carries a
+    * quantized array<long> column `qCol`): distances are STAGED as real
+    * columns (each QuantizedDistConst loop compiles and evaluates once),
+    * then a first-min scan in ascending cluster order picks the label
+    * (≡ ROW_NUMBER ORDER BY dist ASC NULLS LAST, cluster ASC — the default
+    * arm lands an all-NULL-distance row, i.e. a null/short vector, on the
+    * LOWEST cluster id, exactly where the oracle's rank puts it). A pure
+    * narrow codegen projection — zero shuffle, no row blowup. `cents` must
+    * be (clusterId, centroid) sorted by clusterId.
     */
-  private def assignNearest(base: DataFrame,
-      cents: Seq[(Long, Array[Double])]): DataFrame = {
-    val staged = base.select(col("vec_id") +: col("q") +:
+  private[operators] def withNearestCluster(df: DataFrame, qCol: String,
+      cents: Seq[(Long, Array[Double])], outCol: String): DataFrame = {
+    val carried = df.columns.toIndexedSeq
+    val staged = df.select(col("*") +:
       cents.zipWithIndex.map { case ((_, c), i) =>
-        graft.plans.QuantizedDistConst(col("q"), c).as(s"_d$i")
+        graft.plans.QuantizedDistConst(col(qCol), c).as(s"_d$i")
       }: _*)
     val dists = cents.indices.map(i => col(s"_d$i"))
     val mn = if (dists.size == 1) dists.head else least(dists: _*)
-    // default = LOWEST cluster id so an all-NULL-distance row (null/short
-    // vector) lands where the oracle's ROW_NUMBER (dist ASC NULLS LAST,
-    // cluster ASC) puts it — not on the arbitrary last centroid
     val cluster = cents.map(_._1).zip(dists).foldRight(lit(cents.head._1)) {
       case ((cid, d), els) => when(d === mn, lit(cid)).otherwise(els)
     }.cast("long")
-    staged.select(col("vec_id"), col("q"), cluster.as("cluster"))
+    staged.select(carried.map(col) :+ cluster.as(outCol): _*)
   }
+
+  private def assignNearest(base: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame =
+    withNearestCluster(base.select(col("vec_id"), col("q")), "q",
+      cents, "cluster")
 
   /** Final cluster assignment after `iters` Lloyd iterations.
     * Output: (vec_id, cluster).
@@ -90,7 +97,16 @@ object KMeans {
     * (QuantizedDistConst loops). Nothing but k rows ever leaves executors.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    assignWithCentroids(df, idCol, vecCol, dim, k, iters)._1
+
+  /** `assign` plus the trained centroids the final assignment used —
+    * (clusterId, centroid in QUANTIZED space, sorted by id). The centroid
+    * table is what composes k-means into other operators (IVF coarse
+    * quantizer, Similarity.ivfKMeansTopK) without rerunning Lloyd.
+    */
+  def assignWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int): (DataFrame, Seq[(Long, Array[Double])]) = {
     require(k > 0 && iters >= 1, s"k=$k and iters=$iters must be positive")
     val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
     val mxRow = df.agg(max(col(idCol))).head()
@@ -99,6 +115,7 @@ object KMeans {
     val mx = mxRow.getAs[Number](0).longValue() // id may be int or long typed
     var assigned = base
       .withColumn("cluster", expr(s"vec_id DIV ${(mx + k) / k}").cast("long"))
+    var lastCents: Seq[(Long, Array[Double])] = Nil
     for (_ <- 1 to iters) {
       val cents = assigned
         .groupBy(col("cluster"))
@@ -109,9 +126,10 @@ object KMeans {
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1)
-      assigned = assignNearest(base, cents.toIndexedSeq)
+      lastCents = cents.toIndexedSeq
+      assigned = assignNearest(base, lastCents)
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    (assigned.select(col("vec_id"), col("cluster")), lastCents)
   }
 
   /** The corpus-scaled cluster count of the auto-k operators:
@@ -131,7 +149,11 @@ object KMeans {
     * `kSql` is the SQL form of the cluster count — a literal, or a scalar
     * one-row relation (auto-k) cross-joined into the seeding expression.
     */
-  private def assignCtes(table: String, idCol: String, vecCol: String,
+  /** Returns (cte chain, final-assignment relation name). The chain also
+    * exposes `base` (vec_id, q) and the final centroids as `centd$iters`
+    * (cluster, cent) — composing SQL (ivfKMeansTopKSql) reads both.
+    */
+  private[operators] def assignCtes(table: String, idCol: String, vecCol: String,
       dim: Int, kSql: String, iters: Int): (String, String) = {
     val sb = new StringBuilder
     sb.append(

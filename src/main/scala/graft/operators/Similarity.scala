@@ -297,6 +297,15 @@ object Similarity {
       .filter(col("_crank") <= nprobe)
       .drop("_csim", "_crank")
 
+    scoreInvertedLists(assigned, probes, dim, k)
+  }
+
+  /** Shared IVF tail: score `assigned` (neighbor_id, cvec, cnorm, list_id)
+    * against `probes` (query_id, qvec, qnorm, probe_list) — only
+    * probed-list members pay a cosine — and keep each query's top k.
+    */
+  private def scoreInvertedLists(assigned: DataFrame, probes: DataFrame,
+      dim: Int, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(probes),
         col("neighbor_id") =!= col("query_id") && col("list_id") === col("probe_list"))
       .withColumn("cos_sim", VectorFns.cosineFromNorms(
@@ -309,8 +318,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** IVF with TRAINED coarse centroids: k-means (engine-exact quantized
+    * Lloyd, see KMeans) learns `nlist` centroids, which then play exactly
+    * the role of `ivfTopK`'s seeds — corpus rows and query probes are
+    * assigned by COSINE (the retrieval metric; cosine is scale-invariant,
+    * so the quantized-space centroid means work unrescaled) through the
+    * same zero-shuffle staged argmax. Same output contract as `ivfTopK`;
+    * recall at equal nlist/nprobe is better because learned centroids
+    * partition the data where it actually clusters (spec-checked against
+    * brute force vs the first-nlist-ids seeding). `queryPred`-selected ids
+    * must match the Spark-side `queries` frame for oracle parity.
+    */
+  def ivfKMeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nlist: Int, iters: Int,
+      nprobe: Int): DataFrame = {
+    val (_, kc) = KMeans.assignWithCentroids(
+      corpus, idCol, vecCol, dim, nlist, iters)
+    // centroid components are doubles already; the norm accumulates
+    // left-to-right exactly like VectorFns.normSql over the centd relation
+    val cents = kc.map { case (cid, w) =>
+      var acc = 0.0
+      var i = 0
+      while (i < w.length) { acc += w(i) * w(i); i += 1 }
+      (cid, w, math.sqrt(acc))
+    }
+    ivfScore(corpus, queries, idCol, vecCol, dim, k, nprobe, cents)
+  }
+
+  /** Oracle for `ivfKMeansTopK`: replays the full Lloyd iteration chain
+    * (KMeans.assignCtes — bit-identical centroids, e07-proven), then runs
+    * the identical IVF cosine scoring over the trained `centd` relation.
+    */
+  def ivfKMeansTopKSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, nlist: Int, iters: Int, nprobe: Int,
+      queryPred: String): String = {
+    val (ctes, _) = KMeans.assignCtes(table, idCol, vecCol, dim,
+      nlist.toString, iters)
+    s"""WITH $ctes,
+       |cents AS (
+       |  SELECT cluster AS cent_id, cent AS cvec2,
+       |         ${VectorFns.normSql("cent", dim)} AS cnorm2
+       |  FROM centd$iters),
+       |${ivfScoreSql(table, idCol, vecCol, dim, k, nprobe, queryPred)}""".stripMargin
+  }
+
   def ivfTopKSql(table: String, idCol: String, vecCol: String,
-      dim: Int, k: Int, nlist: Int, nprobe: Int, queryPred: String): String = {
+      dim: Int, k: Int, nlist: Int, nprobe: Int, queryPred: String): String =
+    s"""WITH cents AS (
+       |  SELECT $idCol AS cent_id, $vecCol AS cvec2,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm2
+       |  FROM $table WHERE $idCol < $nlist),
+       |${ivfScoreSql(table, idCol, vecCol, dim, k, nprobe, queryPred)}""".stripMargin
+
+  /** The IVF cosine scoring CTE tail: assumes a `cents(cent_id, cvec2,
+    * cnorm2)` relation is already defined by the caller's WITH prefix
+    * (seeded rows, or the trained `centd` chain).
+    */
+  private def ivfScoreSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, nprobe: Int, queryPred: String): String = {
     def near(src: String, vidCol: String, vec: String, nrm: String, n: Int, out: String) =
       s"""SELECT * EXCLUDE (_csim, _crank) FROM (
          |  SELECT s.*, cent.cent_id AS $out,
@@ -319,11 +384,7 @@ object Similarity {
          |               cent.cent_id ASC) AS _crank,
          |    1 AS _csim
          |  FROM $src s CROSS JOIN cents cent) WHERE _crank <= $n""".stripMargin
-    s"""WITH cents AS (
-       |  SELECT $idCol AS cent_id, $vecCol AS cvec2,
-       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm2
-       |  FROM $table WHERE $idCol < $nlist),
-       |c AS (
+    s"""c AS (
        |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
        |  FROM $table),

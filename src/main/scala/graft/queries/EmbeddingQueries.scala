@@ -66,6 +66,21 @@ object EmbeddingQueries {
       Some(Similarity.ivfTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, 16, 4, QueryPredSql))),
 
+    // IVF with LEARNED centroids: k-means (engine-exact, the e07 chain)
+    // trains the coarse quantizer instead of seeding with the first nlist
+    // ids — better recall at the same nlist/nprobe (spec-checked vs brute
+    // force in SimilaritySpec).
+    Q("e09_knn_ivf_kmeans",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.ivfKMeansTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nlist = 16, iters = 2, nprobe = 4)
+      },
+      Some(Similarity.ivfKMeansTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 16, 2, 4, QueryPredSql))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

@@ -193,6 +193,31 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("k-means-trained IVF beats first-id seeding at equal nlist/nprobe") {
+    // sf0.01 planted near-dup corpus (500 vecs). Queries must be DISJOINT
+    // from the first-nlist ids: a query that IS a seed centroid gets its
+    // own Voronoi cell — precisely its top-cosine candidates — which
+    // inflates seeded recall artificially (0.92 vs 0.40 here). On fair
+    // queries the learned centroids win because near-dup partners
+    // co-cluster while arbitrary seed points split them.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5))
+    assert(exact.nonEmpty)
+    val seeded = pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 64, 5,
+      nlist = 16, nprobe = 4))
+    val trained = pairs(Similarity.ivfKMeansTopK(emb, q, "vec_id", "embedding",
+      64, 5, nlist = 16, iters = 2, nprobe = 4))
+    val rSeeded = (exact & seeded).size.toDouble / exact.size
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    info(s"recall@5: seeded=$rSeeded trained=$rTrained")
+    assert(rTrained > rSeeded,
+      s"trained recall $rTrained not better than seeded $rSeeded")
+  }
+
   test("LSH top-k recall improves with probe radius; radius 2 is usable") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
