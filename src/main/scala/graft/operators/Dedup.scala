@@ -559,6 +559,41 @@ object Dedup {
        |SELECT t.$idCol FROM $table t
        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = t.$idCol)""".stripMargin
 
+  /** Cross-source duplication matrix: for each ordered source pair, how
+    * many near-dup pairs cross it and how many distinct higher-id docs are
+    * involved — the provenance signal of a dedup campaign (which feeds
+    * plagiarize which; mirrored boilerplate shows up as a hot off-diagonal
+    * cell). Composes the LSH pair operator with a metadata join: pair
+    * generation is the linear bucketed path, the matrix rollup is one
+    * aggregation over the (tiny) pair relation. (source_a, source_b) are
+    * the lower-id / higher-id doc's sources respectively.
+    */
+  def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand, threshold)
+    val src = df.select(col(idCol).as("id"), col(sourceCol).as("src"))
+    pairs
+      .join(src.as("sa"), col("id_a") === col("sa.id"))
+      .join(src.as("sb"), col("id_b") === col("sb.id"))
+      .groupBy(col("sa.src").as("source_a"), col("sb.src").as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dup_docs"))
+  }
+
+  def crossSourceDupMatrixSql(table: String, idCol: String, textCol: String,
+      sourceCol: String, n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): String =
+    s"""WITH pairs AS (
+       |${minhashLshPairsSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |)
+       |SELECT sa.$sourceCol AS source_a, sb.$sourceCol AS source_b,
+       |  COUNT(*) AS n_pairs, COUNT(DISTINCT id_b) AS n_dup_docs
+       |FROM pairs
+       |JOIN $table sa ON pairs.id_a = sa.$idCol
+       |JOIN $table sb ON pairs.id_b = sb.$idCol
+       |GROUP BY 1, 2""".stripMargin
+
   /** SimHash over whitespace tokens (with multiplicity), `bits` wide
     * (bits <= 32 so the per-bit nibble arithmetic stays portable).
     * Output column is the bit string (MSB-first '0'/'1' chars) so the value

@@ -79,5 +79,13 @@ object DedupQueries {
       (s, dir) => SpanDedup.dupSpans(Tables(s, dir).documents,
         "doc_id", "text", width = 8),
       Some(SpanDedup.dupSpansSql("documents", "doc_id", "text", width = 8))),
+
+    // Provenance rollup of the dedup campaign: which sources duplicate
+    // which (near-dup pairs bucketed by the two docs' source columns).
+    Q("d11_cross_source_dups",
+      (s, dir) => Dedup.crossSourceDupMatrix(Tables(s, dir).documents,
+        "doc_id", "text", "source", N, NumHashes, RowsPerBand, LshThreshold),
+      Some(Dedup.crossSourceDupMatrixSql("documents", "doc_id", "text",
+        "source", N, NumHashes, RowsPerBand, LshThreshold))),
   )
 }

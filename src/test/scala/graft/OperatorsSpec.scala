@@ -43,6 +43,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("crossSourceDupMatrix attributes near-dup pairs to source pairs") {
+    val srcDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "crawlA"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "crawlB"),
+      (2L, "completely different words about spark catalyst optimizer and shuffles", "crawlB"),
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.crossSourceDupMatrix(srcDocs, "doc_id", "text", "source",
+        3, 12, 3, 0.8)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m == Map(("crawlA", "crawlB") -> 1L))
+  }
+
   test("dupClusters finds TRANSITIVE components the greedy pair view misses") {
     // chain: jaccard(10,11)=0.8 and jaccard(11,12)=0.83 pass the 0.7
     // threshold; jaccard(10,12)=0.67 does NOT — 10 and 12 can only join
