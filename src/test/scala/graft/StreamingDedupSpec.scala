@@ -85,6 +85,15 @@ class StreamingDedupSpec extends SparkSpec {
     val capped = spark.table("sdedup_cap").filter(col("capped"))
       .select("id_a").collect().map(_.getLong(0)).toSet
     assert(capped == Set(2L))
+    // refused docs are recorded in state: RE-delivery of a refused doc is
+    // silent (idempotency holds for refused docs, not just admitted ones;
+    // the first refusal emits one marker per colliding band bucket)
+    val markersAfterFirstRefusal =
+      spark.table("sdedup_cap").filter(col("capped")).count()
+    in.addData((2L, nearDup(base)))
+    q.processAllAvailable()
+    assert(spark.table("sdedup_cap").filter(col("capped")).count()
+      == markersAfterFirstRefusal)
     q.stop()
   }
 }
