@@ -99,4 +99,50 @@ class PropertySpec extends SparkSpec {
       size(array_intersect(col("xs"), col("ys"))).as("h")).collect()
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
+
+  test("dupSpans invariants on random small-vocab corpora") {
+    // tiny vocab forces plenty of genuine repeated grams
+    val word = Gen.oneOf("ga", "bu", "zo", "meu")
+    val doc = Gen.listOfN(14, word).map(_.mkString(" "))
+    val width = 3
+    val corpus = samples(doc, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val spans = graft.operators.SpanDedup.dupSpans(df, "doc_id", "text", width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTok = corpus.map { case (id, t) => id -> t.split("\\s+").length }.toMap
+    // structural invariants: bounds inside the doc, spans at least one gram
+    // wide, per-doc spans disjoint and separated by > width - 1 tokens
+    // (else they'd have merged), n_grams consistent with the span extent
+    for ((id, s, e, ng) <- spans) {
+      assert(s >= 1 && e <= nTok(id) && s + width - 1 <= e, ((id, s, e)))
+      assert(ng >= 1 && ng <= e - width + 1 - s + 1, ((id, s, e, ng)))
+    }
+    for ((_, ds) <- spans.groupBy(_._1); Array(a, b) <- ds.sortBy(_._2).sliding(2)) {
+      assert(b._2 > a._3 + 1, s"adjacent spans would have merged: $a $b")
+    }
+    // every gram inside a span region that the gram relation marks occurs
+    // >= 2 times corpus-wide; verified directly against a brute-force count
+    val gramCounts = corpus.flatMap { case (_, t) =>
+      t.split("\\s+").sliding(width).map(_.mkString(" "))
+    }.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val spanSet = spans.groupBy(_._1)
+    for ((id, t) <- corpus) {
+      val toks = t.split("\\s+")
+      val marked = toks.sliding(width).zipWithIndex.filter {
+        case (g, i0) => gramCounts(g.mkString(" ")) >= 2
+      }.map(_._2 + 1).toSeq
+      // brute-force islands must equal the engine's spans for this doc
+      // merge iff this gram starts within `width` of the island's last
+      // gram start (last start = end - width + 1), i.e. p <= end + 1
+      val expected = marked.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head._2 + 1 =>
+          (acc.head._1, math.max(acc.head._2, p + width - 1).toLong) :: acc.tail
+        case (acc, p) => (p.toLong, (p + width - 1).toLong) :: acc
+      }.reverse
+      val got = spanSet.getOrElse(id, Array.empty).sortBy(_._2)
+        .map(x => (x._2, x._3)).toList
+      assert(got == expected, s"doc $id: $got vs $expected")
+    }
+  }
 }
