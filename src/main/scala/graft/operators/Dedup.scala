@@ -346,6 +346,18 @@ object Dedup {
     based.select(col("id") +: mins: _*)
   }
 
+  /** `(id, band, sig)` banding of a wide signature relation: each band's
+    * signature is the '|'-joined row of its `rowsPerBand` minhash columns.
+    */
+  private def bandRelation(wide: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until numBands).map { j =>
+      concat_ws("|", ((j * rowsPerBand) until ((j + 1) * rowsPerBand))
+        .map(i => col(s"m$i").cast("string")): _*)
+    }
+    wide.select(col("id"), posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+  }
+
   /** LSH candidate pairs + exact Jaccard verification.
     * numHashes minhashes split into bands of `rowsPerBand`; docs sharing any
     * band signature become candidates; candidates are verified with the
@@ -358,12 +370,7 @@ object Dedup {
         s"($rowsPerBand) — trailing hashes would be computed but never banded")
     val numBands = numHashes / rowsPerBand
     val wide = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val bandSigs = (0 until numBands).map { j =>
-      concat_ws("|", ((j * rowsPerBand) until ((j + 1) * rowsPerBand))
-        .map(i => col(s"m$i").cast("string")): _*)
-    }
-    val bands = wide.select(col("id"),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    val bands = bandRelation(wide, numBands, rowsPerBand)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -416,6 +423,101 @@ object Dedup {
        |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
+  }
+
+  /** INCREMENTAL near-dup detection: which docs of a NEW BATCH are
+    * near-duplicates of an EXISTING CORPUS — the operation a daily
+    * ingestion pipeline actually runs (dedupe today's crawl against the
+    * accumulated corpus) where re-running the full corpus self-join (d04)
+    * per batch would rescan everything ever ingested. Output:
+    * `(batch_id, corpus_id, jaccard)` for every verified cross pair at
+    * `jaccard >= threshold`; batch-internal duplicates are deliberately
+    * out of scope (run `dropNearDuplicates` on the batch first, then this
+    * against the corpus). Requires disjoint id spaces between the sides.
+    *
+    * Scale shape: the corpus's signature/band relation is a pure function
+    * of the corpus — at production scale it is computed ONCE per corpus
+    * version and persisted as a bucketed table keyed by (band, sig)
+    * (`util.Layout.writeBucketed`), so the per-batch cost is the batch's
+    * own narrow signature build plus one bucket join whose left side is
+    * linear in BATCH size — corpus size enters only through matched-bucket
+    * occupancy, never as a rescan. Verification touches only candidate
+    * ids' shingle rows. No self-join exists on either side.
+    */
+  def incrementalDupPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val numBands = numHashes / rowsPerBand
+    val cBands = bandRelation(
+      minhashSignatures(corpus, idCol, textCol, n, numHashes), numBands, rowsPerBand)
+    val bBands = bandRelation(
+      minhashSignatures(batch, idCol, textCol, n, numHashes), numBands, rowsPerBand)
+    val cands = bBands.as("b")
+      .join(cBands.as("c"),
+        col("b.band") === col("c.band") && col("b.sig") === col("c.sig"))
+      .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+    // one shingle relation over both sides (ids are disjoint by contract) —
+    // verifyPairs reads it for each end of every candidate pair
+    val arrs = shingleStructs(
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(batch.select(col(idCol), col(textCol))),
+      idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(
+      verifyPairs(cands, arrs, threshold)
+        .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+          col("jaccard")),
+      arrs)
+  }
+
+  /** Oracle for `incrementalDupPairs`; `corpusRel`/`batchRel` are table
+    * names or parenthesized subqueries over the same parquet tables.
+    */
+  def incrementalDupPairsSql(corpusRel: String, batchRel: String,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      rowsPerBand: Int, threshold: Double): String = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val minCols = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((base * $a + $b) % $MinhashP) AS m$i"
+    }.mkString(", ")
+    val numBands = numHashes / rowsPerBand
+    def bandSelects(minsCte: String) = (0 until numBands).map { j =>
+      val sig = ((j * rowsPerBand) until ((j + 1) * rowsPerBand))
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $j AS band, $sig AS sig FROM $minsCte"
+    }.mkString(" UNION ALL ")
+    s"""WITH csh AS (
+       |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $corpusRel t),
+       |bsh AS (
+       |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $batchRel t),
+       |cbased AS (SELECT id, ${TextFns.md5Hash32Sql("sh")} AS base FROM csh),
+       |bbased AS (SELECT id, ${TextFns.md5Hash32Sql("sh")} AS base FROM bsh),
+       |cmins AS (SELECT id, $minCols FROM cbased GROUP BY id),
+       |bmins AS (SELECT id, $minCols FROM bbased GROUP BY id),
+       |cbands AS (${bandSelects("cmins")}),
+       |bbands AS (${bandSelects("bmins")}),
+       |cands AS (
+       |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+       |  FROM bbands b JOIN cbands c ON b.band = c.band AND b.sig = c.sig),
+       |sizes AS (
+       |  SELECT id, COUNT(*) AS n_sh FROM csh GROUP BY id
+       |  UNION ALL
+       |  SELECT id, COUNT(*) AS n_sh FROM bsh GROUP BY id),
+       |common AS (
+       |  SELECT batch_id, corpus_id, COUNT(*) AS n_common
+       |  FROM cands JOIN bsh x ON batch_id = x.id
+       |  JOIN csh y ON corpus_id = y.id AND x.sh = y.sh
+       |  GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id,
+       |  CAST(n_common AS DOUBLE) / CAST(sb.n_sh + sc.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes sb ON batch_id = sb.id JOIN sizes sc ON corpus_id = sc.id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sb.n_sh + sc.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
   }
 
   /** The practical corpus-cleaning operator: drop near-duplicates, keeping

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Chunker, Dedup, SpanDedup}
 import graft.util.Tables
 
@@ -87,5 +89,23 @@ object DedupQueries {
         "doc_id", "text", "source", N, NumHashes, RowsPerBand, LshThreshold),
       Some(Dedup.crossSourceDupMatrixSql("documents", "doc_id", "text",
         "source", N, NumHashes, RowsPerBand, LshThreshold))),
+
+    // INCREMENTAL dedup: today's batch (every 5th doc id) against the
+    // accumulated corpus (the rest) — batch-side bands join corpus-side
+    // bands, no self-join anywhere; the daily-ingest shape where the
+    // corpus's signature index is precomputed and the per-batch cost is
+    // linear in batch size.
+    Q("d12_incremental_dups",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        Dedup.incrementalDupPairs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold)
+      },
+      Some(Dedup.incrementalDupPairsSql(
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold))),
   )
 }

@@ -106,5 +106,97 @@ object LayoutQueries {
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
               |GROUP BY event_type""".stripMargin)),
+
+    // Sort-on-write clustering (zone-map layout): lineitem rewritten
+    // range-partitioned + sorted by l_shipdate, so every parquet file/row
+    // group covers a narrow disjoint date band and a date-range query
+    // skips the rest on footer min/max alone — the unpartitioned-column
+    // analog of b02's directory pruning (at 100 TB: sort/Z-order on the
+    // hot filter column ⇒ scan cost tracks the DATE RANGE, not the table).
+    // The range boundaries Spark samples are nondeterministic, but the
+    // ANSWER never depends on them — only file placement does (the
+    // disjoint-band property is asserted per file in PlanShapeSpec, not
+    // here).
+    Q("b03_sorted_layout_skip",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"g_lineitem_bydate_${tag(dir)}").toString
+        oncePerKey(root) {
+          t.lineitem.select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"))
+            .repartitionByRange(8, col("l_shipdate"))
+            .sortWithinPartitions(col("l_shipdate"))
+            .write.mode("overwrite").parquet(root)
+        }
+        s.read.parquet(root)
+          .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+          .agg(count(lit(1)).as("n_lines"), sumd(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+              |  COUNT(*) AS n_lines, ${sqlSumd("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+              |GROUP BY 1""".stripMargin)),
+
+    // Runtime bloom-filter join pruning: the selective dim-side filter
+    // (urgent orders) is turned into a bloom filter EVALUATED INSIDE THE
+    // FACT SCAN, so non-matching lineitem rows die before the join
+    // shuffle — semi-join pushdown, the row-level analog of partition
+    // pruning. At 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~20% that can possibly join.
+    // The injection thresholds are sized for clusters (10 GB application
+    // side), so they are lowered for the demo INSIDE a save/restore conf
+    // window, with the join materialized eagerly (localCheckpoint) while
+    // the window is open — optimization happens at execution, not
+    // DataFrame construction. Broadcast is disabled in the window because
+    // Spark (rightly) skips bloom injection when the dim broadcasts; at
+    // this sf the dim fits, at scale it would not. Plan asserted in
+    // PlanShapeSpec (BloomFilterMightContain on the fact scan).
+    // Raw parquet reads, NOT Tables(...): the local-scan spread wraps the
+    // relation in a Repartition, and InjectRuntimeFilter's creation-side
+    // walk (extractSelectiveFilterOverScan) only traverses Project/Filter/
+    // Join nodes — a Repartition anywhere under the filter silently vetoes
+    // injection. At cluster scale the spread is a no-op (scans arrive
+    // multi-split), so the raw read IS the scale-faithful shape here.
+    Q("b04_runtime_bloom_join",
+      (s, dir) => {
+        withConfs(s,
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+          val one = lit(1).cast(DecimalType(18, 2))
+          s.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .join(s.read.parquet(s"$dir/lineitem.parquet"),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_lines"),
+              sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+                .cast("double").as("revenue"))
+            .localCheckpoint(true)
+        }
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+              |  CAST(SUM(${sqlDec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_orderpriority = '1-URGENT'
+              |GROUP BY o_orderpriority""".stripMargin)),
   )
+
+  /** Set confs, run `body`, restore the previous values — `body` must
+    * EXECUTE (not just declare) any plan that depends on the confs, since
+    * Catalyst optimizes at action time.
+    */
+  private def withConfs[A](s: org.apache.spark.sql.SparkSession,
+      confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

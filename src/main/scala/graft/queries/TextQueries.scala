@@ -298,5 +298,47 @@ object TextQueries {
            |SELECT *, CAST(f_short + f_meanlen + f_symbol + f_stop + f_dup + f_top = 0 AS BIGINT) AS keep
            |FROM flags""".stripMargin
       }),
+
+    // URL canonicalization + per-domain rollup (web-crawl shape). The test
+    // tables carry no URL column, so each doc contributes two DERIVED messy
+    // variants of the same logical URL (same deterministic construction in
+    // both engines): scheme/host case noise, an explicit default port,
+    // utm_* tracking params, a fragment, and shuffled param order. After
+    // `UrlFns.normalizeUrl` the two variants collapse to ONE canonical URL
+    // (n_canonical = n_raw / 2 per domain) — the URL-level dedup signal a
+    // crawl pipeline caps domains by. Narrow projection + one hash agg.
+    Q("t17_url_normalize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        import graft.functions.UrlFns
+        val messy1 = concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".COM:443/docs/"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&ref="), col("lang"),
+          lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"), lit("#sec"))
+        val messy2 = concat(lit("https://www."), lower(col("source")),
+          lit(".com/docs/"), col("doc_id").cast("string"),
+          lit("?ref="), col("lang"))
+        t.documents
+          .select(col("doc_id"), explode(array(messy1, messy2)).as("url"))
+          .select(col("url"), UrlFns.normalizeUrl(col("url")).as("canon"))
+          .groupBy(UrlFns.domain(col("canon")).as("domain"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw"),
+            countDistinct(col("canon")).as("n_canonical"))
+      },
+      Some {
+        import graft.functions.UrlFns
+        val messy1 = "'HTTPS://WWW.' || upper(source) || '.COM:443/docs/' || " +
+          "CAST(doc_id AS VARCHAR) || '?utm_source=feed&ref=' || lang || " +
+          "'&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) || '#sec'"
+        val messy2 = "'https://www.' || lower(source) || '.com/docs/' || " +
+          "CAST(doc_id AS VARCHAR) || '?ref=' || lang"
+        s"""WITH urls AS (
+           |  SELECT unnest([$messy1, $messy2]) AS url FROM documents),
+           |norm AS (SELECT url, ${UrlFns.normalizeUrlSql("url")} AS canon FROM urls)
+           |SELECT ${UrlFns.domainSql("canon")} AS domain, COUNT(*) AS n_urls,
+           |  COUNT(DISTINCT url) AS n_raw, COUNT(DISTINCT canon) AS n_canonical
+           |FROM norm GROUP BY 1""".stripMargin
+      }),
   )
 }

@@ -129,4 +129,32 @@ class FunctionsSpec extends SparkSpec {
     // mixed: "the cat the dog" — 'the' twice of 4, all trigrams unique
     assert(metrics("the cat the dog") == ((4L, 0.25, 0.0, 0.5)))
   }
+
+  test("normalizeUrl: case, default port, tracking params, fragment, param order") {
+    import graft.functions.UrlFns
+    def n(in: String): String =
+      Seq(in).toDF("u").select(UrlFns.normalizeUrl(col("u"))).head().getString(0)
+    // the messy-variant pair from t17 collapses to one canonical form
+    assert(n("HTTPS://WWW.SRC0.COM:443/docs/7?utm_source=feed&ref=en&utm_campaign=c1#sec")
+      == "https://www.src0.com/docs/7?ref=en")
+    assert(n("https://www.src0.com/docs/7?ref=en") == "https://www.src0.com/docs/7?ref=en")
+    // http default port; params sorted; gclid/fbclid stripped
+    assert(n("HTTP://Host.Example:80/a?b=2&a=1&gclid=xyz") == "http://host.example/a?a=1&b=2")
+    // non-default port survives; query-less URL gains nothing
+    assert(n("https://h.example:8443/x") == "https://h.example:8443/x")
+    // all params tracking -> '?' dropped entirely
+    assert(n("https://h.example/p?utm_source=a&fbclid=b#f") == "https://h.example/p")
+    // idempotent
+    val messy = "HTTPS://A.B:443/p/q?utm_x=1&z=2&y=3#frag"
+    assert(n(n(messy)) == n(messy))
+  }
+
+  test("domain strips www and port from the canonical url") {
+    import graft.functions.UrlFns
+    def d(in: String): String = Seq(in).toDF("u")
+      .select(UrlFns.domain(UrlFns.normalizeUrl(col("u")))).head().getString(0)
+    assert(d("https://WWW.News.Example.com/a/b") == "news.example.com")
+    assert(d("https://api.example.com:8443/v1") == "api.example.com")
+    assert(d("http://example.com") == "example.com")
+  }
 }

@@ -382,4 +382,27 @@ class OperatorsSpec extends SparkSpec {
       assert(kth == expected, s"$g kth")
     }
   }
+
+  test("incrementalDupPairs: cross pairs only — batch-internal dups stay invisible") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "totally different words about spark shuffles and joins here now"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, base + " lambda"), // near-dup of corpus doc 1
+      (102L, "unrelated singleton content nothing matches this string at all"),
+      // 103/104 duplicate EACH OTHER but nothing in the corpus
+      (103L, "batch internal twin one two three four five six seven eight nine"),
+      (104L, "batch internal twin one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .incrementalDupPairs(corpus, batch, "doc_id", "text", 3, 12, 3, 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((101L, 1L)),
+      pairs.mkString(", "))
+    val j = pairs.head.getDouble(2)
+    assert(j >= 0.5 && j <= 1.0, s"jaccard $j")
+  }
 }

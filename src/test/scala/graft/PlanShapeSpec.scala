@@ -125,4 +125,55 @@ class PlanShapeSpec extends SparkSpec {
     val partsRead = scans.head.metrics("numPartitions").value
     assert(partsRead == 1, s"scan read $partsRead partitions, expected 1")
   }
+
+  test("b03: sort-on-write layout produces files with disjoint l_shipdate bands") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    q("b03_sorted_layout_skip").collect() // ensures the layout is written
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val root = wh.listFiles().filter(_.getName.startsWith("g_lineitem_bydate_"))
+      .maxBy(_.lastModified)
+    val files = root.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"expected a multi-file layout under $root")
+    // per-file min/max = exactly what a footer zone map exposes; sorted
+    // bands must not overlap, or range queries can't skip files
+    val bands = files.map { f =>
+      // ISO timestamp strings order lexicographically — avoids the
+      // TIMESTAMP_NTZ vs java-time API mismatch entirely
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("l_shipdate")).cast("string"),
+          max(col("l_shipdate")).cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo,
+          s"overlapping file bands: $hi > $lo in ${bands.mkString(", ")}")
+      case _ =>
+    }
+  }
+
+  test("b04: runtime bloom filter from the urgent-orders filter reaches the fact side") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      // raw reads: the Tables local-scan spread's Repartition node vetoes
+      // InjectRuntimeFilter's creation-side walk (see b04's scaladoc)
+      val df = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_lines"))
+      val plan = finalPlanString(df)
+      assert(plan.contains("might_contain"),
+        s"expected a bloom-filter probe on the lineitem side:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
