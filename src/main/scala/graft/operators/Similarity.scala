@@ -407,6 +407,82 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Int8-quantized top-k with exact rerank (the scan-bandwidth scale
+    * path): candidate generation scores INT8-QUANTIZED vectors (binary
+    * column, 4× smaller than float32 — see `plans.QuantizeI8`) with a pure
+    * integer dot product, keeps each query's top `rerank` by quantized
+    * score, and reranks only those with the exact float cosine. The full
+    * corpus is touched only through its 64-byte quantized form; the
+    * 256-byte float vectors are read per-candidate. Same output contract
+    * as `cosineTopK`; recall vs brute force is spec-checked, and the
+    * oracle replays the identical quantized integers so results are
+    * engine-exact regardless of what quantization loses.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, rerank: Int,
+      maxQueryRows: Long = 10000): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    guardSmallSide(queries, "quantizedTopK", "lshTopK or ivfTopK", maxQueryRows)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+      .withColumn("cq", graft.plans.QuantizeI8(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("qq", graft.plans.QuantizeI8(col("qvec")))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore", graft.plans.DotProductI8(col("qq"), col("cq")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_qrank", row_number().over(wq))
+      .filter(col("_qrank") <= rerank)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** `quantizedTopK` oracle: quantize each side once per row
+    * (list_transform, same clip(floor(x*127+0.5)) integers), integer-dot
+    * candidates, exact-cosine rerank.
+    */
+  def quantizedTopKSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, rerank: Int, queryPred: String): String = {
+    val quant = s"list_transform($vecCol, x -> GREATEST(-127, LEAST(127, " +
+      "CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))))"
+    val qdot = (1 to dim).map(i => s"q.qq[$i] * c.cq[$i]").mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm, $quant AS cq
+       |  FROM $table),
+       |q AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm, $quant AS qq
+       |  FROM $table WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec, q.qnorm, c.cnorm,
+       |         ($qdot) AS qscore
+       |  FROM c JOIN q ON c.neighbor_id <> q.query_id),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qscore DESC, neighbor_id ASC) AS _qrank
+       |    FROM scored) WHERE _qrank <= $rerank),
+       |rer AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${VectorFns.dotSql("qvec", "cvec", dim)}) / (qnorm * cnorm) AS cos_sim
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Exact all-pairs (O(n²)) SMALL-CORPUS form — refuses corpora over
     * `maxRows`; the scale path is `lshNearDupPairs` (same output shape,

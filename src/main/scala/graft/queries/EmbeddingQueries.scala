@@ -81,6 +81,21 @@ object EmbeddingQueries {
       Some(Similarity.ivfKMeansTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, 16, 2, 4, QueryPredSql))),
 
+    // Int8-quantized candidates + exact rerank: the corpus is scanned only
+    // through a 4x-smaller binary quantized column (codegen integer dot,
+    // plans.QuantizeI8/DotProductI8); float vectors are touched for the
+    // top-20 candidates per query only. Engine-exact: the oracle replays
+    // the identical quantized integers.
+    Q("e10_knn_quantized",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.quantizedTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K, rerank = 20)
+      },
+      Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 20, QueryPredSql))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

@@ -263,6 +263,50 @@ class OperatorsSpec extends SparkSpec {
     assert(recalls(2) == 1.0, s"nprobe=nlist must be exhaustive: $recalls")
   }
 
+  test("quantized top-k: high recall vs brute force; returned sims are exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exactDf = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5)
+    val quantDf = Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 64, 5,
+      rerank = 20)
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactDf.collect()
+    val quant = quantDf.collect()
+    val recall = (pairs(exact) & pairs(quant)).size.toDouble / exact.length
+    info(s"int8 recall@5 (rerank=20): $recall")
+    assert(recall >= 0.9, s"int8+rerank recall too low: $recall")
+    // every returned similarity must be the EXACT float cosine (the rerank
+    // stage recomputes on the original vectors — quantization error may
+    // cost recall but never precision of what IS returned)
+    val exactSims = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    quant.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSims.get(key).foreach(s => assert(s == r.getDouble(2), s"$key"))
+    }
+  }
+
+  test("QuantizeI8/DotProductI8 match the reference integer computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    def ref(a: Array[Float], b: Array[Float]): Long = {
+      def qz(x: Float): Long =
+        math.max(-127L, math.min(127L, math.floor(x.toDouble * 127.0 + 0.5).toLong))
+      a.zip(b).map { case (x, y) => qz(x) * qz(y) }.sum
+    }
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "vec")
+    val got = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        graft.plans.DotProductI8(
+          graft.plans.QuantizeI8(col("a.vec")),
+          graft.plans.QuantizeI8(col("b.vec"))).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- rows.indices; j <- rows.indices if i < j)
+      assert(got((i.toLong, j.toLong)) == ref(rows(i), rows(j)), s"($i,$j)")
+  }
+
   test("cosineNearDupPairs respects the threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
