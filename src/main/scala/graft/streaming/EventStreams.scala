@@ -54,19 +54,27 @@ object EventStreams {
       .select(col("user_id"), col("session").getField("start").as("session_start"),
         col("session").getField("end").as("session_end"), col("n_events"))
 
-  /** Stream-stream inner join within an event-time window: right-side rows
+  /** Stream-stream join within an event-time window: right-side rows
     * match a left row when keys are equal and right.ts ∈ [left.ts - window,
     * left.ts]. Watermarks on both sides bound the join state. Column names
     * must be disjoint between the two sides.
+    *
+    * `joinType` "inner" (default) or "left_outer": outer emits an unmatched
+    * left row (right columns null) only once BOTH watermarks prove no
+    * future match can arrive — so outer results are correct, late, and
+    * state-bounded, the exact trade Structured Streaming documents (the
+    * time-interval condition is what makes outer legal at all: it gives
+    * the engine the state-eviction bound).
     */
   def joinWithin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      window: String, watermark: String): DataFrame =
+      window: String, watermark: String, joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window") &&
-          col(rightTs) <= col(leftTs))
+          col(rightTs) <= col(leftTs),
+        joinType)
 
   /** Streaming exact dedup by key with a watermark bounding state: events
     * re-delivered within the watermark horizon are dropped (the streaming

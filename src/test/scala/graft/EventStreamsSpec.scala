@@ -162,6 +162,38 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks once watermarks pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val c = clicks.toDF().select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+      col("ts").as("c_ts"))
+    val v = views.toDF().select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+      col("ts").as("v_ts"))
+    val q = EventStreams.joinWithin(c, v, "c_user", "v_user", "c_ts", "v_ts",
+      "10 minutes", "1 minute", joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("ssoj_out").start()
+    // user 1's click has a view in-window; user 3's click has NO view ever
+    views.addData(Ev(100, ts(0), 1, "view", 0))
+    clicks.addData(Ev(200, ts(8), 1, "click", 0), Ev(201, ts(8), 3, "click", 0))
+    q.processAllAvailable()
+    // the unmatched row may NOT be emitted yet: no watermark proof. Advance
+    // event time far past the click + interval + watermark on BOTH streams.
+    views.addData(Ev(900, ts(40), 9, "view", 0))
+    clicks.addData(Ev(901, ts(40), 9, "click", 0))
+    q.processAllAvailable()
+    // one more batch so the state store evicts against the new watermark
+    views.addData(Ev(902, ts(45), 9, "view", 0))
+    clicks.addData(Ev(903, ts(45), 9, "click", 0))
+    q.processAllAvailable()
+    val got = spark.table("ssoj_out").select("c_id", "v_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.contains((200L, Some(100L))), got) // matched pair intact
+    assert(got.contains((201L, None)), // unmatched click surfaced with nulls
+      s"unmatched click not emitted after watermark passed: $got")
+    q.stop()
+  }
+
   test("streaming tumbling agg equals the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val evs = (0 until 50).map(i =>
