@@ -154,6 +154,42 @@ object LayoutQueries {
     // Spark (rightly) skips bloom injection when the dim broadcasts; at
     // this sf the dim fits, at scale it would not. Plan asserted in
     // PlanShapeSpec (BloomFilterMightContain on the fact scan).
+    // Z-order clustering: lineitem rewritten sorted by the Morton
+    // interleave of (l_partkey, l_suppkey), so each file covers a
+    // RECTANGLE in that plane and a two-column box predicate skips files
+    // on footer min/max of BOTH columns — where b03's single-column sort
+    // clusters only its sort column and leaves every file spanning the
+    // full range of the other. The rectangle property is asserted on the
+    // written files in PlanShapeSpec; the answer itself is
+    // layout-independent (plain filtered aggregate, trivially oracled).
+    Q("b05_zorder_layout",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), s"g_lineitem_zorder_${tag(dir)}").toString
+        oncePerKey(root) {
+          val sel = t.lineitem.select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+          // one-row stats pass: min-max scaling bounds for the interleave
+          // (layout placement only — never part of any query answer)
+          val mx = sel.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+          sel
+            .withColumn("_z", Layout.zorder2(col("l_partkey"), col("l_suppkey"),
+              mx.getLong(0), mx.getLong(1), 16))
+            .repartitionByRange(8, col("_z"))
+            .sortWithinPartitions(col("_z"))
+            .drop("_z")
+            .write.mode("overwrite").parquet(root)
+        }
+        s.read.parquet(root)
+          .filter(col("l_partkey") >= 800 && col("l_partkey") < 1000 &&
+            col("l_suppkey") >= 20 && col("l_suppkey") < 40)
+          .agg(count(lit(1)).as("n_lines"), sumd(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_lines, ${sqlSumd("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |WHERE l_partkey >= 800 AND l_partkey < 1000
+              |  AND l_suppkey >= 20 AND l_suppkey < 40""".stripMargin)),
+
     // Raw parquet reads, NOT Tables(...): the local-scan spread wraps the
     // relation in a Repartition, and InjectRuntimeFilter's creation-side
     // walk (extractSelectiveFilterOverScan) only traverses Project/Filter/

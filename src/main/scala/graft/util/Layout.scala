@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Z-order (Morton) key of two non-negative integer columns: each column
+    * is first MIN-MAX SCALED to the full `bits`-wide range, then bit i of
+    * scaled `a` lands at even position 2i and bit i of scaled `b` at odd
+    * 2i+1. Sorting by this key clusters rows so a file/row-group covers a
+    * RECTANGLE in (a, b) space instead of a stripe — the standard layout for
+    * two-column range predicates where a single-column sort (b03) leaves the
+    * second column unclustered.
+    *
+    * The scaling is what makes interleaving meaningful: raw interleave of a
+    * 11-bit column with a 7-bit column is dominated by the wide column's
+    * high bits and degenerates to a single-column sort (observed on the
+    * test tables before normalizing). `aMax`/`bMax` come from a one-row
+    * stats pass at layout-build time — layout placement may depend on them,
+    * query ANSWERS never do. Pure integer shift/mask built-ins: codegen'd,
+    * deterministic, no UDF.
+    */
+  def zorder2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      aMax: Long, bMax: Long, bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(aMax > 0 && bMax > 0, "column maxima must be positive")
+    val full = (1L << bits) - 1
+    val as = a.cast("long") * lit(full) / lit(aMax)
+    val bs = b.cast("long") * lit(full) / lit(bMax)
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(as, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bs, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Write `df` as a bucketed managed table (bucketBy requires saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int, sortCol: Option[String] = None): Unit = {

@@ -153,6 +153,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("b05: z-order layout gives files rectangular footprints a box query can skip") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    q("b05_zorder_layout").collect() // ensures the layout is written
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val root = wh.listFiles().filter(_.getName.startsWith("g_lineitem_zorder_"))
+      .maxBy(_.lastModified)
+    val files = root.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"expected a multi-file layout under $root")
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // a box query sized for the sf0.001 data range (~10% x ~30% of the
+    // partkey x suppkey plane): partkey [80, 100) x suppkey [2, 4)
+    val hits = boxes.count { case (pLo, pHi, sLo, sHi) =>
+      pHi >= 80 && pLo < 100 && sHi >= 2 && sLo < 4
+    }
+    info(s"files=${files.length} intersecting=$hits boxes=${boxes.mkString(", ")}")
+    // a partkey-only sort would leave every file spanning the FULL suppkey
+    // range; z-order must let the box query skip at least half the files
+    assert(hits <= files.length / 2,
+      s"box query intersects $hits of ${files.length} files: ${boxes.mkString(", ")}")
+    // and the second dimension must be genuinely clustered: most files
+    // cover a strict sub-range of suppkey (the stripe layout never does)
+    val sMin = boxes.map(_._3).min
+    val sMax = boxes.map(_._4).max
+    val subRange = boxes.count { case (_, _, lo, hi) => lo > sMin || hi < sMax }
+    assert(subRange * 2 >= boxes.length,
+      s"suppkey unclustered — boxes: ${boxes.mkString(", ")}")
+  }
+
   test("b04: runtime bloom filter from the urgent-orders filter reaches the fact side") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
