@@ -340,5 +340,32 @@ object TextQueries {
            |  COUNT(DISTINCT url) AS n_raw, COUNT(DISTINCT canon) AS n_canonical
            |FROM norm GROUP BY 1""".stripMargin
       }),
+
+    // Heavy hitters via a SpaceSaving typed aggregator: the shuffle carries
+    // at most `capacity` entries per partition instead of every distinct
+    // token. Declared in the EXACT regime (capacity 64 > the corpus
+    // vocabulary, so every err is provably 0 and the oracle's plain GROUP
+    // BY count hash-matches — including the zero err column); the
+    // approximate regime's guarantees are property-specked.
+    Q("t18_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Tables(s, dir).documents
+          .select(explode(TextFns.tokens(col("text"))).as("term"))
+          .as[String]
+        terms
+          .select(new graft.operators.SpaceSavingSketch(64, 10).toColumn).toDF("hh")
+          .select(explode(col("hh")).as("e"))
+          .select(col("e._1").as("term"), col("e._2").as("cnt"),
+            col("e._3").as("err"), col("e._4").as("rank"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(${TextFns.tokensSql("text")}) AS term FROM documents),
+              |c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
+              |r AS (SELECT term, cnt,
+              |        ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+              |      FROM c)
+              |SELECT term, cnt, CAST(0 AS BIGINT) AS err, CAST(rank AS BIGINT) AS rank
+              |FROM r WHERE rank <= 10""".stripMargin)),
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Quantiles, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Quantiles, Similarity, SpaceSavingSketch}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -425,6 +425,47 @@ class OperatorsSpec extends SparkSpec {
       val expected = if (vs.size >= k) Some(vs.sorted.apply(k - 1)) else None
       assert(kth == expected, s"$g kth")
     }
+  }
+
+  test("SpaceSaving: exact when capacity covers the vocabulary, bounded when not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // zipf-ish stream: value i drawn with weight ~ 1/(i+1)
+    val weights = (0 until 50).map(i => 1.0 / (i + 1))
+    val total = weights.sum
+    def draw(): Int = {
+      var x = rnd.nextDouble() * total
+      var i = 0
+      while (x > weights(i)) { x -= weights(i); i += 1 }
+      i
+    }
+    val stream = Seq.fill(20000)(s"v${draw()}")
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ds = stream.toDS().repartition(8) // force partial buffers + merges
+
+    // exact regime: capacity >= distinct values -> zero error, true counts
+    val exact = ds.select(new SpaceSavingSketch(64, 10).toColumn).toDF("hh")
+      .select(explode(col("hh")).as("e")).select("e._1", "e._2", "e._3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    exact.foreach { case (v, est, err) =>
+      assert(err == 0L && est == truth(v), s"$v est=$est err=$err true=${truth(v)}")
+    }
+
+    // approx regime: capacity 8 << 50 distinct. SpaceSaving invariants:
+    // est overestimates, est - err lower-bounds, and every item with
+    // true count > 2N/capacity survives the merge-trim
+    val approx = ds.select(new SpaceSavingSketch(8, 8).toColumn).toDF("hh")
+      .select(explode(col("hh")).as("e")).select("e._1", "e._2", "e._3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    approx.foreach { case (v, est, err) =>
+      val t = truth.getOrElse(v, 0L)
+      assert(est >= t, s"$v est=$est under true=$t")
+      assert(est - err <= t, s"$v lower bound ${est - err} above true=$t")
+    }
+    val surviving = approx.map(_._1).toSet
+    val mustSurvive = truth.filter(_._2 > 2L * stream.size / 8).keySet
+    assert(mustSurvive.subsetOf(surviving),
+      s"lost heavy hitters: ${mustSurvive -- surviving}")
   }
 
   test("incrementalDupPairs: cross pairs only — batch-internal dups stay invisible") {
