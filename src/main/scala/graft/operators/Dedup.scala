@@ -208,6 +208,73 @@ object Dedup {
        |FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
 
+  /** Directional CONTAINMENT pairs: C(inner → outer) =
+    * |shingles(inner) ∩ shingles(outer)| / |shingles(inner)| — the
+    * asymmetric companion to Jaccard. A short document pasted whole into a
+    * longer one scores containment ≈ 1 while symmetric Jaccard stays low
+    * (the union is dominated by the long doc), so Jaccard-threshold dedup
+    * never fires; this operator is how quote farms, article+boilerplate
+    * wrappers, and dataset-inside-dataset embeddings are actually caught.
+    * Output: `(id_inner, id_outer, n_common, containment)`, BOTH directions
+    * of each unordered pair evaluated independently, filtered at
+    * `containment >= threshold`.
+    *
+    * SMALL-CORPUS exact form: same inverted-index self-join cost shape as
+    * `ngramJaccardPairs` (quadratic in hot shingles), guarded the same way.
+    * The scale path is prefix filtering with the one-sided containment
+    * bound (only the INNER side's prefix length shrinks — for containment
+    * the length filter constrains just |inner|) or bottom-k sketches,
+    * whose min-wise estimate is containment-preserving on the inner side.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxRows: Long = 100000): DataFrame = {
+    Similarity.guardSmallSide(df, "containmentPairs",
+      "a prefix-filtered containment join (one-sided length bound)", maxRows)
+    val sh = shingleSet(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sized = common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
+    val bothDirs = sized.select(
+        col("id_a").as("id_inner"), col("id_b").as("id_outer"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .union(sized.select(
+        col("id_b").as("id_inner"), col("id_a").as("id_outer"), col("n_common"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("containment")))
+    materializeAndRelease(bothDirs.filter(col("containment") >= threshold), sh)
+  }
+
+  def containmentPairsSql(table: String, idCol: String, textCol: String,
+      n: Int, threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $table),
+       |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |sized AS (
+       |  SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id),
+       |both_dirs AS (
+       |  SELECT id_a AS id_inner, id_b AS id_outer, n_common,
+       |    CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+       |  FROM sized
+       |  UNION ALL
+       |  SELECT id_b AS id_inner, id_a AS id_outer, n_common,
+       |    CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+       |  FROM sized)
+       |SELECT * FROM both_dirs WHERE containment >= $threshold""".stripMargin
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style): in a
     * global canonical shingle order (md5 of the shingle, which also breaks
     * frequency skew), any two sets with Jaccard >= t must share an element
@@ -660,6 +727,68 @@ object Dedup {
        |)
        |SELECT t.$idCol FROM $table t
        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = t.$idCol)""".stripMargin
+
+  /** LEAKAGE-SAFE train/valid/test split: the split decision hashes the
+    * doc's transitive dup-CLUSTER label instead of its own id, so every
+    * member of a near-dup cluster lands on the same side. A hash-by-id
+    * split (`Sampling.split`) puts ~20% of each dup cluster's members in
+    * eval by construction — near-duplicates of training docs leak into
+    * validation/test and inflate eval scores; this is the standard fix.
+    * Output: `(id, cluster, split)` for every doc (singletons are their
+    * own cluster). Cost = `dupClusters` + one narrow projection; the split
+    * stays deterministic and stable under corpus growth except where new
+    * edges merge clusters (which is exactly when re-assignment is wanted).
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      trainFrac: Double, validFrac: Double): DataFrame =
+    Sampling.splitBy(
+      dupClusters(df, idCol, textCol, n, numHashes, rowsPerBand, threshold),
+      col("cluster"), trainFrac, validFrac)
+
+  def clusterSafeSplitSql(table: String, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      trainFrac: Double, validFrac: Double): String =
+    s"""SELECT id, cluster,
+       |${Sampling.splitCaseSql("cluster", trainFrac, validFrac)} AS split
+       |FROM (
+       |${dupClustersSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |) c""".stripMargin
+
+  /** Quality-aware canonical selection: keep ONE doc per transitive dup
+    * cluster — the highest-token-count member (tie: lowest id) — instead
+    * of `dropNearDuplicates`' keep-lowest-id policy. When near-duplicates
+    * differ by truncation or stripped boilerplate, the most complete
+    * variant survives, which is what a training corpus wants. Output: the
+    * kept docs' `(id, cluster, n_tokens)`; singleton docs keep themselves.
+    * Cost = `dupClusters` + a per-cluster top-1 window (clusters are tiny,
+    * so the window never concentrates a partition).
+    */
+  def keepBestInCluster(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, n, numHashes, rowsPerBand, threshold)
+    val toks = df.select(col(idCol).as("id"),
+      TextFns.tokenCount(col(textCol)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(col("n_tokens").desc, col("id").asc)
+    clusters.join(toks, Seq("id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("cluster"), col("n_tokens"))
+  }
+
+  def keepBestInClusterSql(table: String, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""SELECT id, cluster, n_tokens FROM (
+       |  SELECT c.id, c.cluster, t.n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |      ORDER BY t.n_tokens DESC, c.id ASC) AS rn
+       |  FROM (
+       |${dupClustersSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |  ) c
+       |  JOIN (SELECT $idCol AS id, ${TextFns.tokenCountSql(textCol)} AS n_tokens
+       |        FROM $table) t ON c.id = t.id
+       |) WHERE rn = 1""".stripMargin
 
   /** Cross-source duplication matrix: for each ordered source pair, how
     * many near-dup pairs cross it and how many distinct higher-id docs are

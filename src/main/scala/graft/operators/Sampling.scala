@@ -25,8 +25,16 @@ object Sampling {
     * the hash bucket (e.g. 0.8/0.1/0.1).
     */
   def split(df: DataFrame, idCol: String,
+      trainFrac: Double, validFrac: Double): DataFrame =
+    splitBy(df, col(idCol), trainFrac, validFrac)
+
+  /** Split keyed by an arbitrary column: rows sharing a key always land on
+    * the same side. `Dedup.clusterSafeSplit` passes the dup-cluster label
+    * so near-duplicates never straddle the train/eval boundary.
+    */
+  def splitBy(df: DataFrame, keyCol: Column,
       trainFrac: Double, validFrac: Double): DataFrame = {
-    val b = hashBucket(col(idCol))
+    val b = hashBucket(keyCol)
     val trainLt = (trainFrac * 10000).toInt
     val validLt = ((trainFrac + validFrac) * 10000).toInt
     df.withColumn("split",

@@ -15,6 +15,7 @@ object DedupQueries {
   private val RowsPerBand = 3
   private val LshThreshold = 0.8
   private val JaccardThreshold = 0.6
+  private val ContainmentThreshold = 0.9
 
   val all: Seq[Q] = Seq(
     Q("d01_exact_dup_groups",
@@ -107,5 +108,30 @@ object DedupQueries {
         "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
         "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
         "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold))),
+
+    // Directional containment: a short doc pasted whole into a longer one
+    // scores containment ~1 while symmetric Jaccard stays low — the pairs
+    // d03/d04 are structurally blind to.
+    Q("d13_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(Tables(s, dir).documents,
+        "doc_id", "text", N, ContainmentThreshold),
+      Some(Dedup.containmentPairsSql("documents", "doc_id", "text",
+        N, ContainmentThreshold))),
+
+    // Leakage-safe split: hash the dup-CLUSTER label, not the doc id, so
+    // near-duplicates never straddle the train/eval boundary.
+    Q("d14_cluster_safe_split",
+      (s, dir) => Dedup.clusterSafeSplit(Tables(s, dir).documents,
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold, 0.8, 0.1),
+      Some(Dedup.clusterSafeSplitSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold, 0.8, 0.1))),
+
+    // Quality-aware canonical selection: keep the most complete (highest
+    // token count) member of each dup cluster, not the lowest id.
+    Q("d15_keep_best_in_cluster",
+      (s, dir) => Dedup.keepBestInCluster(Tables(s, dir).documents,
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
+      Some(Dedup.keepBestInClusterSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold))),
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Quantiles, Similarity, SpaceSavingSketch}
+import graft.operators.{AsOfJoin, Dedup, Quantiles, Sampling, Similarity, SpaceSavingSketch}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -35,7 +35,10 @@ class OperatorsSpec extends SparkSpec {
       "ngramJaccardPairsPrefix" -> (() => Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)),
       "minhashLshPairs" -> (() => Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 3, 0.8)),
       "dropNearDuplicates" -> (() => Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 12, 3, 0.8)),
-      "dupClusters" -> (() => Dedup.dupClusters(docs, "doc_id", "text", 3, 12, 3, 0.8)))
+      "dupClusters" -> (() => Dedup.dupClusters(docs, "doc_id", "text", 3, 12, 3, 0.8)),
+      "containmentPairs" -> (() => Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)),
+      "clusterSafeSplit" -> (() => Dedup.clusterSafeSplit(docs, "doc_id", "text", 3, 12, 3, 0.8, 0.8, 0.1)),
+      "keepBestInCluster" -> (() => Dedup.keepBestInCluster(docs, "doc_id", "text", 3, 12, 3, 0.8)))
     for ((name, op) <- ops) {
       op().count() // materialize like a caller would
       assert(ColumnBridge.noCachedRelations(spark),
@@ -155,6 +158,75 @@ class OperatorsSpec extends SparkSpec {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact && exact.nonEmpty)
+  }
+
+  test("containmentPairs: embedded short doc scores 1.0 one-way while jaccard stays blind") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val embed = Seq(
+      (10L, short),
+      (11L, short + " " + filler), // the short doc pasted whole into a longer one
+      (12L, "totally unrelated words about catalyst and tungsten engines here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(embed, "doc_id", "text", 3, 0.9)
+      .select("id_inner", "id_outer", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.exists { case (i, o, c) => i == 10L && o == 11L && c == 1.0 })
+    assert(!pairs.exists { case (i, o, _) => i == 11L && o == 10L }) // asymmetric
+    // symmetric jaccard never fires on the embedded pair at a useful threshold
+    assert(Dedup.ngramJaccardPairs(embed, "doc_id", "text", 3, 0.5).count() == 0)
+  }
+
+  test("containmentPairs equals brute-force set containment on the fixture corpus") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.containmentPairs(docs500, "doc_id", "text", 3, 0.9)
+      .select("id_inner", "id_outer", "n_common")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sets = docs500.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      r.getLong(0) -> (if (toks.size < 3) Set.empty[String]
+                       else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      common = (sa & sb).size
+      if common.toDouble / sa.size >= 0.9
+    } yield (ia, ib, common.toLong)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("clusterSafeSplit: no near-dup pair straddles the train/eval boundary") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Dedup.clusterSafeSplit(docs500, "doc_id", "text", 3, 12, 3, 0.8, 0.8, 0.1)
+    assert(split.count() == docs500.count()) // every doc assigned exactly once
+    assert(split.select("split").distinct().count() >= 2) // non-degenerate
+    val sides = split.select(col("id"), col("split"))
+    val straddling = Dedup.minhashLshPairs(docs500, "doc_id", "text", 3, 12, 3, 0.8)
+      .join(sides.as("x"), col("id_a") === col("x.id"))
+      .join(sides.as("y"), col("id_b") === col("y.id"))
+      .filter(col("x.split") =!= col("y.split"))
+    assert(straddling.count() == 0)
+    // the id-hash split DOES straddle on this corpus — the leak this fixes
+    val idSides = Sampling.split(docs500, "doc_id", 0.8, 0.1)
+      .select(col("doc_id").as("id"), col("split"))
+    val idStraddling = Dedup.minhashLshPairs(docs500, "doc_id", "text", 3, 12, 3, 0.8)
+      .join(idSides.as("x"), col("id_a") === col("x.id"))
+      .join(idSides.as("y"), col("id_b") === col("y.id"))
+      .filter(col("x.split") =!= col("y.split"))
+    assert(idStraddling.count() > 0)
+  }
+
+  test("keepBestInCluster keeps the most complete variant, not the lowest id") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tri = Seq(
+      (0L, base), // truncated variant, lowest id
+      (1L, base + " on a sunny morning"), // most complete variant, higher id
+      (2L, "unrelated catalyst tungsten shuffle text entirely different here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepBestInCluster(tri, "doc_id", "text", 3, 12, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept.map(_._1) == Set(1L, 2L)) // doc 0 lost to its longer twin
+    assert(kept.contains((1L, 0L, 17L))) // cluster label stays the min id
   }
 
   test("simhash: near-dups land within small hamming distance, unrelated far") {
