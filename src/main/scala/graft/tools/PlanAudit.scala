@@ -4,7 +4,9 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled","false").config("spark.sql.shuffle.partitions","8")
-      .config("spark.sql.session.timeZone","UTC").getOrCreate()
+      .config("spark.sql.session.timeZone","UTC")
+      // audit the dedup operators' REAL plans, not their checkpointed results
+      .config("spark.graft.skipMaterialize","true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ONLY=e05,q2 restricts the audit (same contract as Verify)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
