@@ -245,11 +245,19 @@ object Dedup {
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    // a pair can qualify in SOME direction only if n_common >= t·min(|a|,|b|)
+    // — prune the (large, every-pair-sharing-one-shingle) relation before
+    // widening it. Pruning bound only, so it is loosened by an epsilon
+    // (1-ulp hygiene, see ngramJaccardPairsPrefix); the exact per-direction
+    // filter below decides membership.
+    val Eps = 1e-9
     val sized = common
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
+      .filter(col("n_common").cast("double") >=
+        lit(threshold) * least(col("n_a"), col("n_b")).cast("double") - Eps)
     // both directions from ONE pass over the pair relation (a union of two
     // projections would re-run the whole common+sizes chain per branch —
     // the explode is narrow and the pair relation is tiny next to it)

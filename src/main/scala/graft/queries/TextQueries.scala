@@ -367,5 +367,24 @@ object TextQueries {
               |      FROM c)
               |SELECT term, cnt, CAST(0 AS BIGINT) AS err, CAST(rank AS BIGINT) AS rank
               |FROM r WHERE rank <= 10""".stripMargin)),
+
+    // Corpus-frequency bigram scoring — the cheap stand-in for
+    // LM-perplexity quality filtering: corpus-rare n-grams mark unusual
+    // text, all-common n-grams mark templated boilerplate. All-integer
+    // aggregation, divisions last → engine-exact.
+    Q("t19_bigram_lm_score",
+      (s, dir) => graft.operators.CorpusStats.bigramLmScore(
+        Tables(s, dir).documents, "doc_id", "text", minCount = 10L),
+      Some(graft.operators.CorpusStats.bigramLmScoreSql(
+        "documents", "doc_id", "text", minCount = 10L))),
+
+    // Cross-source vocabulary overlap matrix: exact shared-vocab counts +
+    // vocabulary Jaccard per source pair (the corpus-mixing diagnostic;
+    // d11 is the doc-level companion).
+    Q("t20_source_vocab_overlap",
+      (s, dir) => graft.operators.CorpusStats.sourceVocabOverlap(
+        Tables(s, dir).documents, "source", "text"),
+      Some(graft.operators.CorpusStats.sourceVocabOverlapSql(
+        "documents", "source", "text"))),
   )
 }

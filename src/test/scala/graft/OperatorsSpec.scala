@@ -229,6 +229,30 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.contains((1L, 0L, 17L))) // cluster label stays the min id
   }
 
+  test("bigramLmScore: hand-computed frequencies, rare counts, and means") {
+    import graft.operators.CorpusStats
+    val tiny = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmScore(tiny, "doc_id", "text", minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // corpus bigram counts: "a b"=3 ("a b a b" yields it twice), "b a"=1, "b c"=1
+    assert(got == Set(
+      (0L, 3L, 1L, (3 + 1 + 3) / 3.0), // doc 0: bigrams [a b, b a, a b]
+      (1L, 2L, 1L, (3 + 1) / 2.0))) // doc 2 has no bigrams and is absent
+  }
+
+  test("sourceVocabOverlap: exact shared vocab and jaccard; disjoint pair absent") {
+    import graft.operators.CorpusStats
+    val tiny = Seq(
+      ("s1", "a b c"), ("s1", "a"), // s1 vocab {a,b,c}
+      ("s2", "b c d"), // s2 vocab {b,c,d}
+      ("s3", "x")) // s3 vocab {x} — shares nothing
+      .toDF("source", "text")
+    val got = CorpusStats.sourceVocabOverlap(tiny, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == Set(("s1", "s2", 2L, 3L, 3L, 2.0 / 4.0)))
+  }
+
   test("simhash: near-dups land within small hamming distance, unrelated far") {
     val h = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
