@@ -153,39 +153,45 @@ object KMeans {
     * exposes `base` (vec_id, q) and the final centroids as `centd$iters`
     * (cluster, cent) — composing SQL (ivfKMeansTopKSql) reads both.
     */
+  /** `prefix` namespaces every CTE name so several independent chains can
+    * coexist in one statement (Similarity.pqTopKSql runs one chain per PQ
+    * subspace); the default empty prefix keeps existing callers (and their
+    * `centd$iters` references) unchanged.
+    */
   private[operators] def assignCtes(table: String, idCol: String, vecCol: String,
-      dim: Int, kSql: String, iters: Int): (String, String) = {
+      dim: Int, kSql: String, iters: Int, prefix: String = ""): (String, String) = {
+    val p = prefix
     val sb = new StringBuilder
     sb.append(
-      s"""params AS (SELECT CAST(($kSql) AS BIGINT) AS k),
-         |base AS (
+      s"""${p}params AS (SELECT CAST(($kSql) AS BIGINT) AS k),
+         |${p}base AS (
          |  SELECT $idCol AS vec_id, ${quantizeSql(vecCol)} AS q FROM $table),
-         |assign0 AS (
+         |${p}assign0 AS (
          |  SELECT vec_id, q,
          |    CAST(vec_id // ((mx + k) // k) AS BIGINT) AS cluster
-         |  FROM base CROSS JOIN (SELECT MAX(vec_id) AS mx FROM base)
-         |  CROSS JOIN params)""".stripMargin)
+         |  FROM ${p}base CROSS JOIN (SELECT MAX(vec_id) AS mx FROM ${p}base)
+         |  CROSS JOIN ${p}params)""".stripMargin)
     val sums = (1 to dim).map(i => s"SUM(q[$i])").mkString("[", ", ", "]")
     for (j <- 1 to iters) {
       sb.append(
         s""",
-           |cents$j AS (
+           |${p}cents$j AS (
            |  SELECT cluster, COUNT(*) AS n, $sums AS s
-           |  FROM assign${j - 1} GROUP BY cluster),
-           |centd$j AS (
+           |  FROM ${p}assign${j - 1} GROUP BY cluster),
+           |${p}centd$j AS (
            |  SELECT cluster, list_transform(s, x -> CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) AS cent
-           |  FROM cents$j),
-           |scored$j AS (
+           |  FROM ${p}cents$j),
+           |${p}scored$j AS (
            |  SELECT v.vec_id, v.q, c.cluster,
            |    ${distSqSql("v.q", "c.cent", dim)} AS dist
-           |  FROM base v CROSS JOIN centd$j c),
-           |assign$j AS (
+           |  FROM ${p}base v CROSS JOIN ${p}centd$j c),
+           |${p}assign$j AS (
            |  SELECT vec_id, q, cluster FROM (
            |    SELECT vec_id, q, cluster,
            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
-           |    FROM scored$j) WHERE rn = 1)""".stripMargin)
+           |    FROM ${p}scored$j) WHERE rn = 1)""".stripMargin)
     }
-    (sb.toString, s"assign$iters")
+    (sb.toString, s"${p}assign$iters")
   }
 
   def assignSql(table: String, idCol: String, vecCol: String, dim: Int,

@@ -483,6 +483,154 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** PRODUCT-QUANTIZED top-k with exact rerank — the memory-bound ANN
+    * scale path beyond e10's scalar quantization: the vector is split into
+    * `m` subspaces of dim/m dims, each subspace gets a `ksub`-entry
+    * codebook trained by the engine-exact Lloyd chain (KMeans — the e07
+    * machinery, run once per subspace on the corpus's quantized
+    * subvectors), and every corpus vector is stored as m small codes
+    * (m=8, ksub=16 ⇒ 8 codes replace 64 floats — a 32× smaller scan than
+    * float32, 8× smaller than int8). Candidate scoring reconstructs each
+    * corpus vector from its codewords and dots it against the quantized
+    * query (asymmetric-distance style — the query is NOT quantized to
+    * codes, only to fixed-point ints), keeps each query's top `rerank`,
+    * and reranks those with the exact float cosine.
+    *
+    * Same output contract as `cosineTopK`. Engine-exact: the oracle
+    * replays the m Lloyd chains (bit-identical codebooks), the same code
+    * assignments, and the same left-associated reconstruction dot, so
+    * results hash-match regardless of what quantization loses; recall vs
+    * brute force is spec-checked separately.
+    *
+    * Scale: training is m tiny driver loops (k-rows each — the MLlib
+    * iteration shape); encoding is a pure narrow codegen projection
+    * (staged per-subspace argmin over constant codebooks, zero shuffle);
+    * scoring touches the corpus only through its m-code form. At corpus
+    * scale this composes with IVF (e09's trained coarse quantizer) as
+    * IVF-PQ: coarse cells bound the scan, codes bound the bytes.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int, iters: Int, k: Int,
+      rerank: Int, maxQueryRows: Long = 10000): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    guardSmallSide(queries, "pqTopK", "lshTopK or ivfKMeansTopK", maxQueryRows)
+    val dsub = dim / m
+    // one engine-exact codebook per subspace (KMeans quantizes internally;
+    // quantize-then-slice ≡ slice-then-quantize — both elementwise)
+    val books: Seq[Seq[(Long, Array[Double])]] = (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).as("vid"),
+        slice(col(vecCol), j * dsub + 1, dsub).as("sub"))
+      KMeans.assignWithCentroids(sub, "vid", "sub", dsub, ksub, iters)._2
+    }
+    // encode: stage each subspace's argmin code, then swap the code for
+    // its codeword (a ksub-arm constant decode — empty clusters simply
+    // have no id to match). All narrow, all constants, zero shuffle.
+    val cBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+      .withColumn("cq", KMeans.quantize(col("cvec")))
+    var enc = cBase
+    for (j <- 0 until m) {
+      enc = KMeans.withNearestCluster(
+        enc.withColumn(s"_sub$j", slice(col("cq"), j * dsub + 1, dsub)),
+        s"_sub$j", books(j), s"code$j")
+      val reconJ = books(j).foldRight(lit(null).cast("array<double>")) {
+        case ((cid, cent), els) =>
+          when(col(s"code$j") === cid, typedlit(cent.toSeq)).otherwise(els)
+      }
+      enc = enc.withColumn(s"_recon$j", reconJ)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("qq", KMeans.quantize(col("qvec")))
+    // asymmetric score: quantized query ⋅ reconstructed corpus vector,
+    // one global left fold in (subspace, dim) order — the oracle emits
+    // the identical parenthesis tree
+    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
+      .foldLeft(lit(0.0)) { case (acc, (j, i)) =>
+        acc + element_at(col("qq"), j * dsub + i).cast("double") *
+          element_at(col(s"_recon$j"), i)
+      }
+    val scored = enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore", qscore)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_qrank", row_number().over(wq))
+      .filter(col("_qrank") <= rerank)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** `pqTopK` oracle: one prefixed Lloyd chain per subspace (bit-identical
+    * codebooks and code assignments — the chains' final `assign`/`centd`
+    * relations ARE the codes/codewords), then the identical reconstruction
+    * dot, candidate rank, and exact-cosine rerank.
+    */
+  def pqTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int, k: Int, rerank: Int,
+      queryPred: String): String = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val dsub = dim / m
+    val chains = (0 until m).map { j =>
+      val sub = s"(SELECT $idCol AS vid, " +
+        s"list_slice($vecCol, ${j * dsub + 1}, ${(j + 1) * dsub}) AS sub FROM $table)"
+      KMeans.assignCtes(sub, "vid", "sub", dsub, ksub.toString, iters, s"s${j}_")._1
+    }.mkString(",\n")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN s${j}_assign$iters a$j ON a0.vec_id = a$j.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until m).map(j => s"a$j.cluster AS code$j").mkString(", ")
+    val reconJoins = (0 until m)
+      .map(j => s"JOIN s${j}_centd$iters r$j ON codes.code$j = r$j.cluster")
+      .mkString(" ")
+    val reconCols = (0 until m).map(j => s"r$j.cent AS recon$j").mkString(", ")
+    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
+      .foldLeft("0.0") { case (acc, (j, i)) =>
+        s"($acc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
+      }
+    s"""WITH $chains,
+       |c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |codes AS (
+       |  SELECT a0.vec_id AS neighbor_id, $codeCols
+       |  FROM s0_assign$iters a0 $codeJoins),
+       |rc AS (
+       |  SELECT codes.neighbor_id, $reconCols FROM codes $reconJoins),
+       |q AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm,
+       |         ${KMeans.quantizeSql(vecCol)} AS qq
+       |  FROM $table WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec, q.qnorm, c.cnorm,
+       |         $qscore AS qscore
+       |  FROM c JOIN rc ON c.neighbor_id = rc.neighbor_id
+       |  JOIN q ON c.neighbor_id <> q.query_id),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qscore DESC, neighbor_id ASC) AS _qrank
+       |    FROM scored) WHERE _qrank <= $rerank),
+       |rer AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${VectorFns.dotSql("qvec", "cvec", dim)}) / (qnorm * cnorm) AS cos_sim
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Exact all-pairs (O(n²)) SMALL-CORPUS form — refuses corpora over
     * `maxRows`; the scale path is `lshNearDupPairs` (same output shape,

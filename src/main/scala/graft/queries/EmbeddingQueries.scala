@@ -96,6 +96,22 @@ object EmbeddingQueries {
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, 20, QueryPredSql))),
 
+    // PRODUCT quantization + exact rerank: m=8 subspace codebooks (ksub=16,
+    // trained by the engine-exact Lloyd chain per subspace) store each
+    // corpus vector as 8 codes — a 32x-smaller scan than float32; ADC-style
+    // reconstruction dots pick candidates, exact cosine reranks. With e09
+    // (trained coarse quantizer) this is the IVF-PQ architecture piecewise.
+    Q("e11_knn_pq",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.pqTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, m = 8, ksub = 16,
+          iters = 2, k = K, rerank = 20)
+      },
+      Some(Similarity.pqTopKSql("embeddings", "vec_id", "embedding",
+        Dim, 8, 16, 2, K, 20, QueryPredSql))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

@@ -382,6 +382,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PQ top-k: usable recall vs brute force at 32x compression; sims exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exactDf = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5)
+    val pqDf = Similarity.pqTopK(emb, q, "vec_id", "embedding", 64,
+      m = 8, ksub = 16, iters = 2, k = 5, rerank = 20)
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactDf.collect()
+    val pq = pqDf.collect()
+    val recall = (pairs(exact) & pairs(pq)).size.toDouble / exact.length
+    info(s"pq recall@5 (m=8, ksub=16, rerank=20): $recall")
+    // 4 codes stand in for 64 floats — far lossier than int8 (e10), so the
+    // bar is "usable candidates", not e10's 0.9; rerank keeps sims exact
+    assert(recall >= 0.5, s"pq+rerank recall too low: $recall")
+    val exactSims = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSims.get(key).foreach(s => assert(s == r.getDouble(2), s"$key"))
+    }
+  }
+
   test("QuantizeI8/DotProductI8 match the reference integer computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
