@@ -132,6 +132,59 @@ object KMeans {
     (assigned.select(col("vec_id"), col("cluster")), lastCents)
   }
 
+  /** Jointly train `m` per-subspace PQ codebooks (Similarity.pqTopK):
+    * computes EXACTLY what m independent `assignWithCentroids` runs over
+    * the vector's dsub-wide slices would (same contiguous-block seeding —
+    * ids are shared, so the block size is too; same per-subspace centroid
+    * sums on the quantized slices; same staged argmin reassignment), but
+    * each Lloyd iteration is ONE aggregation for ALL subspaces — the
+    * exploded (subspace, cluster) grouping — instead of m separate
+    * jobs, and the max-id seed job runs once instead of m times. The
+    * oracle replays the m independent chains and hash-matches because
+    * the computations are identical, only the job packing differs.
+    */
+  private[operators] def trainSubspaceBooks(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int,
+      iters: Int): Seq[Seq[(Long, Array[Double])]] = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(ksub > 0 && iters >= 1, s"ksub=$ksub and iters=$iters must be positive")
+    val dsub = dim / m
+    val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+    val mxRow = df.agg(max(col(idCol))).head()
+    require(!mxRow.isNullAt(0),
+      "trainSubspaceBooks: empty input (or all-null ids) — nothing to cluster")
+    val mx = mxRow.getAs[Number](0).longValue()
+    val withSubs = base.select(col("vec_id") +: col("q") +:
+      (0 until m).map(j => slice(col("q"), j * dsub + 1, dsub).as(s"_sub$j")): _*)
+    var assigned = withSubs.select(col("*") +:
+      (0 until m).map(j =>
+        expr(s"vec_id DIV ${(mx + ksub) / ksub}").cast("long").as(s"c$j")): _*)
+    var books: Seq[Seq[(Long, Array[Double])]] = Nil
+    for (_ <- 1 to iters) {
+      // one shuffle for every subspace's centroid sums: explode the m
+      // (subspace, cluster) labels, index the quantized vector by
+      // j*dsub+i (dynamic but codegen'd), aggregate exact longs
+      val expl = assigned.select(col("q"),
+        posexplode(array((0 until m).map(j => col(s"c$j")): _*)).as(Seq("j", "cluster")))
+      val centRows = expl.groupBy(col("j"), col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          array((1 to dsub).map(i =>
+            sum(element_at(col("q"), col("j") * dsub + i))): _*).as("s"))
+        .select(col("j"), col("cluster"),
+          transform(col("s"), s => s.cast("double") / col("n").cast("double")).as("cent"))
+        .collect()
+      books = (0 until m).map { j =>
+        centRows.filter(_.getInt(0) == j)
+          .map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+          .sortBy(_._1).toIndexedSeq
+      }
+      assigned = (0 until m).foldLeft(withSubs) { (acc, j) =>
+        withNearestCluster(acc, s"_sub$j", books(j), s"c$j")
+      }
+    }
+    books
+  }
+
   /** The corpus-scaled cluster count of the auto-k operators:
     * max(minK, n / docsPerCluster). Tying k to the corpus size keeps the
     * within-cluster pair work of SemDeDup at ~n·docsPerCluster instead of

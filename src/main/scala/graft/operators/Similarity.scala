@@ -516,13 +516,11 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     guardSmallSide(queries, "pqTopK", "lshTopK or ivfKMeansTopK", maxQueryRows)
     val dsub = dim / m
-    // one engine-exact codebook per subspace (KMeans quantizes internally;
-    // quantize-then-slice ≡ slice-then-quantize — both elementwise)
-    val books: Seq[Seq[(Long, Array[Double])]] = (0 until m).map { j =>
-      val sub = corpus.select(col(idCol).as("vid"),
-        slice(col(vecCol), j * dsub + 1, dsub).as("sub"))
-      KMeans.assignWithCentroids(sub, "vid", "sub", dsub, ksub, iters)._2
-    }
+    // one engine-exact codebook per subspace, trained JOINTLY — one
+    // aggregation per Lloyd iteration covers all m subspaces (identical
+    // arithmetic to m independent runs; quantize-then-slice ≡
+    // slice-then-quantize, both elementwise — see trainSubspaceBooks)
+    val books = KMeans.trainSubspaceBooks(corpus, idCol, vecCol, dim, m, ksub, iters)
     // encode: stage each subspace's argmin code, then swap the code for
     // its codeword (a ksub-arm constant decode — empty clusters simply
     // have no id to match). All narrow, all constants, zero shuffle.
