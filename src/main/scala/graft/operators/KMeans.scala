@@ -143,7 +143,7 @@ object KMeans {
     * oracle replays the m independent chains and hash-matches because
     * the computations are identical, only the job packing differs.
     */
-  private[operators] def trainSubspaceBooks(df: DataFrame, idCol: String,
+  private[graft] def trainSubspaceBooks(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, ksub: Int,
       iters: Int): Seq[Seq[(Long, Array[Double])]] = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")

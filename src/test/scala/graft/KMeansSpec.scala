@@ -56,6 +56,25 @@ class KMeansSpec extends SparkSpec {
     assert(asg.filter(col("cluster") < 0).count() == 0)
   }
 
+  test("joint PQ codebook training equals m independent per-subspace k-means runs") {
+    // trainSubspaceBooks packs all m trainings into one aggregation per
+    // iteration — the codebooks must be BIT-identical to running
+    // assignWithCentroids on each subvector slice separately (the form the
+    // DuckDB oracle replays)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (m, ksub, iters, d, dsub) = (8, 16, 2, 64, 8)
+    val joint = KMeans.trainSubspaceBooks(emb, "vec_id", "embedding", d, m, ksub, iters)
+    for (j <- 0 until m) {
+      val sub = emb.select(col("vec_id").as("vid"),
+        slice(col("embedding"), j * dsub + 1, dsub).as("sub"))
+      val indep = KMeans.assignWithCentroids(sub, "vid", "sub", dsub, ksub, iters)._2
+      assert(joint(j).map(_._1) == indep.map(_._1), s"subspace $j cluster ids")
+      joint(j).zip(indep).foreach { case ((_, a), (_, b)) =>
+        assert(a.toSeq == b.toSeq, s"subspace $j centroid values")
+      }
+    }
+  }
+
   test("semanticDedup keeps the lowest id of each near-dup set and all singletons") {
     // two identical vectors (1,2) plus one distant vector — drop id 2 only
     val schema = StructType(Seq(
