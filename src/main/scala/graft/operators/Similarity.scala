@@ -263,40 +263,56 @@ object Similarity {
     * k-means-trained): nearest-centroid corpus assignment (narrow staged
     * argmax), query probes, inverted-list cosine top-k.
     */
-  private[operators] def ivfScore(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, dim: Int, k: Int, nprobe: Int,
-      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+  /** Append `outCol` = nearest-centroid id BY COSINE to `df` (which carries
+    * `vec`/`nrm` columns) — argmax with ROW_NUMBER semantics (sim DESC
+    * NULLS LAST, cent_id ASC): greatest() skips nulls; when(null === mx)
+    * never fires so a row whose sims are ALL null falls through to the
+    * lowest centroid id — exactly where the oracle's NULLS-LAST rank puts
+    * it. A zero-shuffle narrow codegen projection; every other column of
+    * `df` is carried through.
+    */
+  private def withCoarseList(df: DataFrame, vec: String, nrm: String,
+      cents: Seq[(Long, Array[Double], Double)], outCol: String): DataFrame = {
+    val carried = df.columns.toIndexedSeq
+    val staged = stagedSims(df, vec, nrm, cents)
     val simCols = cents.indices.map(i => col(s"_s$i"))
-    // argmax with ROW_NUMBER semantics (sim DESC NULLS LAST, cent_id ASC):
-    // greatest() skips nulls; when(null === mx) never fires so a row whose
-    // sims are ALL null falls through to the lowest centroid id — exactly
-    // where the oracle's NULLS-LAST rank puts it.
-    val staged = stagedSims(c, "cvec", "cnorm", cents)
     val mx = if (simCols.size == 1) simCols.head else greatest(simCols: _*)
     val listId = cents.map(_._1).zip(simCols).foldRight(lit(cents.head._1)) {
       case ((cid, s), els) => when(s === mx, lit(cid)).otherwise(els)
     }.cast("long")
-    val assigned = staged.select(col("neighbor_id"), col("cvec"), col("cnorm"),
-      listId.as("list_id"))
+    staged.select(carried.map(col) :+ listId.as(outCol): _*)
+  }
 
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+  /** Explode each query row (carrying `query_id`/`qvec`/`qnorm` plus any
+    * extra columns, all carried through) into its `nprobe` nearest coarse
+    * lists as `probe_list`.
+    */
+  private def probeLists(q: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+    val carried = q.columns.toIndexedSeq
     val probeStructs = cents.zipWithIndex.map { case ((cid, _, _), i) =>
       struct(lit(cid).as("probe_list"), col(s"_s$i").as("_csim"))
     }
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("_csim").desc, col("probe_list").asc)
-    val probes = stagedSims(q, "qvec", "qnorm", cents)
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(probeStructs: _*)).as("pc"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        col("pc.probe_list").as("probe_list"), col("pc._csim").as("_csim"))
+    stagedSims(q, "qvec", "qnorm", cents)
+      .select(carried.map(col) :+ explode(array(probeStructs: _*)).as("pc"): _*)
+      .select(carried.map(col) :+ col("pc.probe_list").as("probe_list") :+
+        col("pc._csim").as("_csim"): _*)
       .withColumn("_crank", row_number().over(pw))
       .filter(col("_crank") <= nprobe)
       .drop("_csim", "_crank")
+  }
 
+  private[operators] def ivfScore(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, nprobe: Int,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+    val assigned = withCoarseList(c, "cvec", "cnorm", cents, "list_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+    val probes = probeLists(q, cents, nprobe)
     scoreInvertedLists(assigned, probes, dim, k)
   }
 
@@ -374,16 +390,24 @@ object Similarity {
     * cnorm2)` relation is already defined by the caller's WITH prefix
     * (seeded rows, or the trained `centd` chain).
     */
+  /** SQL snippet: assign each row of `src` its `n` nearest `cents` rows by
+    * cosine (ROW_NUMBER argmax — the mirror of `withCoarseList`/
+    * `probeLists`), keeping every column of `src`.
+    */
+  private def nearListSql(src: String, vidCol: String, vec: String,
+      nrm: String, n: Int, out: String, dim: Int): String =
+    s"""SELECT * EXCLUDE (_csim, _crank) FROM (
+       |  SELECT s.*, cent.cent_id AS $out,
+       |    ROW_NUMBER() OVER (PARTITION BY s.$vidCol
+       |      ORDER BY (${VectorFns.dotSql(s"s.$vec", "cent.cvec2", dim)}) / (s.$nrm * cent.cnorm2) DESC,
+       |               cent.cent_id ASC) AS _crank,
+       |    1 AS _csim
+       |  FROM $src s CROSS JOIN cents cent) WHERE _crank <= $n""".stripMargin
+
   private def ivfScoreSql(table: String, idCol: String, vecCol: String,
       dim: Int, k: Int, nprobe: Int, queryPred: String): String = {
     def near(src: String, vidCol: String, vec: String, nrm: String, n: Int, out: String) =
-      s"""SELECT * EXCLUDE (_csim, _crank) FROM (
-         |  SELECT s.*, cent.cent_id AS $out,
-         |    ROW_NUMBER() OVER (PARTITION BY s.$vidCol
-         |      ORDER BY (${VectorFns.dotSql(s"s.$vec", "cent.cvec2", dim)}) / (s.$nrm * cent.cnorm2) DESC,
-         |               cent.cent_id ASC) AS _crank,
-         |    1 AS _csim
-         |  FROM $src s CROSS JOIN cents cent) WHERE _crank <= $n""".stripMargin
+      nearListSql(src, vidCol, vec, nrm, n, out, dim)
     s"""c AS (
        |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
@@ -521,14 +545,31 @@ object Similarity {
     // arithmetic to m independent runs; quantize-then-slice ≡
     // slice-then-quantize, both elementwise — see trainSubspaceBooks)
     val books = KMeans.trainSubspaceBooks(corpus, idCol, vecCol, dim, m, ksub, iters)
-    // encode: stage each subspace's argmin code, then swap the code for
-    // its codeword (a ksub-arm constant decode — empty clusters simply
-    // have no id to match). All narrow, all constants, zero shuffle.
     val cBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
       .withColumn("cq", KMeans.quantize(col("cvec")))
-    var enc = cBase
-    for (j <- 0 until m) {
+    val enc = pqEncode(cBase, books, dsub)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("qq", KMeans.quantize(col("qvec")))
+    val scored = enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore", pqScore(m, dsub))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_qrank", row_number().over(wq))
+      .filter(col("_qrank") <= rerank)
+    rerankExactCosine(cands, dim, k)
+  }
+
+  /** Append each subspace's staged-argmin code (`code$j`) and its decoded
+    * codeword (`_recon$j`, a ksub-arm constant decode — empty clusters
+    * simply have no id to match) to `df`, which carries the quantized
+    * vector as `cq`. All narrow, all constants, zero shuffle.
+    */
+  private def pqEncode(df: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+      dsub: Int): DataFrame = {
+    var enc = df
+    for (j <- books.indices) {
       enc = KMeans.withNearestCluster(
         enc.withColumn(s"_sub$j", slice(col("cq"), j * dsub + 1, dsub)),
         s"_sub$j", books(j), s"code$j")
@@ -538,23 +579,24 @@ object Similarity {
       }
       enc = enc.withColumn(s"_recon$j", reconJ)
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
-      .withColumn("qq", KMeans.quantize(col("qvec")))
-    // asymmetric score: quantized query ⋅ reconstructed corpus vector,
-    // one global left fold in (subspace, dim) order — the oracle emits
-    // the identical parenthesis tree
-    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
+    enc
+  }
+
+  /** The asymmetric PQ score: quantized query (`qq`) ⋅ reconstructed
+    * corpus vector (`_recon*`), one global left fold in (subspace, dim)
+    * order — the oracle emits the identical parenthesis tree.
+    */
+  private def pqScore(m: Int, dsub: Int): Column =
+    (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
       .foldLeft(lit(0.0)) { case (acc, (j, i)) =>
         acc + element_at(col("qq"), j * dsub + i).cast("double") *
           element_at(col(s"_recon$j"), i)
       }
-    val scored = enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("qscore", qscore)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
-    val cands = scored.withColumn("_qrank", row_number().over(wq))
-      .filter(col("_qrank") <= rerank)
+
+  /** Exact-cosine rerank of a candidate relation carrying (query_id,
+    * neighbor_id, qvec, cvec, qnorm, cnorm): top `k` per query.
+    */
+  private def rerankExactCosine(cands: DataFrame, dim: Int, k: Int): DataFrame = {
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cands
@@ -563,6 +605,52 @@ object Similarity {
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** IVF-PQ: the full 100 TB ANN architecture in one operator — e09's
+    * TRAINED coarse quantizer bounds WHAT is scanned (each query touches
+    * ~nprobe/nlist of the corpus) and e11's product codes bound the BYTES
+    * per scanned row (m codes instead of dim floats); candidates from the
+    * probed lists are scored by the PQ reconstruction dot and the top
+    * `rerank` reranked with the exact float cosine. Same output contract
+    * as `cosineTopK`; engine-exact (the oracle replays the coarse chain,
+    * the m subspace chains, and the identical folds), recall spec-checked.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nlist: Int, itersCoarse: Int,
+      nprobe: Int, m: Int, ksub: Int, itersPq: Int, rerank: Int,
+      maxQueryRows: Long = 10000): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    guardSmallSide(queries, "ivfPqTopK", "sharded query batches", maxQueryRows)
+    val dsub = dim / m
+    val (_, kc) = KMeans.assignWithCentroids(
+      corpus, idCol, vecCol, dim, nlist, itersCoarse)
+    val cents = kc.map { case (cid, w) =>
+      var acc = 0.0
+      var i = 0
+      while (i < w.length) { acc += w(i) * w(i); i += 1 }
+      (cid, w, math.sqrt(acc))
+    }
+    val books = KMeans.trainSubspaceBooks(corpus, idCol, vecCol, dim, m, ksub, itersPq)
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+      .withColumn("cq", KMeans.quantize(col("cvec")))
+    val enc = pqEncode(withCoarseList(c0, "cvec", "cnorm", cents, "list_id"),
+      books, dsub)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("qq", KMeans.quantize(col("qvec")))
+    val probes = probeLists(q0, cents, nprobe)
+    val scored = enc.join(broadcast(probes),
+        col("neighbor_id") =!= col("query_id") &&
+          col("list_id") === col("probe_list"))
+      .withColumn("qscore", pqScore(m, dsub))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_qrank", row_number().over(wq))
+      .filter(col("_qrank") <= rerank)
+    rerankExactCosine(cands, dim, k)
   }
 
   /** `pqTopK` oracle: one prefixed Lloyd chain per subspace (bit-identical
@@ -612,6 +700,80 @@ object Similarity {
        |         $qscore AS qscore
        |  FROM c JOIN rc ON c.neighbor_id = rc.neighbor_id
        |  JOIN q ON c.neighbor_id <> q.query_id),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qscore DESC, neighbor_id ASC) AS _qrank
+       |    FROM scored) WHERE _qrank <= $rerank),
+       |rer AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${VectorFns.dotSql("qvec", "cvec", dim)}) / (qnorm * cnorm) AS cos_sim
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** `ivfPqTopK` oracle: the coarse Lloyd chain (unprefixed — same as
+    * e09's) feeds the `cents` relation; m prefixed subspace chains feed
+    * codes/codewords; assignment, probing, the reconstruction dot, and the
+    * exact rerank replay the Spark computation term for term.
+    */
+  def ivfPqTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+      k: Int, nlist: Int, itersCoarse: Int, nprobe: Int, m: Int, ksub: Int,
+      itersPq: Int, rerank: Int, queryPred: String): String = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val dsub = dim / m
+    val (coarseCtes, _) = KMeans.assignCtes(table, idCol, vecCol, dim,
+      nlist.toString, itersCoarse)
+    val pqChains = (0 until m).map { j =>
+      val sub = s"(SELECT $idCol AS vid, " +
+        s"list_slice($vecCol, ${j * dsub + 1}, ${(j + 1) * dsub}) AS sub FROM $table)"
+      KMeans.assignCtes(sub, "vid", "sub", dsub, ksub.toString, itersPq, s"s${j}_")._1
+    }.mkString(",\n")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN s${j}_assign$itersPq a$j ON a0.vec_id = a$j.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until m).map(j => s"a$j.cluster AS code$j").mkString(", ")
+    val reconJoins = (0 until m)
+      .map(j => s"JOIN s${j}_centd$itersPq r$j ON codes.code$j = r$j.cluster")
+      .mkString(" ")
+    val reconCols = (0 until m).map(j => s"r$j.cent AS recon$j").mkString(", ")
+    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
+      .foldLeft("0.0") { case (acc, (j, i)) =>
+        s"($acc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
+      }
+    s"""WITH $coarseCtes,
+       |cents AS (
+       |  SELECT cluster AS cent_id, cent AS cvec2,
+       |         ${VectorFns.normSql("cent", dim)} AS cnorm2
+       |  FROM centd$itersCoarse),
+       |$pqChains,
+       |c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |assigned AS (${nearListSql("c", "neighbor_id", "cvec", "cnorm", 1, "list_id", dim)}),
+       |codes AS (
+       |  SELECT a0.vec_id AS neighbor_id, $codeCols
+       |  FROM s0_assign$itersPq a0 $codeJoins),
+       |rc AS (
+       |  SELECT codes.neighbor_id, $reconCols FROM codes $reconJoins),
+       |q0 AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm,
+       |         ${KMeans.quantizeSql(vecCol)} AS qq
+       |  FROM $table WHERE $queryPred),
+       |probes AS (${nearListSql("q0", "query_id", "qvec", "qnorm", nprobe, "probe_list", dim)}),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec, q.qnorm, c.cnorm,
+       |         $qscore AS qscore
+       |  FROM assigned c JOIN rc ON c.neighbor_id = rc.neighbor_id
+       |  JOIN probes q ON c.neighbor_id <> q.query_id
+       |    AND c.list_id = q.probe_list),
        |cands AS (
        |  SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -112,6 +112,21 @@ object EmbeddingQueries {
       Some(Similarity.pqTopKSql("embeddings", "vec_id", "embedding",
         Dim, 8, 16, 2, K, 20, QueryPredSql))),
 
+    // IVF-PQ — the two scale levers composed: e09's trained coarse lists
+    // bound WHAT is scanned (nprobe/nlist of the corpus per query), e11's
+    // product codes bound the BYTES per scanned row; exact rerank on top.
+    Q("e12_knn_ivf_pq",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.ivfPqTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nlist = 16, itersCoarse = 2, nprobe = 4, m = 8, ksub = 16,
+          itersPq = 2, rerank = 20)
+      },
+      Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 16, 2, 4, 8, 16, 2, 20, QueryPredSql))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

@@ -404,6 +404,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: candidates from probed lists only; recall bounded by its parts; sims exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5).collect()
+    val ivfpq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 64,
+      k = 5, nlist = 16, itersCoarse = 2, nprobe = 4, m = 8, ksub = 16,
+      itersPq = 2, rerank = 20).collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pairs(exact) & pairs(ivfpq)).size.toDouble / exact.length
+    info(s"ivf-pq recall@5 (nlist=16 nprobe=4, m=8 ksub=16, rerank=20): $recall")
+    assert(recall >= 0.3, s"ivf-pq recall too low: $recall") // both levers lossy; rerank exact
+    // whatever IS returned carries the exact float cosine
+    val exactSims = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSims.get(key).foreach(s => assert(s == r.getDouble(2), s"$key"))
+    }
+    // the candidate bound holds: no query returns more than k rows, ranks 1..k dense
+    val byQ = ivfpq.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("QuantizeI8/DotProductI8 match the reference integer computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
