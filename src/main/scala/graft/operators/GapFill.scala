@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar densification + last-observation-carried-forward.
+  *
+  * The reference ingests ONE snapshot per day (`div_link_handler.py:35`:
+  * `INGESTION_RUN_ID = date.today().isoformat()`), so its downstream daily
+  * series has holes wherever a scrape failed or a commodity simply didn't
+  * trade — and every "cumulative monthly volume" / time-series consumer
+  * (reference README.md:4) needs an explicit dense calendar with the gaps
+  * either zero-filled (flows: counts, volumes) or carried forward (levels:
+  * last known price). This operator makes both shapes first-class.
+  *
+  * Scale notes (100 TB): the dense calendar is |keys| x |days| rows built by
+  * a narrow `sequence`+`explode` from a 1-row broadcast span — no shuffle to
+  * create it. The left join back to the observed dailies shuffles both sides
+  * once on (key, day); the LOCF window re-shuffles on key alone. Days per key
+  * is bounded (365/yr), so window partitions stay small no matter how many
+  * keys there are — the operator scales in |keys|, which is the partition
+  * axis. Nothing is collected to the driver.
+  */
+object GapFill {
+
+  /** Densify `daily` — one row per (`keyCol`, `dayCol`) — to every calendar
+    * day in the GLOBAL [min, max] span of `dayCol`, then:
+    *   - `countCol` is 0 on introduced rows (a flow: nothing happened);
+    *   - `valueCol` stays null on introduced rows, and `locf_<valueCol>`
+    *     carries the last observed value forward per key (a level);
+    *   - `is_gap` marks introduced rows.
+    *
+    * `dayCol` must be a DateType column.
+    */
+  def denseLocf(daily: DataFrame, keyCol: String, dayCol: String,
+      countCol: String, valueCol: String): DataFrame = {
+    val span = daily.agg(min(col(dayCol)).as("_dmin"), max(col(dayCol)).as("_dmax"))
+    val cal = daily.select(col(keyCol)).distinct()
+      .join(broadcast(span)) // 1-row span onto every key: broadcast, no shuffle
+      .select(col(keyCol),
+        explode(sequence(col("_dmin"), col("_dmax"), expr("INTERVAL 1 DAY")))
+          .as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq(keyCol, dayCol), "left")
+      .select(
+        col(keyCol), col(dayCol),
+        coalesce(col(countCol), lit(0L)).as(countCol),
+        col(valueCol),
+        last(col(valueCol), ignoreNulls = true).over(w).as(s"locf_$valueCol"),
+        col(countCol).isNull.as("is_gap"))
+  }
+}

@@ -224,6 +224,84 @@ object EventQueries {
       Some(graft.ingest.Upsert.scd2Sql("events", Seq("user_id"), "ts",
         "event_id", Seq("event_type"), pred = "user_id < 50"))),
 
+    // Calendar densification + LOCF (operators/GapFill): the daily-snapshot
+    // series the reference lands has holes (failed scrapes, non-trading
+    // days); every time-series consumer wants a dense calendar with flows
+    // zero-filled and levels carried forward. Purchases for 20 users over
+    // the global span — ~2/3 of the emitted days are introduced gaps.
+    Q("s11_gap_fill_locf",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.events
+          .filter(col("event_type") === "purchase" && col("user_id") < 20)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        graft.operators.GapFill.denseLocf(daily, "user_id", "day", "n", "sum_value")
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("sum_value"), col("locf_sum_value"), col("is_gap"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |  FROM events WHERE event_type = 'purchase' AND user_id < 20
+              |  GROUP BY 1, 2),
+              |span AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+              |cal AS (
+              |  SELECT k.user_id,
+              |    CAST(unnest(generate_series(CAST(s.dmin AS TIMESTAMP),
+              |      CAST(s.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+              |  FROM (SELECT DISTINCT user_id FROM daily) k CROSS JOIN span s),
+              |filled AS (
+              |  SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n, d.sum_value
+              |  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day)
+              |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n, sum_value,
+              |  LAST_VALUE(sum_value IGNORE NULLS) OVER (PARTITION BY user_id
+              |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS locf_sum_value,
+              |  (n = 0) AS is_gap
+              |FROM filled""".stripMargin)),
+
+    // Ordered conversion funnel (view -> click -> purchase): each stage's
+    // timestamp is the user's FIRST event of that type AT OR AFTER the
+    // previous stage's timestamp — the order-sensitive funnel, not three
+    // independent mins. Three aggregations over the same user_id-keyed
+    // relation (exchange reuse), conditional min(when) per stage; no
+    // windows, no self-joins wider than user count.
+    Q("s12_funnel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") >= col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") >= col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(
+            count(col("t_view")).as("n_view"),
+            count(col("t_click")).as("n_view_click"),
+            count(col("t_purchase")).as("n_view_click_purchase"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+             |SELECT COUNT(v.t_view) AS n_view, COUNT(c.t_click) AS n_view_click,
+             |  COUNT(p.t_purchase) AS n_view_click_purchase
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
+
     // Skew-salted two-phase aggregation on the hot low-cardinality key
     // (event_type): phase 1 spreads each key across 16 salted partials so
     // no reducer owns a whole hot key, phase 2 merges 16 rows per key.

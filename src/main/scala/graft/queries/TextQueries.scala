@@ -386,5 +386,35 @@ object TextQueries {
         Tables(s, dir).documents, "source", "text"),
       Some(graft.operators.CorpusStats.sourceVocabOverlapSql(
         "documents", "source", "text"))),
+
+    // CountMin sketch (operators/CountMin): fixed 4×256-cell mergeable
+    // frequency summary over the corpus token stream, probed with the 20
+    // most frequent tokens. Output carries the exact count alongside the
+    // estimate, making the never-undercounts contract visible in the
+    // result; the oracle replays the identical md5-bucket arithmetic, so
+    // the sketch is hash-checked, not tolerance-checked. t18's SpaceSaving
+    // finds WHO is frequent; this answers HOW frequent for any later probe
+    // from a corpus-size-independent summary.
+    Q("t21_countmin_estimates",
+      (s, dir) => {
+        val depth = 4; val width = 256
+        val toks = Tables(s, dir).documents
+          .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        val sk = graft.operators.CountMin.sketch(toks, "tok", depth, width)
+        val probes = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("true_n"))
+          .orderBy(desc("true_n"), asc("tok")).limit(20)
+        graft.operators.CountMin.estimate(sk, probes, "tok", depth, width)
+          .select(col("tok"), col("true_n"), col("cms_est"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(${TextFns.tokensSql("text")}) AS tok FROM documents),
+              |sk AS (${graft.operators.CountMin.sketchSql("toks", 4, 256)}),
+              |probes AS (
+              |  SELECT tok, COUNT(*) AS true_n FROM toks GROUP BY 1
+              |  ORDER BY true_n DESC, tok ASC LIMIT 20),
+              |est AS (${graft.operators.CountMin.estimateSql("probes", "sk", 4, 256)})
+              |SELECT p.tok, p.true_n, e.cms_est
+              |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin)),
   )
 }

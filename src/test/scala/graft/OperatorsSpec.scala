@@ -634,4 +634,65 @@ class OperatorsSpec extends SparkSpec {
     val j = pairs.head.getDouble(2)
     assert(j >= 0.5 && j <= 1.0, s"jaccard $j")
   }
+
+  test("CountMin: never undercounts any token; tight width is exact here") {
+    import spark.implicits._
+    val corpus = Seq.tabulate(40)(i =>
+      s"alpha beta gamma token$i alpha ${if (i % 2 == 0) "even" else "odd"}")
+      .toDF("text")
+    val toks = corpus.select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val truth = toks.groupBy("tok").count().as[(String, Long)].collect().toMap
+    val sk = graft.operators.CountMin.sketch(toks, "tok", depth = 4, width = 512)
+    val est = graft.operators.CountMin
+      .estimate(sk, toks.distinct(), "tok", depth = 4, width = 512)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"undercount for $t: est ${est(t)} < true $n")
+    }
+  }
+
+  test("CountMin.merge: per-shard sketches sum cellwise to the full sketch") {
+    import spark.implicits._
+    val a = Seq("x y z x", "y common words here").toDF("text")
+    val b = Seq("x q r s t", "common again x y").toDF("text")
+    def tk(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val skA = graft.operators.CountMin.sketch(tk(a), "tok", 4, 64)
+    val skB = graft.operators.CountMin.sketch(tk(b), "tok", 4, 64)
+    val merged = graft.operators.CountMin.merge(skA, skB)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = graft.operators.CountMin.sketch(tk(a.union(b)), "tok", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("GapFill.denseLocf: global span, zero-filled flows, carried levels") {
+    import spark.implicits._
+    // key "a" observed on days 1 and 4; key "b" only on day 2. Global span
+    // is [day1, day4], so both keys must emit 4 rows.
+    val daily = Seq(
+      ("a", "2024-01-01", 2L, 10.0),
+      ("a", "2024-01-04", 1L, 40.0),
+      ("b", "2024-01-02", 3L, 20.0))
+      .toDF("k", "day", "n", "v")
+      .select(col("k"), to_date(col("day")).as("day"), col("n"), col("v"))
+    val out = graft.operators.GapFill.denseLocf(daily, "k", "day", "n", "v")
+      .orderBy("k", "day")
+      .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("v"), col("locf_v"), col("is_gap"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), r.getBoolean(5)))
+    assert(out.length == 8, out.mkString(", "))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 2L, Some(10.0), Some(10.0), false),
+      ("a", "2024-01-02", 0L, None, Some(10.0), true),
+      ("a", "2024-01-03", 0L, None, Some(10.0), true),
+      ("a", "2024-01-04", 1L, Some(40.0), Some(40.0), false),
+      ("b", "2024-01-01", 0L, None, None, true), // before first obs: no carry
+      ("b", "2024-01-02", 3L, Some(20.0), Some(20.0), false),
+      ("b", "2024-01-03", 0L, None, Some(20.0), true),
+      ("b", "2024-01-04", 0L, None, Some(20.0), true)))
+  }
 }
