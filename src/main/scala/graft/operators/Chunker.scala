@@ -59,6 +59,51 @@ object Chunker {
         col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** RAG-prep sliding chunks: token windows of `width` starting every
+    * `stride` tokens (stride < width ⇒ overlapping context windows, the
+    * retrieval-index shape; stride == width degenerates to `chunks`).
+    * Emits (id, chunk_idx, start_tok, chunk_len, chunk_hash, chunk_text).
+    * One narrow posexplode of ceil(n/stride) starts per document —
+    * relation size is corpus_tokens/stride rows, a constant factor, never
+    * quadratic. Tail chunks shorter than `width` are kept (clamped slice),
+    * so every token is covered by at least one chunk.
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("id"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .withColumn("chunk", slice(col("toks"), col("col") + 1, lit(width)))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+  }
+
+  /** DuckDB mirror of `slidingChunks` over `table`. */
+  def slidingChunksSql(table: String, idCol: String, textCol: String,
+      width: Int, stride: Int): String = {
+    val toks = TextFns.tokensSql(textCol)
+    s"""WITH docs AS (
+       |  SELECT $idCol AS id, $toks AS toks FROM $table),
+       |st AS (
+       |  SELECT id, toks,
+       |    unnest(generate_series(0, len(toks) - 1, $stride)) AS start_tok
+       |  FROM docs WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT id, start_tok // $stride AS chunk_idx, start_tok,
+       |    toks[(start_tok + 1):(start_tok + $width)] AS chunk
+       |  FROM st)
+       |SELECT id, chunk_idx, start_tok,
+       |  CAST(len(chunk) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |FROM ch""".stripMargin
+  }
+
   def dupChunkStatsSql(table: String, idCol: String, textCol: String,
       width: Int): String = {
     val toks = TextFns.tokensSql(textCol)

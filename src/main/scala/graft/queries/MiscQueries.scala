@@ -406,5 +406,95 @@ object MiscQueries {
         stringCols = Seq("o_orderstatus", "o_orderpriority"),
         approx = true),
       None),
+
+    // Trailing-window anomaly detection with a RANGE frame: daily revenue
+    // per order priority, spike = day revenue more than 2x the trailing
+    // 7-day average (window EXCLUDES the current day). The frame is
+    // rangeBetween(-7, -1) over a day NUMBER — calendar-aware (a gap of
+    // missing days shrinks the lookback window, unlike rowsBetween which
+    // would silently reach further into the past). Decimal window sums +
+    // cross-multiplied integer-exact comparison (rev * n > 2 * sum) keep
+    // the flag engine-exact; divisions only in reported ratios.
+    Q("q36_trailing_window_spikes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir)
+        val daily = t.orders
+          .groupBy(col("o_orderpriority").as("priority"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .withColumn("day_num",
+            datediff(col("day"), to_date(lit("1995-01-01"))).cast("long"))
+        val w = Window.partitionBy(col("priority")).orderBy(col("day_num"))
+          .rangeBetween(-7, -1)
+        daily
+          .withColumn("trail_sum", sum(col("rev")).over(w))
+          .withColumn("trail_n", count(col("rev")).over(w))
+          .filter(col("trail_n") >= 3 &&
+            col("rev") * col("trail_n") > col("trail_sum") * 2)
+          .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("rev").cast("double").as("rev"),
+            (col("trail_sum").cast("double") / col("trail_n")).as("trail_avg"),
+            col("trail_n"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT o_orderpriority AS priority,
+              |    CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+              |    SUM(${sqlDec("o_totalprice")}) AS rev
+              |  FROM orders GROUP BY 1, 2),
+              |win AS (
+              |  SELECT priority, day, rev,
+              |    datediff('day', DATE '1995-01-01', day) AS day_num,
+              |    SUM(rev) OVER (PARTITION BY priority ORDER BY
+              |      datediff('day', DATE '1995-01-01', day)
+              |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_sum,
+              |    COUNT(rev) OVER (PARTITION BY priority ORDER BY
+              |      datediff('day', DATE '1995-01-01', day)
+              |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n
+              |  FROM daily)
+              |SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+              |  CAST(rev AS DOUBLE) AS rev,
+              |  CAST(trail_sum AS DOUBLE) / trail_n AS trail_avg, trail_n
+              |FROM win
+              |WHERE trail_n >= 3 AND rev * trail_n > trail_sum * 2""".stripMargin)),
+
+    // Explicit GROUPING SETS with grouping() provenance bits — finer
+    // control than q12's rollup / q25's cube: exactly the (flag, status),
+    // (flag), () aggregation levels, nothing else. One Expand + one
+    // aggregation in Spark; grouping(col) arithmetic mirrors DuckDB's.
+    Q("q37_grouping_sets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+              .cast("long").as("gid"),
+            count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("gid"), col("n"), col("sum_qty"))
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+              |  COALESCE(l_linestatus, 'ALL') AS status,
+              |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+              |  COUNT(*) AS n, ${sqlSumd("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), ())""".stripMargin)),
+
+    // Key-distribution profile (util/Skew.keyStats): the pre-join advisor
+    // that decides salting / broadcast / AQE-skew handling from ONE reduced
+    // pass — p01 profiles column VALUES, this profiles the GROUP-SIZE
+    // distribution of a join/agg key (max vs mean, tail quantiles, hottest
+    // key and its exact share).
+    Q("p03_key_skew",
+      (s, dir) => graft.util.Skew.keyStats(
+        Tables(s, dir).lineitem, col("l_partkey")),
+      Some(graft.util.Skew.keyStatsSql("lineitem", "l_partkey"))),
   )
 }

@@ -416,5 +416,15 @@ object TextQueries {
               |est AS (${graft.operators.CountMin.estimateSql("probes", "sk", 4, 256)})
               |SELECT p.tok, p.true_n, e.cms_est
               |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin)),
+
+    // RAG-prep sliding chunks (Chunker.slidingChunks): 32-token windows
+    // every 24 tokens — overlapping retrieval-context chunks, tail windows
+    // clamped so every token is covered. d09's disjoint chunks feed DEDUP;
+    // these overlapping ones feed a retrieval INDEX (e01-e12 embed them).
+    Q("t22_sliding_chunks",
+      (s, dir) => graft.operators.Chunker.slidingChunks(
+        Tables(s, dir).documents, "doc_id", "text", width = 32, stride = 24),
+      Some(graft.operators.Chunker.slidingChunksSql(
+        "documents", "doc_id", "text", 32, 24))),
   )
 }

@@ -635,6 +635,26 @@ class OperatorsSpec extends SparkSpec {
     assert(j >= 0.5 && j <= 1.0, s"jaccard $j")
   }
 
+  test("slidingChunks: full coverage, overlap arithmetic, clamped tail") {
+    import spark.implicits._
+    // 10 tokens, width 4, stride 3 -> starts 0,3,6,9; tail chunks clamp.
+    val doc = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = graft.operators.Chunker
+      .slidingChunks(doc, "doc_id", "text", width = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "chunk_len")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // Every token index is inside at least one [start, start+len) window.
+    val covered = out.flatMap { case (_, s0, len) => s0 until (s0 + len) }.toSet
+    assert(covered == (0L until 10L).toSet)
+    // stride == width degenerates to the disjoint chunker's row count.
+    val disjoint = graft.operators.Chunker
+      .slidingChunks(doc, "doc_id", "text", width = 4, stride = 4).count()
+    assert(disjoint == graft.operators.Chunker
+      .chunks(doc, "doc_id", "text", width = 4).count())
+  }
+
   test("CountMin: never undercounts any token; tight width is exact here") {
     import spark.implicits._
     val corpus = Seq.tabulate(40)(i =>
