@@ -302,6 +302,35 @@ object EventQueries {
              |FROM v LEFT JOIN c ON v.user_id = c.user_id
              |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
 
+    // Cohort retention: users cohorted by first-active day; cell
+    // (cohort_day, days_since) counts users active that many days later.
+    // Two aggs + one join, all keyed on user_id / (cohort, offset) —
+    // the standard growth-analytics matrix, entirely shuffle-bounded by
+    // |users| and |cohorts × offsets|.
+    Q("s13_cohort_retention",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val firstDay = t.events.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("cohort_day"))
+        val activeDays = t.events
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        activeDays.join(firstDay, Seq("user_id"))
+          .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("days_since"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH first_day AS (
+             |  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+             |  FROM events GROUP BY 1),
+             |active AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+             |  FROM events)
+             |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+             |  datediff('day', f.cohort_day, a.day) AS days_since,
+             |  COUNT(*) AS n_users
+             |FROM active a JOIN first_day f ON a.user_id = f.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Skew-salted two-phase aggregation on the hot low-cardinality key
     // (event_type): phase 1 spreads each key across 16 salted partials so
     // no reducer owns a whole hot key, phase 2 merges 16 rows per key.

@@ -487,6 +487,67 @@ object MiscQueries {
               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
               |  (l_returnflag), ())""".stripMargin)),
 
+    // Per-partition content fingerprints (operators/Fingerprint): compare
+    // (n_rows, order-independent row-hash sum) per month instead of moving
+    // the data — the "did the copy land identical" check after migration /
+    // re-ingest. Row string uses only stable renderings (ints, strings,
+    // formatted date, decimal-scaled cents) — raw doubles never enter a
+    // fingerprint.
+    // Per-partition content fingerprints (operators/Fingerprint): compare
+    // (n_rows, order-independent row-hash sum) per month instead of moving
+    // the data — the "did the copy land identical" check after migration /
+    // re-ingest. Row string uses only stable renderings (ints, strings,
+    // formatted date, decimal-scaled cents) — raw doubles never enter a
+    // fingerprint.
+    Q("p04_partition_fingerprint",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val rowStr = concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (dec(col("o_totalprice")) * 100).cast("long"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+        graft.operators.Fingerprint.of(t.orders,
+          Seq(date_format(col("o_orderdate"), "yyyy-MM").as("month")), rowStr)
+      },
+      Some {
+        val cents = s"CAST(${sqlDec("o_totalprice")} * 100 AS BIGINT)"
+        graft.operators.Fingerprint.sql("orders",
+          Seq("strftime(o_orderdate, '%Y-%m')" -> "month"),
+          "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || " +
+            cents + " || '|' || " +
+            "strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority")
+      }),
+
+    // Per-group NTILE deciles: position-based 10-bucket split within each
+    // order priority (deterministic total order via the orderkey tiebreak),
+    // then per-bucket stats. Partitioned windows keep every sort bounded by
+    // the largest single group — the scale-safe ntile shape; a GLOBAL ntile
+    // would serialize on one reducer and belongs to quantile-boundary
+    // bucketing (q15) instead.
+    Q("q38_ntile_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t.orders
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("o_orderpriority").as("priority"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            sumd(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT o_orderpriority AS priority, o_totalprice,
+              |    ntile(10) OVER (PARTITION BY o_orderpriority
+              |      ORDER BY o_totalprice, o_orderkey) AS decile
+              |  FROM orders)
+              |SELECT priority, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+              |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+              |  ${sqlSumd("o_totalprice")} AS sum_price
+              |FROM d GROUP BY 1, 2""".stripMargin)),
+
     // Key-distribution profile (util/Skew.keyStats): the pre-join advisor
     // that decides salting / broadcast / AQE-skew handling from ONE reduced
     // pass — p01 profiles column VALUES, this profiles the GROUP-SIZE

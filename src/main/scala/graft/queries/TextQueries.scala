@@ -417,6 +417,31 @@ object TextQueries {
               |SELECT p.tok, p.true_n, e.cms_est
               |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin)),
 
+    // Inverted index build: term -> sorted posting list of doc_ids, kept
+    // for mid-frequency terms (5 <= df <= 400 — stopwords and hapaxes are
+    // index noise). One explode + one aggregation; posting lists are
+    // array_sort(collect_set(...)) so the array content is deterministic.
+    // At 100 TB the posting list of a stopword would be corpus-sized —
+    // the df upper bound is what keeps per-group state bounded, stated
+    // here as part of the operator contract, not an optimization.
+    Q("t23_inverted_index",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            array_sort(collect_set(col("doc_id"))).as("postings"))
+          .filter(col("df").between(5, 400))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(${TextFns.tokensSql("text")}) AS term
+              |  FROM documents)
+              |SELECT term, COUNT(DISTINCT doc_id) AS df,
+              |  list(DISTINCT doc_id ORDER BY doc_id) AS postings
+              |FROM t GROUP BY 1
+              |HAVING COUNT(DISTINCT doc_id) BETWEEN 5 AND 400""".stripMargin)),
+
     // RAG-prep sliding chunks (Chunker.slidingChunks): 32-token windows
     // every 24 tokens — overlapping retrieval-context chunks, tail windows
     // clamped so every token is covered. d09's disjoint chunks feed DEDUP;
