@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank over an undirected pair relation — graph
+  * centrality for the near-dup graph. d15 picks a cluster's canonical
+  * document by a quality score; this ranks by STRUCTURE: the doc most
+  * densely connected to its near-dup neighborhood (the hub the variants
+  * derive from) gets the highest rank, which is the other standard
+  * canonical-selection signal when no quality column exists.
+  *
+  * All arithmetic is scaled BIGINT with truncating division, so ranks are
+  * bit-identical across engines and across partitionings (integer sums
+  * commute; no float accumulation order enters). One rank unit = 1/scale.
+  * Fixed iteration count: rank_0 = scale/N;
+  * rank_{t+1}(v) = (15*scale/100)/N + (85 * Σ_{u~v} rank_t(u)/deg(u)) / 100
+  * (every division truncating).
+  *
+  * Scale notes (100 TB): per iteration = one shuffle of the edge relation
+  * joined to current ranks on `src` (ranks are |nodes| rows, edges carry
+  * their degree from a precomputed join) and one aggregation on `dst` —
+  * the standard distributed PageRank shape, linear per iteration, driver
+  * holds nothing. The dup graph's components are tiny (near-dup clusters),
+  * so 3 iterations already separate hubs from leaves; iteration count is
+  * the caller's knob.
+  */
+object GraphRank {
+
+  val Scale = 1000000000000L // 1e12: rank mass fits 2^63 with the 85x margin
+
+  /** (node, rank) for every node of the undirected graph given by
+    * `pairs(aCol, bCol)`, after `iters` exact integer PageRank rounds.
+    */
+  def pagerank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("src")) // degree rides along; computed once
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var r = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"$Scale DIV nn").as("rank"))
+    for (_ <- 1 to iters) {
+      // Symmetric graph ⇒ every node has in-edges, so the aggregation
+      // covers all nodes and no dangling-mass term is needed.
+      r = ed.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_sum"))
+        .crossJoin(nn)
+        .select(col("dst").as("node"),
+          (expr(s"${15L * Scale / 100} DIV nn") +
+            expr("(85 * in_sum) DIV 100")).as("rank"))
+    }
+    r
+  }
+
+  /** DuckDB mirror: unrolled iteration CTEs over `pairsRel(id_a, id_b)`.
+    * Returns a full statement selecting (node, rank).
+    */
+  def pagerankSql(pairsRel: String, iters: Int): String = {
+    val base = s"${15L * Scale / 100} // nn"
+    val steps = (1 to iters).map { t =>
+      s"""r$t AS (
+         |  SELECT e.dst AS node,
+         |    CAST(($base) + (85 * SUM(r.rank // e.deg)) // 100 AS BIGINT) AS rank
+         |  FROM ed e JOIN r${t - 1} r ON e.src = r.node CROSS JOIN nn
+         |  GROUP BY e.dst, nn.nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($pairsRel),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT COUNT(*) AS nn FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST($Scale // nn AS BIGINT) AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+}

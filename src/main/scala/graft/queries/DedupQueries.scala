@@ -133,5 +133,20 @@ object DedupQueries {
         "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
       Some(Dedup.keepBestInClusterSql("documents", "doc_id", "text",
         N, NumHashes, RowsPerBand, LshThreshold))),
+
+    // Structural canonical-selection signal (operators/GraphRank): exact
+    // integer PageRank over the d03 near-dup pair graph — the doc most
+    // densely connected to its variants (the hub they derive from) ranks
+    // highest. d15 canonicalizes by a quality COLUMN; this is the
+    // no-metadata alternative. Scaled-BIGINT truncating arithmetic makes
+    // every rank bit-identical to the oracle's unrolled-CTE replay.
+    Q("d16_pagerank_centrality",
+      (s, dir) => graft.operators.GraphRank.pagerank(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
+          "doc_id", "text", N, JaccardThreshold),
+        "id_a", "id_b", iters = 3),
+      Some(graft.operators.GraphRank.pagerankSql(
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
+          N, JaccardThreshold), iters = 3))),
   )
 }

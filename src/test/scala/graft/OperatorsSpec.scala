@@ -635,6 +635,28 @@ class OperatorsSpec extends SparkSpec {
     assert(j >= 0.5 && j <= 1.0, s"jaccard $j")
   }
 
+  test("GraphRank.pagerank: hub outranks leaves; matches scalar replay exactly") {
+    import spark.implicits._
+    // Star 0-(1,2,3) plus the detached pair 4-5.
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphRank.pagerank(pairs, "id_a", "id_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // Scalar replay of the documented integer recurrence.
+    val S = graft.operators.GraphRank.Scale
+    val adj = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L), 2L -> Seq(0L),
+      3L -> Seq(0L), 4L -> Seq(5L), 5L -> Seq(4L))
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val nn = adj.size.toLong
+    var r = adj.keys.map(_ -> S / nn).toMap
+    for (_ <- 1 to 3)
+      r = adj.keys.map(v => v ->
+        ((15L * S / 100) / nn +
+          85L * adj(v).map(u => r(u) / deg(u)).sum / 100)).toMap
+    assert(got == r, s"got $got expected $r")
+    assert(got(0L) > got(1L) && got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L))
+  }
+
   test("slidingChunks: full coverage, overlap arithmetic, clamped tail") {
     import spark.implicits._
     // 10 tokens, width 4, stride 3 -> starts 0,3,6,9; tail chunks clamp.
