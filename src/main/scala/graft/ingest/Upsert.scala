@@ -67,6 +67,28 @@ object Upsert {
         Seq(col("valid_from"), col("valid_to"), col("version"), col("is_current")): _*)
   }
 
+  /** Incremental aggregate maintenance: fold a delta batch's partial rollup
+    * into the standing rollup without touching raw history. Counts and
+    * (decimal) sums are reassociable partials, so
+    * `mergeRollup(rollup(base), rollup(delta)) == rollup(base ∪ delta)`
+    * EXACTLY — the correctness contract that makes foreachBatch-maintained
+    * daily aggregates (reference README.md:4 "cumulative monthly volumes")
+    * trustworthy without periodic full recomputes.
+    *
+    * Scale notes: the union is |keys_current| + |keys_delta| rows — two
+    * already-reduced relations, never raw data; one hash aggregation on the
+    * rollup keys merges them. Keep sums in DecimalType until presentation so
+    * the merge is order-independent.
+    */
+  def mergeRollup(current: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], countCols: Seq[String]): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      countCols.map(c => sum(col(c)).cast("long").as(c))
+    current.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** DuckDB twin of `scd2` over `table` (same window semantics). */
   def scd2Sql(table: String, keys: Seq[String], tsCol: String, tieCol: String,
       attrs: Seq[String], pred: String = "TRUE"): String = {

@@ -302,6 +302,31 @@ object EventQueries {
              |FROM v LEFT JOIN c ON v.user_id = c.user_id
              |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
 
+    // Incremental rollup maintenance (Upsert.mergeRollup): the standing
+    // daily rollup absorbs a late-arriving batch (event_id % 10 == 0 plays
+    // the late slice) by merging two ALREADY-REDUCED relations — raw
+    // history is never rescanned. The oracle computes the full rollup
+    // directly, so the hash check IS the incremental == recompute proof.
+    Q("s14_incremental_rollup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def rollup(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        val ev = t.events
+        val standing = rollup(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+        val late = rollup(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+        graft.ingest.Upsert.mergeRollup(standing, late,
+            keys = Seq("event_type", "day"),
+            sumCols = Seq("sum_value"), countCols = Seq("n"))
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("sum_value").cast("double").as("sum_value"))
+      },
+      Some(s"""SELECT event_type,
+              |  strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+              |  COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Cohort retention: users cohorted by first-active day; cell
     // (cohort_day, days_since) counts users active that many days later.
     // Two aggs + one join, all keyed on user_id / (cohort, offset) —

@@ -548,6 +548,41 @@ object MiscQueries {
               |  ${sqlSumd("o_totalprice")} AS sum_price
               |FROM d GROUP BY 1, 2""".stripMargin)),
 
+    // Window-function completeness sweep: ranking (dense_rank,
+    // percent_rank, cume_dist), navigation (lag/lead with defaults,
+    // first_value, nth_value) over one deterministic per-brand ordering —
+    // ONE window spec, so Spark evaluates all seven functions in a single
+    // sort/exchange. percent_rank and cume_dist are exact small-integer
+    // divisions, engine-stable.
+    Q("q39_window_functions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+        t.part.filter(col("p_size") >= 40)
+          .select(col("p_brand"), col("p_partkey"),
+            col("p_retailprice"),
+            dense_rank().over(w).cast("long").as("drank"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"),
+            lag(col("p_retailprice"), 1, -1.0).over(w).as("prev_price"),
+            lead(col("p_retailprice"), 1, -1.0).over(w).as("next_price"),
+            first(col("p_partkey")).over(w).as("cheapest_key"),
+            nth_value(col("p_partkey"), 2).over(w).as("second_key"))
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+             |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+             |  PERCENT_RANK() OVER w AS prank,
+             |  CUME_DIST() OVER w AS cdist,
+             |  LAG(p_retailprice, 1, -1.0) OVER w AS prev_price,
+             |  LEAD(p_retailprice, 1, -1.0) OVER w AS next_price,
+             |  FIRST_VALUE(p_partkey) OVER w AS cheapest_key,
+             |  NTH_VALUE(p_partkey, 2) OVER w AS second_key
+             |FROM part WHERE p_size >= 40
+             |WINDOW w AS (PARTITION BY p_brand
+             |  ORDER BY p_retailprice, p_partkey)""".stripMargin)),
+
     // Key-distribution profile (util/Skew.keyStats): the pre-join advisor
     // that decides salting / broadcast / AQE-skew handling from ONE reduced
     // pass — p01 profiles column VALUES, this profiles the GROUP-SIZE

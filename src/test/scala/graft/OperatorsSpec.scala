@@ -635,6 +635,22 @@ class OperatorsSpec extends SparkSpec {
     assert(j >= 0.5 && j <= 1.0, s"jaccard $j")
   }
 
+  test("mergeRollup: chained incremental merges equal the full recompute") {
+    import spark.implicits._
+    val rows = Seq.tabulate(30)(i => (s"k${i % 3}", i.toLong, BigDecimal(i) / 4))
+      .toDF("k", "id", "v")
+      .select(col("k"), col("id"), col("v").cast("decimal(18,2)").as("v"))
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    // Three daily batches folded one at a time, like foreachBatch would.
+    val b = (0 until 3).map(d => roll(rows.filter(col("id") % 3 === d)))
+    val inc = b.tail.foldLeft(b.head)((acc, delta) =>
+      graft.ingest.Upsert.mergeRollup(acc, delta, Seq("k"), Seq("sv"), Seq("n")))
+    val full = roll(rows)
+    assert(inc.select("k", "n", "sv").orderBy("k").collect().toSeq ==
+      full.select("k", "n", "sv").orderBy("k").collect().toSeq)
+  }
+
   test("GraphRank.pagerank: hub outranks leaves; matches scalar replay exactly") {
     import spark.implicits._
     // Star 0-(1,2,3) plus the detached pair 4-5.
