@@ -20,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP:  "BM", DIB header size at 14 ⇒ legacy BITMAPCOREHEADER (size 12)
   *          has 16-bit dims at 18/20, modern headers have signed 32-bit dims
   *          at 18/22 (height negative for top-down rows ⇒ abs).
+  *  - WebP: "RIFF"+"WEBP" container; first chunk decides the flavor —
+  *          VP8X extended ⇒ 24-bit LE canvas dims minus one at 24/27;
+  *          "VP8 " lossy ⇒ 9D 01 2A sync then 14-bit LE dims at 26/28;
+  *          VP8L lossless ⇒ 0x2F then two 14-bit fields packed LE at 21.
   *
   * Anything else (including truncated headers) parses to null. The same
   * decision procedure is mirrored in DuckDB SQL (hex-string byte arithmetic,
@@ -40,6 +44,8 @@ object ImageHeaders {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def le32(b: Array[Byte], i: Int): Int =
@@ -97,12 +103,30 @@ object ImageHeaders {
       val hdrSize = le32(b, 14)
       if (hdrSize == 12) row("bmp", le16(b, 18), le16(b, 20)) // BITMAPCOREHEADER
       else row("bmp", le32(b, 18).toLong, math.abs(le32(b, 22).toLong))
+    } else if (n >= 25 && u8(b, 0) == 'R' && u8(b, 1) == 'I' && u8(b, 2) == 'F' &&
+        u8(b, 3) == 'F' && u8(b, 8) == 'W' && u8(b, 9) == 'E' &&
+        u8(b, 10) == 'B' && u8(b, 11) == 'P' &&
+        u8(b, 12) == 'V' && u8(b, 13) == 'P' && u8(b, 14) == '8') {
+      val flavor = u8(b, 15)
+      if (flavor == 'X' && n >= 30) {
+        // VP8X: flags(1) + reserved(3), then 24-bit LE canvas dims minus one
+        row("webp", 1L + le24(b, 24), 1L + le24(b, 27))
+      } else if (flavor == ' ' && n >= 30 &&
+          u8(b, 23) == 0x9d && u8(b, 24) == 0x01 && u8(b, 25) == 0x2a) {
+        // VP8 lossy: 3-byte frame tag, sync code, 14-bit LE dims
+        row("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      } else if (flavor == 'L' && u8(b, 20) == 0x2f) {
+        // VP8L lossless: signature 0x2F then width-1 / height-1 as two
+        // 14-bit fields packed little-endian
+        val v = le32(b, 21)
+        row("webp", 1L + (v & 0x3fff), 1L + ((v >>> 14) & 0x3fff))
+      } else null
     } else null
   }
 }
 
 /** `ImageDims(binary)` ⇒ struct(format string, width int, height int), null
-  * when the bytes are not a recognized PNG/JPEG/GIF/BMP header (SURVEY.md
+  * when the bytes are not a recognized PNG/JPEG/GIF/BMP/WebP header (SURVEY.md
   * §2.10 custom-Expression surface). Runs inside whole-stage codegen via a
   * static call — one narrow pass, no UDF/serialization boundary.
   */

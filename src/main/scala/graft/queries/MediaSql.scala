@@ -100,6 +100,44 @@ object MediaSql {
     s"(${byteAt(h, pos)} + ${byteAt(h, s"($pos)+1")}*256" +
       s" + ${byteAt(h, s"($pos)+2")}*65536 + ${byteAt(h, s"($pos)+3")}*16777216)"
 
+  /** Unsigned little-endian int24 at byte `pos`. */
+  def le24(h: String, pos: Int): String =
+    s"(${byteAt(h, pos)} + ${byteAt(h, pos + 1)}*256 + ${byteAt(h, pos + 2)}*65536)"
+
+  /** The WebP branches of `graft.plans.ImageHeaders` over `src(key, h, n)`:
+    * emits CTE `webpdims(key, format, w, h_px)`. Fixed offsets only (the
+    * container stores dims in the first chunk), so no recursion: VP8X
+    * extended = 24-bit LE canvas minus-one at 24/27; "VP8 " lossy = sync
+    * 9D012A then 14-bit LE dims at 26/28; VP8L lossless = 0x2F then two
+    * packed 14-bit fields at 21.
+    */
+  def webpCtes(src: String): String = {
+    val riff = s"substr(h,1,8) = '52494646' AND substr(h,17,8) = '57454250'"
+    val vp8l = s"(${le32u("h", "21")})"
+    s"""webpdims0 AS (
+       |  SELECT key, 'webp' AS format,
+       |    CASE WHEN substr(h,25,8) = '56503858' AND n >= 30
+       |           THEN 1 + ${le24("h", 24)}
+       |         WHEN substr(h,25,8) = '56503820' AND n >= 30
+       |              AND substr(h,47,6) = '9D012A'
+       |           THEN ${le16("h", 26)} % 16384
+       |         WHEN substr(h,25,8) = '5650384C' AND ${byteAt("h", 20)} = 47
+       |           THEN 1 + ($vp8l % 16384)
+       |    END AS w,
+       |    CASE WHEN substr(h,25,8) = '56503858' AND n >= 30
+       |           THEN 1 + ${le24("h", 27)}
+       |         WHEN substr(h,25,8) = '56503820' AND n >= 30
+       |              AND substr(h,47,6) = '9D012A'
+       |           THEN ${le16("h", 28)} % 16384
+       |         WHEN substr(h,25,8) = '5650384C' AND ${byteAt("h", 20)} = 47
+       |           THEN 1 + (($vp8l // 16384) % 16384)
+       |    END AS h_px
+       |  FROM $src
+       |  WHERE n >= 25 AND $riff),
+       |webpdims AS (
+       |  SELECT key, format, w, h_px FROM webpdims0 WHERE w IS NOT NULL)""".stripMargin
+  }
+
   /** The WAV (RIFF) chunk walk of `graft.plans.WavHeaders` as recursive-CTE
     * SQL over `src(key, h, n)`; emits `wscan` and `wavmeta(key, format,
     * channels, sample_rate, bits, data_bytes)`. Latch-first `fmt ` (size ≥

@@ -42,6 +42,7 @@ object MultimodalQueries {
   }
 
   lazy val imageFixturePath: String = fixturePath("images.parquet")
+  lazy val webpFixturePath: String = fixturePath("images_webp.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
   lazy val videoFixturePath: String = fixturePath("video.parquet")
 
@@ -99,6 +100,32 @@ object MultimodalQueries {
              |  md5(i.h) AS content_hash, d.format AS format,
              |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
              |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin)),
+
+    // WebP coverage for the same Expression: all three bitstream flavors
+    // (VP8X extended 24-bit canvas, "VP8 " lossy 14-bit + sync check, VP8L
+    // lossless packed 14-bit fields) over committed hand-built RIFF bytes,
+    // plus negatives (bad sync, truncated VP8X, unknown first chunk, a
+    // RIFF that is not WEBP) that must be null in BOTH engines.
+    Q("mm06_webp_dims",
+      (s, _) => {
+        val imgs = s.read.parquet(webpFixturePath)
+        Multimodal.withMediaMeta(imgs, "payload")
+          .select(col("name"),
+            col("media_meta.byte_len").as("byte_len"),
+            md5(hex(col("payload"))).as("content_hash"),
+            col("media_meta.format").as("format"),
+            col("media_meta.width").as("width"),
+            col("media_meta.height").as("height"))
+      },
+      Some(s"""WITH imgs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$webpFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${MediaSql.webpCtes("src")}
+             |SELECT i.name, CAST(i.n AS BIGINT) AS byte_len,
+             |  md5(i.h) AS content_hash, d.format AS format,
+             |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
+             |FROM imgs i LEFT JOIN webpdims d ON d.key = i.name""".stripMargin)),
 
     // Real audio decode over committed hand-built RIFF/WAVE bytes: the
     // chunk walk (LIST/junk chunks skipped, pad bytes honored) latches

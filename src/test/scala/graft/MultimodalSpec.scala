@@ -69,6 +69,23 @@ class MultimodalSpec extends SparkSpec {
       && got("empty").isEmpty)
   }
 
+  test("ImageHeaders parses all three WebP flavors; negatives stay null") {
+    val webp = spark.read.parquet(
+      graft.queries.MultimodalQueries.webpFixturePath)
+    val got = Multimodal.withMediaMeta(webp, "payload")
+      .select(col("name"), col("media_meta.format"),
+        col("media_meta.width"), col("media_meta.height"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2), r.getInt(3)))))
+      .toMap
+    assert(got("webp_vp8x_400x300") == Some(("webp", 400, 300)))
+    assert(got("webp_lossy_176x144") == Some(("webp", 176, 144)))
+    assert(got("webp_lossless_33x21") == Some(("webp", 33, 21)))
+    assert(got("webp_bad_sync").isEmpty && got("webp_truncated_vp8x").isEmpty
+      && got("webp_alien_chunk").isEmpty && got("riff_not_webp").isEmpty)
+  }
+
   test("extractFeatures runs batched and is deterministic") {
     val ds = media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
