@@ -583,6 +583,35 @@ object MiscQueries {
              |WINDOW w AS (PARTITION BY p_brand
              |  ORDER BY p_retailprice, p_partkey)""".stripMargin)),
 
+    // Equi-width value histogram (the ANALYZE-histogram companion to p01):
+    // 10 buckets over o_totalprice with data-derived bounds. All bucket
+    // arithmetic is exact BIGINT over decimal cents — ((c - min) * 10) DIV
+    // (max - min + 1) — so bucket edges are engine-exact, never a float
+    // boundary coin-flip. Bounds are a 1-row broadcast; one scan + one agg.
+    Q("p05_value_histogram",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cents = (dec(col("o_totalprice")) * 100).cast("long")
+        val priced = t.orders.select(cents.as("c"),
+          col("o_totalprice").as("price"))
+        val bounds = priced.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+        priced.crossJoin(broadcast(bounds))
+          .select(expr("((c - minc) * 10) DIV (maxc - minc + 1)").as("bucket"),
+            col("price"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      },
+      Some("""WITH priced AS (
+             |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             |    o_totalprice AS price
+             |  FROM orders),
+             |bounds AS (SELECT MIN(c) AS minc, MAX(c) AS maxc FROM priced)
+             |SELECT ((c - minc) * 10) // (maxc - minc + 1) AS bucket,
+             |  COUNT(*) AS n, MIN(price) AS min_price, MAX(price) AS max_price
+             |FROM priced CROSS JOIN bounds
+             |GROUP BY 1""".stripMargin)),
+
     // Key-distribution profile (util/Skew.keyStats): the pre-join advisor
     // that decides salting / broadcast / AQE-skew handling from ONE reduced
     // pass — p01 profiles column VALUES, this profiles the GROUP-SIZE

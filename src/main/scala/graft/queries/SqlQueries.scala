@@ -219,5 +219,34 @@ object SqlQueries {
              |WHERE p_retailprice > 1.05 * (
              |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
              |  FROM part p2 WHERE p2.p_brand = p1.p_brand)""".stripMargin)),
+
+    // Correlated EXISTS (TPC-H Q4 shape): orders in a quarter with at least
+    // one lineitem shipped after the order date. Catalyst decorrelates the
+    // EXISTS into a left-semi join on l_orderkey — q20 covers the scalar
+    // correlated form, this covers the semi-join form; together they are
+    // the two decorrelation families.
+    Q("q40_exists_subquery",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.createOrReplaceTempView("orders")
+        t.lineitem.createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS n
+            |FROM orders o
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1996-04-01'
+            |  AND EXISTS (
+            |    SELECT 1 FROM lineitem l
+            |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+            |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n
+             |FROM orders o
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin)),
   )
 }

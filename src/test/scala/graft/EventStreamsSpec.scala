@@ -214,4 +214,37 @@ class EventStreamsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("foreachBatch + mergeRollup maintains the daily rollup incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    def roll(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    // standing rollup, folded one micro-batch at a time — raw history is
+    // never rescanned, which is the point of Upsert.mergeRollup
+    var standing: DataFrame = roll(Seq.empty[Ev].toDF())
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        standing = graft.ingest.Upsert
+          .mergeRollup(standing, roll(batch),
+            keys = Seq("event_type"), sumCols = Seq("sum_value"), countCols = Seq("n"))
+          .localCheckpoint() // cut lineage so plans don't nest per batch
+        ()
+      }
+      .start()
+    val evs = Seq(
+      Ev(1, ts(1), 1, "click", 1.5), Ev(2, ts(2), 1, "view", 2.5),
+      Ev(3, ts(3), 2, "click", 3.0), Ev(4, ts(4), 3, "view", 4.0),
+      Ev(5, ts(5), 1, "click", 0.5))
+    evs.grouped(2).foreach { g => in.addData(g); q.processAllAvailable() }
+    q.stop()
+    val got = standing.select("event_type", "n", "sum_value")
+      .orderBy("event_type").collect().toSeq
+    val want = roll(evs.toDF()).select("event_type", "n", "sum_value")
+      .orderBy("event_type").collect().toSeq
+    assert(got == want, s"got $got want $want")
+  }
 }
