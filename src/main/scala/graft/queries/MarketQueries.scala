@@ -195,6 +195,54 @@ object MarketQueries {
              |AS t(container, price_r, total_value_sold, total_quantity_sold,
              |     scrape_date, commodity)""".stripMargin)),
 
+    // The market pipeline composed with GapFill (s11's operator) on ITS OWN
+    // data shape: two commodities ingested on interleaved days (apples
+    // 08-12/08-15 — the 15th arriving with drifted headers — bananas
+    // 08-13/08-14), densified over the global calendar span. Flows (n,
+    // daily revenue) zero/null-fill; the level carries forward; days before
+    // a commodity's first observation stay null. This is the reference's
+    // "daily volumes + cumulative monthly" consumer made whole-calendar.
+    Q("m05_daily_series_gap_fill",
+      (s, _) => {
+        def ingestOne(page: String, commodity: String) = {
+          val raw = HtmlTable.ingest(s, page)
+          val date = HtmlTable.scrapeDate(page).get
+          MarketPipeline.normalize(MarketPipeline.dropTotalsRows(
+            MarketPipeline.enrich(raw, date, commodity, "summary", date)))
+        }
+        val daily = MarketPipeline.unionDrifting(Seq(
+            ingestOne(FixturePage, "apples_golden_delicious"),
+            ingestOne(FixturePageDrifted, "apples_golden_delicious"),
+            ingestOne(FixturePageB, "bananas"),
+            ingestOne(FixturePageB2, "bananas")))
+          .groupBy(col("commodity"), col("scrape_date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("total_value_sold")).as("rev"))
+        graft.operators.GapFill.denseLocf(daily, "commodity", "day", "n", "rev")
+          .select(col("commodity"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("rev").cast("double").as("rev"),
+            col("locf_rev").cast("double").as("locf_rev"), col("is_gap"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('apples_golden_delicious', '2026-08-12', CAST(2 AS BIGINT),
+             |   CAST(13335.0 AS DOUBLE), CAST(13335.0 AS DOUBLE), false),
+             |  ('apples_golden_delicious', '2026-08-13', CAST(0 AS BIGINT),
+             |   CAST(NULL AS DOUBLE), CAST(13335.0 AS DOUBLE), true),
+             |  ('apples_golden_delicious', '2026-08-14', CAST(0 AS BIGINT),
+             |   CAST(NULL AS DOUBLE), CAST(13335.0 AS DOUBLE), true),
+             |  ('apples_golden_delicious', '2026-08-15', CAST(2 AS BIGINT),
+             |   CAST(1650.0 AS DOUBLE), CAST(1650.0 AS DOUBLE), false),
+             |  ('bananas', '2026-08-12', CAST(0 AS BIGINT),
+             |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), true),
+             |  ('bananas', '2026-08-13', CAST(2 AS BIGINT),
+             |   CAST(4757.0 AS DOUBLE), CAST(4757.0 AS DOUBLE), false),
+             |  ('bananas', '2026-08-14', CAST(3 AS BIGINT),
+             |   CAST(6255.0 AS DOUBLE), CAST(6255.0 AS DOUBLE), false),
+             |  ('bananas', '2026-08-15', CAST(0 AS BIGINT),
+             |   CAST(NULL AS DOUBLE), CAST(6255.0 AS DOUBLE), true))
+             |AS t(commodity, day, n, rev, locf_rev, is_gap)""".stripMargin)),
+
     Q("m01_market_pipeline_e2e",
       (s, _) => {
         val raw = HtmlTable.ingest(s, FixturePage)

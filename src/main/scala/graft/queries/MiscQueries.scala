@@ -583,6 +583,45 @@ object MiscQueries {
              |WINDOW w AS (PARTITION BY p_brand
              |  ORDER BY p_retailprice, p_partkey)""".stripMargin)),
 
+    // Revenue share per group (TPC-H Q8's market-share shape): each
+    // priority's exact decimal revenue against the corpus total via a
+    // 1-row broadcast — NOT a whole-table window (an unpartitioned window
+    // serializes on one reducer; the broadcast scalar doesn't). One scan,
+    // two aggs, one exact division per output row.
+    Q("q41_revenue_share",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val byPrio = t.orders.groupBy(col("o_orderpriority").as("priority"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        val total = byPrio.agg(sum(col("rev")).as("total"))
+        byPrio.crossJoin(broadcast(total))
+          .select(col("priority"), col("rev").cast("double").as("rev"),
+            (col("rev").cast("double") / col("total").cast("double")).as("share"))
+      },
+      Some(s"""WITH g AS (
+              |  SELECT o_orderpriority AS priority, SUM(${sqlDec("o_totalprice")}) AS rev
+              |  FROM orders GROUP BY 1),
+              |t AS (SELECT SUM(rev) AS total FROM g)
+              |SELECT priority, CAST(rev AS DOUBLE) AS rev,
+              |  CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share
+              |FROM g CROSS JOIN t""".stripMargin)),
+
+    // The 100 TB percentile path (companion to q15's exact distributed
+    // sort): approx_percentile is Spark's mergeable quantile-summary
+    // aggregate — one pass, map-side combined, no global sort. Sketch
+    // outputs are engine-specific, so this is a rows-only gate; the
+    // tolerance spec in OperatorsSpec pins it against the exact twin.
+    Q("p06_approx_percentiles",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+              .as("approx_p"),
+            count(lit(1)).as("n"))
+      },
+      None),
+
     // Equi-width value histogram (the ANALYZE-histogram companion to p01):
     // 10 buckets over o_totalprice with data-derived bounds. All bucket
     // arithmetic is exact BIGINT over decimal cents — ((c - min) * 10) DIV

@@ -635,6 +635,27 @@ class OperatorsSpec extends SparkSpec {
     assert(j >= 0.5 && j <= 1.0, s"jaccard $j")
   }
 
+  test("p06 approx percentiles land within rank tolerance of the exact twin") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val exact = graft.operators.Quantiles.groupedQuantileCont(
+      li, "l_returnflag", "l_extendedprice",
+      Seq(("p50", 0.5), ("p90", 0.9)))
+      .select("l_returnflag", "p50", "p90")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("a"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // accuracy 10000 → rank error <= n/10000; values must bracket within
+    // a generous relative band on this distribution
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)(0) - p50) / p50 < 0.02,
+        s"$k p50 approx ${approx(k)(0)} vs exact $p50")
+      assert(math.abs(approx(k)(1) - p90) / p90 < 0.02,
+        s"$k p90 approx ${approx(k)(1)} vs exact $p90")
+    }
+  }
+
   test("mergeRollup: chained incremental merges equal the full recompute") {
     import spark.implicits._
     val rows = Seq.tabulate(30)(i => (s"k${i % 3}", i.toLong, BigDecimal(i) / 4))
