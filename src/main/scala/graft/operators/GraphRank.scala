@@ -31,6 +31,13 @@ object GraphRank {
 
   /** (node, rank) for every node of the undirected graph given by
     * `pairs(aCol, bCol)`, after `iters` exact integer PageRank rounds.
+    *
+    * The edge+degree relation is materialized ONCE (eager localCheckpoint,
+    * the dupClusters/KMeans iteration shape) — every iteration re-reads the
+    * materialized blocks instead of re-deriving the (possibly expensive)
+    * pair relation, and the node count is a one-scalar driver round-trip
+    * that turns the per-iteration base term into a literal (no 1-row
+    * cross join in the loop).
     */
   def pagerank(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int): DataFrame = {
@@ -38,11 +45,12 @@ object GraphRank {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, Seq("src")) // degree rides along; computed once
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
-    var r = nodes.crossJoin(nn)
-      .select(col("node"), expr(s"$Scale DIV nn").as("rank"))
+    val ed = edges.join(deg, Seq("src")).localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    val nn = nodes.count()
+    if (nn == 0) return nodes.select(col("node"), lit(0L).as("rank"))
+    val base = (15L * Scale / 100) / nn
+    var r = nodes.select(col("node"), lit(Scale / nn).as("rank"))
     for (_ <- 1 to iters) {
       // Symmetric graph ⇒ every node has in-edges, so the aggregation
       // covers all nodes and no dangling-mass term is needed.
@@ -50,10 +58,8 @@ object GraphRank {
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_sum"))
-        .crossJoin(nn)
         .select(col("dst").as("node"),
-          (expr(s"${15L * Scale / 100} DIV nn") +
-            expr("(85 * in_sum) DIV 100")).as("rank"))
+          (lit(base) + expr("(85 * in_sum) DIV 100")).as("rank"))
     }
     r
   }
