@@ -90,4 +90,73 @@ object GraphRank {
        |$steps
        |SELECT node, rank FROM r$iters""".stripMargin
   }
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * undirected graph given by `pairs(aCol, bCol)` — how CLIQUE-LIKE each
+    * doc's near-dup neighborhood is. A template family (one source, many
+    * shallow edits) forms a near-clique (lcc→1); a chain of pairwise
+    * overlaps (A~B~C but A!~C) has lcc 0 — a structural signal PageRank
+    * (volume) and cluster size (reach) both miss.
+    *
+    * Triangles are enumerated once each on the `a<b<c`-oriented edge list:
+    * wedges `a<b<c` from `e(a,b) ⋈ e(b,c)`, closed by probing `e(a,c)`.
+    * Two equi-joins, both on edge keys — per-key fan-out is bounded by the
+    * max oriented out-degree, and near-dup graph components are tiny, so
+    * the wedge relation stays linear-ish in |E|. (The classic refinement —
+    * orient by (degree, id) instead of raw id to bound out-degree by
+    * O(sqrt|E|) on power-law graphs — drops in here by re-keying `ord`;
+    * raw-id orientation keeps the oracle replay trivially identical.)
+    *
+    * `lcc_bp` is integer basis points — (20000 * tri) DIV (deg * (deg-1))
+    * — exact BIGINT arithmetic, bit-identical across engines, no float
+    * division in the compare path.
+    */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct().localCheckpoint() // read once, reused by 3 self-joins
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          expr("(20000 * coalesce(tri, 0)) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_bp"))
+  }
+
+  /** DuckDB mirror of [[triangles]] over `pairsRel(id_a, id_b)`. */
+  def trianglesSql(pairsRel: String): String =
+    s"""WITH pairs AS ($pairsRel),
+       |e AS (
+       |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+       |  FROM pairs),
+       |tris AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |per_node AS (
+       |  SELECT node, COUNT(*) AS tri FROM (
+       |    SELECT x AS node FROM tris
+       |    UNION ALL SELECT y FROM tris
+       |    UNION ALL SELECT z FROM tris)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1)
+       |SELECT d.node, d.deg, COALESCE(p.tri, 0) AS tri,
+       |  CASE WHEN d.deg >= 2
+       |    THEN (20000 * COALESCE(p.tri, 0)) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS lcc_bp
+       |FROM deg d LEFT JOIN per_node p ON d.node = p.node""".stripMargin
 }

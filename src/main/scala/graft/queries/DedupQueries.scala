@@ -148,5 +148,20 @@ object DedupQueries {
       Some(graft.operators.GraphRank.pagerankSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
           N, JaccardThreshold), iters = 3))),
+
+    // Neighborhood SHAPE over the same near-dup graph: per-node triangle
+    // count and integer-exact local clustering coefficient. Template
+    // families (one source, many shallow edits) are near-cliques
+    // (lcc_bp→10000); chained drift (A~B~C, A!~C) scores 0 — tells
+    // "one doc, many edits" apart from "gradual mutation chain", which
+    // rank (d16) and cluster size (d08) both conflate.
+    Q("d17_triangle_lcc",
+      (s, dir) => graft.operators.GraphRank.triangles(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
+          "doc_id", "text", N, JaccardThreshold),
+        "id_a", "id_b"),
+      Some(graft.operators.GraphRank.trianglesSql(
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
+          N, JaccardThreshold)))),
   )
 }

@@ -660,5 +660,113 @@ object MiscQueries {
       (s, dir) => graft.util.Skew.keyStats(
         Tables(s, dir).lineitem, col("l_partkey")),
       Some(graft.util.Skew.keyStatsSql("lineitem", "l_partkey"))),
+
+    // OHLC + VWAP bars — the reference domain's (commodity market) core
+    // downstream analytic, computed the scale-right way: ONE hash
+    // aggregation, no window, no sort. Open/close are min_by/max_by on a
+    // packed BIGINT event key (epoch-day · 1e12 + orderkey · 10 + line#,
+    // unique, so ties are impossible and the pick is deterministic); at
+    // scales where the pack could overflow, the same plan runs on a
+    // struct ordering key. High/low are plain min/max (exact on IEEE
+    // doubles); VWAP is exact decimal sums with ONE double division at
+    // the end. Per-row price = extendedprice/quantity is a single IEEE
+    // division — bit-identical across engines, unlike any summed double.
+    Q("q42_ohlc_vwap_bars",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val priced = t.lineitem
+          .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+            (col("l_extendedprice") / col("l_quantity")).as("price"),
+            (datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long") * 1000000000000L
+              + col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+            dec(col("l_extendedprice")).as("val_d"),
+            dec(col("l_quantity")).as("qty_d"))
+        priced.groupBy(col("brand"), col("month"))
+          .agg(
+            min_by(col("price"), col("ord")).as("open_p"),
+            max(col("price")).as("high_p"),
+            min(col("price")).as("low_p"),
+            max_by(col("price"), col("ord")).as("close_p"),
+            (sum(col("val_d")).cast("double") / sum(col("qty_d")).cast("double"))
+              .as("vwap"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""WITH priced AS (
+              |  SELECT p_brand AS brand,
+              |    strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+              |    l_extendedprice / l_quantity AS price,
+              |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+              |      * 1000000000000 + l_orderkey * 10 + l_linenumber AS ord,
+              |    ${sqlDec("l_extendedprice")} AS val_d,
+              |    ${sqlDec("l_quantity")} AS qty_d
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+              |SELECT brand, month,
+              |  arg_min(price, ord) AS open_p,
+              |  MAX(price) AS high_p,
+              |  MIN(price) AS low_p,
+              |  arg_max(price, ord) AS close_p,
+              |  CAST(SUM(val_d) AS DOUBLE) / CAST(SUM(qty_d) AS DOUBLE) AS vwap,
+              |  COUNT(*) AS n
+              |FROM priced GROUP BY 1, 2""".stripMargin)),
+
+    // Robust outlier detection (median / MAD, the profiler-grade anomaly
+    // gate): per priority, exact interpolated median of o_totalprice, MAD
+    // (median absolute deviation), and the count beyond the classic
+    // 3·1.4826·MAD cut. Both medians run through the distributed
+    // sort-based quantile (no value-buffering agg); the per-group scalars
+    // ride back on broadcast joins, so the fact table streams. Mean/stddev
+    // z-scores (q33's moments) move with the outliers they're hunting;
+    // median/MAD have a 50% breakdown point — the standard for dirty data.
+    Q("p07_mad_outliers",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val med = graft.operators.Quantiles
+          .groupedQuantileCont(t.orders, "o_orderpriority", "o_totalprice",
+            Seq(("med", 0.5)))
+          .select(col("o_orderpriority"), col("med"))
+        val dev = t.orders.join(broadcast(med), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("med"),
+            abs(col("o_totalprice") - col("med")).as("dev"))
+        val mad = graft.operators.Quantiles
+          .groupedQuantileCont(dev, "o_orderpriority", "dev", Seq(("mad", 0.5)))
+          .select(col("o_orderpriority"), col("mad"))
+        dev.join(broadcast(mad), Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+            count(lit(1)).as("n"),
+            count(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+              .as("n_out"))
+      },
+      Some("""WITH med AS (
+             |  SELECT o_orderpriority AS p,
+             |    percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+             |  FROM orders GROUP BY 1),
+             |dev AS (
+             |  SELECT o.o_orderpriority AS p, m.med,
+             |    ABS(o.o_totalprice - m.med) AS dev
+             |  FROM orders o JOIN med m ON o.o_orderpriority = m.p),
+             |mad AS (
+             |  SELECT p, percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT d.p AS priority, MAX(d.med) AS med, MAX(a.mad) AS mad,
+             |  COUNT(*) AS n,
+             |  COUNT(*) FILTER (WHERE d.dev > 3.0 * 1.4826 * a.mad) AS n_out
+             |FROM dev d JOIN mad a ON d.p = a.p
+             |GROUP BY 1""".stripMargin)),
+
+    // Declarative constraint audit (operators/Quality): the pre-promotion
+    // check suite — PK uniqueness, completeness, accepted domains, value
+    // ranges, referential integrity — as ONE aggregation per table plus
+    // one anti-join, exploded into a (check, violations, total) report.
+    Q("p08_constraint_audit",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.operators.Quality.audit(t.orders, t.lineitem)
+      },
+      Some(graft.operators.Quality.auditSql)),
   )
 }

@@ -774,4 +774,70 @@ class OperatorsSpec extends SparkSpec {
       ("b", "2024-01-03", 0L, None, Some(20.0), true),
       ("b", "2024-01-04", 0L, None, Some(20.0), true)))
   }
+
+  test("GraphRank.triangles: clique vs chain, per-node counts and lcc") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} (every node: deg 3, tri C(3,2)=3, lcc=1) plus the
+    // chain 10-11-12 (11: deg 2, 0 triangles, lcc 0; ends: deg 1).
+    val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val pairs = (clique ++ Seq((10L, 11L), (11L, 12L))).toDF("id_a", "id_b")
+    val got = graft.operators.GraphRank.triangles(pairs, "id_a", "id_b")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (v <- 0L to 3L) assert(got(v) == (v, 3L, 3L, 10000L), got(v))
+    assert(got(11L) == (11L, 2L, 0L, 0L))
+    assert(got(10L) == (10L, 1L, 0L, 0L) && got(12L) == (12L, 1L, 0L, 0L))
+    assert(got.size == 7)
+  }
+
+  test("Quality.audit: counts injected violations per check") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, Some(1L), "O", 50000.0),   // clean
+      (1L, Some(2L), "F", 150000.0),  // dup key + over-100k
+      (2L, None, "X", 99999.0)        // null custkey + bad status
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 0.05, 10.0),  // clean
+      (1L, 1.5, 0.0),    // bad discount + non-positive qty
+      (9L, -0.1, 5.0)    // orphan key + bad discount
+    ).toDF("l_orderkey", "l_discount", "l_quantity")
+    val got = graft.operators.Quality.audit(orders, lineitem)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("orders.o_orderkey.unique") == ((1L, 3L)))
+    assert(got("orders.o_custkey.not_null") == ((1L, 3L)))
+    assert(got("orders.o_orderstatus.in_O_F_P") == ((1L, 3L)))
+    assert(got("orders.o_totalprice.le_100k") == ((1L, 3L)))
+    assert(got("lineitem.l_discount.in_0_1") == ((2L, 3L)))
+    assert(got("lineitem.l_quantity.positive") == ((1L, 3L)))
+    assert(got("lineitem.l_orderkey.fk_orders") == ((1L, 3L)))
+    assert(got.size == 7)
+  }
+
+  test("OHLC bars: open/close picked by event order, VWAP exact") {
+    import spark.implicits._
+    // One brand-month with a known event sequence: prices 10, 30, 20 in
+    // order -> open 10, high 30, low 10, close 20; VWAP = Σ(p·q)/Σq.
+    val rows = Seq(
+      (1L, 1, "2024-01-03", 10.0, 1.0), // ord smallest: open
+      (2L, 1, "2024-01-05", 60.0, 2.0), // price 30
+      (3L, 1, "2024-01-07", 40.0, 2.0)  // ord largest: close, price 20
+    ).toDF("l_orderkey", "l_linenumber", "ship", "l_extendedprice", "l_quantity")
+    val priced = rows.select(
+      lit("B").as("brand"), lit("2024-01").as("month"),
+      (col("l_extendedprice") / col("l_quantity")).as("price"),
+      (unix_date(to_date(col("ship"))).cast("long") * 1000000000000L
+        + col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+      col("l_extendedprice").cast("decimal(18,2)").as("val_d"),
+      col("l_quantity").cast("decimal(18,2)").as("qty_d"))
+    val bar = priced.groupBy("brand", "month").agg(
+      min_by(col("price"), col("ord")).as("open_p"),
+      max(col("price")).as("high_p"), min(col("price")).as("low_p"),
+      max_by(col("price"), col("ord")).as("close_p"),
+      (sum(col("val_d")).cast("double") / sum(col("qty_d")).cast("double"))
+        .as("vwap"),
+      count(lit(1)).as("n"))
+      .as[(String, String, Double, Double, Double, Double, Double, Long)]
+      .head()
+    assert(bar == (("B", "2024-01", 10.0, 30.0, 10.0, 20.0, 110.0 / 5.0, 3L)))
+  }
 }
