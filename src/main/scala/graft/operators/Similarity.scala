@@ -852,4 +852,150 @@ object Similarity {
        |       (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) AS cos_sim
        |FROM v a JOIN v b ON a.id < b.id
        |WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+
+  /** Maximal Marginal Relevance rerank — diversity-aware retrieval, the
+    * standard RAG-context selection step. From each query's `cands`
+    * cosine-nearest candidates, greedily select `k`:
+    * step 1 takes the most relevant; each later step takes
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), ties to the smaller id
+    * — relevance traded against redundancy with what's already selected,
+    * so five near-identical top hits can't crowd out the fifth distinct
+    * aspect.
+    *
+    * Plan shape: candidate generation is e01's broadcast scan (corpus
+    * streams, one exchange of |Q|·cands rows); vectors ride back on one
+    * more broadcast join; the greedy selection then runs per-query INSIDE
+    * `flatMapGroups` — O(k·cands·dim) local work on O(cands·dim) state,
+    * bounded by construction, zero further shuffle. The candidate set per
+    * query is small BY CONTRACT (it's a rerank), which is what makes the
+    * sequential greedy loop a legitimate local step rather than a
+    * driver-side collect.
+    *
+    * Engine-exactness: every similarity is the same sequential
+    * double-accumulated dot product the scans use (DotProductFloat's loop,
+    * replicated verbatim here), scores combine in the same literal order
+    * as the oracle's unrolled-CTE replay, and the running max over the
+    * selected set is order-independent — so ranks AND scores hash-match.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, cands: Int, k: Int, lambda: Double,
+      maxQueryRows: Long = 10000): DataFrame = {
+    require(k >= 1 && cands >= k, s"need cands=$cands >= k=$k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda out of [0,1]")
+    val top = cosineTopK(corpus, queries, idCol, vecCol, dim, cands,
+      excludeSelf = true, maxQueryRows)
+    val withVec = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(top), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("nvec"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = withVec.as[(Long, Long, Double, Array[Float])]
+    rows.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // DotProductFloat's exact accumulation order, replicated
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        val n = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val cs = it.toArray
+      val norms = cs.map(c => math.sqrt(dot(c._4, c._4)))
+      val picked = new Array[Boolean](cs.length)
+      // true max over the selected set — may be NEGATIVE (anti-correlated
+      // candidate); only the empty set (step 1) contributes 0.0. Clamping
+      // at 0 would silently stop rewarding anti-correlated picks.
+      val maxSimToSel = Array.fill(cs.length)(Double.NegativeInfinity)
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      for (step <- 1 to math.min(k, cs.length)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        for (i <- cs.indices if !picked(i)) {
+          val ms = if (maxSimToSel(i) == Double.NegativeInfinity) 0.0
+            else maxSimToSel(i)
+          val s = lambda * cs(i)._3 - (1 - lambda) * ms
+          if (best == -1 || s > bestScore ||
+              (s == bestScore && cs(i)._2 < cs(best)._2)) {
+            best = i; bestScore = s
+          }
+        }
+        picked(best) = true
+        out += ((qid, cs(best)._2, step.toLong, bestScore))
+        for (i <- cs.indices if !picked(i)) {
+          val sim = dot(cs(i)._4, cs(best)._4) / (norms(i) * norms(best))
+          if (sim > maxSimToSel(i)) maxSimToSel(i) = sim
+        }
+      }
+      out.result()
+    }.toDF("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+  }
+
+  /** DuckDB mirror of [[mmrTopK]]: e01's candidate replay, the candidate
+    * pair-similarity matrix, then `k` unrolled greedy-selection CTEs (the
+    * pagerank-style fixed-step replay). `sel0` is the empty selected set,
+    * so step 1 falls out of the same template (COALESCE(maxsim, 0.0)).
+    */
+  def mmrTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+      cands: Int, k: Int, lambda: Double, queryPred: String): String = {
+    // CAST to DOUBLE: a bare 0.7 literal is DECIMAL in DuckDB, so
+    // (1.0 - 0.7) would be an EXACT 0.3 (→ double 0.29999…) while Scala's
+    // 1 - 0.7 is IEEE 0.30000000000000004 — a last-ulp score divergence.
+    val l = s"CAST(${lambda.toString} AS DOUBLE)"
+    val score = s"$l * cv.cos_sim - (1.0 - $l) * COALESCE(m.maxsim, 0.0)"
+    val steps = (1 to k).map { t =>
+      s"""pick$t AS (
+         |  SELECT query_id, neighbor_id, CAST($t AS BIGINT) AS mmr_rank,
+         |    mmr_score
+         |  FROM (
+         |    SELECT cv.query_id, cv.neighbor_id, $score AS mmr_score,
+         |      ROW_NUMBER() OVER (PARTITION BY cv.query_id
+         |        ORDER BY ($score) DESC, cv.neighbor_id ASC) AS rn
+         |    FROM cv
+         |    LEFT JOIN (
+         |      SELECT p.query_id, p.ia AS neighbor_id, MAX(p.sim) AS maxsim
+         |      FROM pair p JOIN sel${t - 1} s
+         |        ON p.query_id = s.query_id AND p.ib = s.neighbor_id
+         |      GROUP BY 1, 2) m
+         |      ON cv.query_id = m.query_id AND cv.neighbor_id = m.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |      WHERE s.query_id = cv.query_id
+         |        AND s.neighbor_id = cv.neighbor_id))
+         |  WHERE rn = 1),
+         |sel$t AS (SELECT query_id, neighbor_id FROM sel${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k)
+      .map(t => s"SELECT * FROM pick$t").mkString("\nUNION ALL ")
+    s"""WITH c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |q AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm
+       |  FROM $table WHERE $queryPred),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, c.cvec, c.cnorm,
+       |         (${VectorFns.dotSql("q.qvec", "c.cvec", dim)})
+       |           / (q.qnorm * c.cnorm) AS cos_sim
+       |  FROM c JOIN q ON c.neighbor_id <> q.query_id),
+       |cv AS (
+       |  SELECT query_id, neighbor_id, cvec, cnorm, cos_sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $cands),
+       |pair AS (
+       |  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+       |    (${VectorFns.dotSql("a.cvec", "b.cvec", dim)})
+       |      / (a.cnorm * b.cnorm) AS sim
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+       |sel0 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS query_id,
+       |         CAST(NULL AS BIGINT) AS neighbor_id
+       |  WHERE FALSE),
+       |$steps
+       |$unionAll""".stripMargin
+  }
 }

@@ -161,5 +161,24 @@ object EmbeddingQueries {
         threshold = NearDupThreshold),
       Some(KMeans.semanticDedupAutoKSql("embeddings", "vec_id", "embedding",
         Dim, iters = 2, threshold = NearDupThreshold))),
+
+    // Diversity-aware retrieval (MMR rerank): from each query's 20
+    // cosine-nearest candidates, greedily pick 5 trading relevance against
+    // redundancy with what's already picked (λ=0.7) — the RAG context-
+    // selection step that stops five near-identical top hits crowding out
+    // the fifth distinct aspect. Greedy selection runs per-query inside
+    // flatMapGroups on the bounded candidate set; the oracle replays the
+    // identical argmax chain as 5 unrolled CTE steps.
+    Q("e13_mmr_rerank",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.mmrTopK(
+          corpus = t.embeddings,
+          queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim,
+          cands = 20, k = K, lambda = 0.7)
+      },
+      Some(Similarity.mmrTopKSql("embeddings", "vec_id", "embedding",
+        Dim, cands = 20, k = K, lambda = 0.7, QueryPredSql))),
   )
 }

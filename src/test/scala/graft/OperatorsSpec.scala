@@ -813,6 +813,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("mmrTopK: skips the near-duplicate plain top-k keeps") {
+    import spark.implicits._
+    // q=(1,0,0,0); a and b are near-identical top hits; c is less relevant
+    // but diverse. Plain top-2 = {a, b}; MMR (λ=0.5) must pick {a, c}.
+    val corpus = Seq(
+      (100L, Array(0.99f, 0.10f, 0f, 0f)), // a
+      (101L, Array(0.99f, 0.11f, 0f, 0f)), // b ~ a
+      (102L, Array(0.70f, 0f, 0.70f, 0f))  // c: diverse
+    ).toDF("id", "vec")
+    val queries = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("id", "vec")
+    val plain = graft.operators.Similarity.cosineTopK(
+        corpus, queries, "id", "vec", dim = 4, k = 2, excludeSelf = false)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(plain == Set(100L, 101L))
+    val mmr = graft.operators.Similarity.mmrTopK(
+        corpus, queries, "id", "vec", dim = 4, cands = 3, k = 2, lambda = 0.5)
+      .orderBy("mmr_rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(mmr == Seq(100L, 102L), mmr)
+  }
+
   test("OHLC bars: open/close picked by event order, VWAP exact") {
     import spark.implicits._
     // One brand-month with a known event sequence: prices 10, 30, 20 in
