@@ -371,5 +371,37 @@ object EventQueries {
       },
       Some(s"""SELECT event_type, ${sqlSumd("value")} AS sum_value, COUNT(*) AS n
               |FROM events GROUP BY 1""".stripMargin)),
+
+    // Batch twin of EventStreams.ohlcAgg (streaming OHLC bars): hourly
+    // open/high/low/close of `value` per event type. Open/close are
+    // min_by/max_by on unix_micros(ts) — unique in this data; compose the
+    // event id into a packed key when timestamps can collide — ONE hash
+    // aggregation, no window, no sort, the same declarative aggregates the
+    // streaming form merges across micro-batches. High/low/open/close are
+    // picked doubles (exact); no double is ever summed.
+    Q("s15_ohlc_bars",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+            col("event_type"))
+          .agg(
+            min_by(col("value"), unix_micros(col("ts"))).as("open_v"),
+            max(col("value")).as("high_v"),
+            min(col("value")).as("low_v"),
+            max_by(col("value"), unix_micros(col("ts"))).as("close_v"),
+            count(lit(1)).as("n"))
+          .select(date_format(col("ws"), TsFmtSpark).as("window_start"),
+            col("event_type"), col("open_v"), col("high_v"), col("low_v"),
+            col("close_v"), col("n"))
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '$TsFmtDuck') AS window_start,
+              |  event_type,
+              |  arg_min(value, epoch_us(ts)) AS open_v,
+              |  MAX(value) AS high_v,
+              |  MIN(value) AS low_v,
+              |  arg_max(value, epoch_us(ts)) AS close_v,
+              |  COUNT(*) AS n
+              |FROM events GROUP BY 1, 2""".stripMargin)),
   )
 }

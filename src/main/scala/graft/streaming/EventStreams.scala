@@ -43,6 +43,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("n"))
 
+  /** Tumbling-window OHLC bars per event type — the market engine's bar
+    * builder run ON THE STREAM. Open/close are `min_by`/`max_by` on the
+    * event-time ordering key (`unix_micros(ts)`; compose the event id into
+    * a packed key when timestamps can collide) — declarative aggregates,
+    * so they merge across micro-batches and partial-aggregate map-side
+    * exactly like min/max; the window state carries one (ord, value) pair
+    * per extreme, not the events. Batch twin: s15.
+    */
+  def ohlcAgg(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), unix_micros(col("ts"))).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), unix_micros(col("ts"))).as("close_v"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("n"))
+
   /** Session windows per user with an inactivity gap (built-in merging
     * session store; the batch gaps-and-islands twin is s03).
     */

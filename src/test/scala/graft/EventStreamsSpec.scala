@@ -215,6 +215,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming OHLC bars: open/close by event time across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.ohlcAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_out").start()
+    // batch 1 delivers the window's LATER events; batch 2 delivers the
+    // earliest one out of order — open must still be the event-time first.
+    in.addData(Ev(2, ts(4), 1, "trade", 30.0), Ev(3, ts(7), 1, "trade", 20.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(1), 1, "trade", 10.0)) // earliest, arrives last
+    q.processAllAvailable()
+    in.addData(Ev(9, ts(30), 1, "trade", 1.0)) // push watermark; finalize
+    q.processAllAvailable()
+    q.stop()
+    val bars = spark.table("ohlc_out")
+      .as[(Timestamp, String, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(bars == Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "trade",
+      10.0, 30.0, 10.0, 20.0, 3L)), bars)
+  }
+
   test("foreachBatch + mergeRollup maintains the daily rollup incrementally") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.DataFrame
