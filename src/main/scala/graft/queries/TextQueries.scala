@@ -451,5 +451,22 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", width = 32, stride = 24),
       Some(graft.operators.Chunker.slidingChunksSql(
         "documents", "doc_id", "text", 32, 24))),
+
+    // The whole prep chain composed end to end (operators/PrepPipeline):
+    // token gate → LSH near-dup drop → benchmark decontamination →
+    // deterministic split, reported as the per-stage yield funnel. Every
+    // doc gets ONE terminal label in a single DAG — stage counts are one
+    // groupBy, never a count() per stage re-running the dedup upstream.
+    Q("t24_prep_pipeline_funnel",
+      (s, dir) => graft.operators.PrepPipeline.funnel(
+        Tables(s, dir).documents, "doc_id", "text",
+        evalBelow = 50L, minTokens = 30, n = 3, numHashes = 12,
+        rowsPerBand = 3, threshold = 0.8, contamFrac = 0.5,
+        trainFrac = 0.8, validFrac = 0.1),
+      Some(graft.operators.PrepPipeline.funnelSql(
+        "documents", "doc_id", "text",
+        evalBelow = 50L, minTokens = 30, n = 3, numHashes = 12,
+        rowsPerBand = 3, threshold = 0.8, contamFrac = 0.5,
+        trainFrac = 0.8, validFrac = 0.1))),
   )
 }

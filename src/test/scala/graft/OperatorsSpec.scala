@@ -813,6 +813,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("PrepPipeline.funnel: each stage claims its doc, labels exclusive") {
+    import spark.implicits._
+    def words(p: String) = (0 until 40).map(p + _).mkString(" ")
+    val docs = Seq(
+      (1L, words("e")),   // eval slice (id < 50)
+      (100L, words("c")), // clean -> kept
+      (101L, "a b c"),    // short -> gate
+      (110L, words("d")), // dup pair, lower id kept
+      (111L, words("d")), // dup pair, higher id dropped
+      (120L, words("e"))  // copies the eval doc -> contaminated
+    ).toDF("doc_id", "text")
+    val got = graft.operators.PrepPipeline.funnel(docs, "doc_id", "text",
+        evalBelow = 50L, minTokens = 30, n = 3, numHashes = 12,
+        rowsPerBand = 3, threshold = 0.8, contamFrac = 0.5,
+        trainFrac = 0.8, validFrac = 0.1)
+      .as[(String, Long)].collect().toMap
+    assert(got("10_dropped_gate") == 1L, got)
+    assert(got("20_dropped_dup") == 1L, got)
+    assert(got("30_dropped_contaminated") == 1L, got)
+    assert(got.filter(_._1.startsWith("40_kept_")).values.sum == 2L, got)
+    assert(got.values.sum == 5L, got) // eval doc is not a corpus row
+  }
+
   test("mmrTopK: skips the near-duplicate plain top-k keeps") {
     import spark.implicits._
     // q=(1,0,0,0); a and b are near-identical top hits; c is less relevant
