@@ -853,6 +853,42 @@ object Similarity {
        |FROM v a JOIN v b ON a.id < b.id
        |WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $threshold""".stripMargin
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * evaluation harness every ANN deployment ships with (you don't tune
+    * nlist/nprobe/planes by feel). Both inputs are (query_id, neighbor_id,
+    * …rank ≤ k) relations; output is one row per query (hits, recall) plus
+    * the exact set size. Join on (query_id, neighbor_id), count matches,
+    * divide — two small relations (|Q|·k rows), one broadcast join, one
+    * aggregation; cost is independent of corpus size.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("n_exact"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
+  /** DuckDB mirror of [[recallAtK]] over two full SELECT statements. */
+  def recallAtKSql(approxSql: String, exactSql: String): String =
+    s"""WITH approx AS ($approxSql),
+       |exact AS ($exactSql),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS hits
+       |  FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM approx a
+       |    WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+       |  GROUP BY 1),
+       |n AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT n.query_id, COALESCE(h.hits, 0) AS hits, n.n_exact,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(n.n_exact AS DOUBLE) AS recall
+       |FROM n LEFT JOIN hits h ON n.query_id = h.query_id""".stripMargin
+
   /** Maximal Marginal Relevance rerank — diversity-aware retrieval, the
     * standard RAG-context selection step. From each query's `cands`
     * cosine-nearest candidates, greedily select `k`:

@@ -180,5 +180,25 @@ object EmbeddingQueries {
       },
       Some(Similarity.mmrTopKSql("embeddings", "vec_id", "embedding",
         Dim, cands = 20, k = K, lambda = 0.7, QueryPredSql))),
+
+    // The ANN evaluation harness as a first-class query: recall@5 of the
+    // sign-LSH path (e02) against the exact scan (e01), per query. This is
+    // how nlist/nprobe/planes get TUNED — the engine ships its own scorer.
+    // Cost: two |Q|·k relations joined and reduced; corpus-size-free.
+    Q("e14_ann_recall",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val queries = t.embeddings.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          approx = Similarity.lshTopK(t.embeddings, queries,
+            "vec_id", "embedding", Dim, K, NumPlanes, probeRadius = 2),
+          exact = Similarity.cosineTopK(t.embeddings, queries,
+            "vec_id", "embedding", Dim, K))
+      },
+      Some(Similarity.recallAtKSql(
+        Similarity.lshTopKSql("embeddings", "vec_id", "embedding",
+          Dim, K, NumPlanes, QueryPredSql, probeRadius = 2),
+        Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
+          Dim, K, QueryPredSql)))),
   )
 }
