@@ -89,6 +89,68 @@ object Upsert {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Snapshot diff: compare two versions of a keyed table and emit one row
+    * per key whose state changed — `change` ∈ added | removed | changed,
+    * plus a comma-joined `changed_cols` naming which tracked columns
+    * differ (null-safe compare, empty for added/removed). Unchanged keys
+    * are dropped, so the output is the delta an incremental consumer
+    * (CDC replay, cache invalidation, reconciliation report) applies.
+    *
+    * Scale notes: one full outer join on the key — the minimal shuffle any
+    * snapshot compare pays; with both snapshots bucketed on the key
+    * (util.Layout) the exchange disappears entirely. Column compares are
+    * narrow null-safe predicates, no per-row UDF.
+    */
+  def snapshotDiff(old: DataFrame, newer: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = old.select((keys ++ compareCols).map(c => col(c).as("_o_" + c)): _*)
+    val n = newer.select((keys ++ compareCols).map(c => col(c).as("_n_" + c)): _*)
+    val joinCond = keys.map(k => col("_o_" + k) <=> col("_n_" + k)).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+    val inOld = keys.map(k => col("_o_" + k).isNotNull).reduce(_ || _)
+    val inNew = keys.map(k => col("_n_" + k).isNotNull).reduce(_ || _)
+    val anyDiff = compareCols
+      .map(c => !(col("_o_" + c) <=> col("_n_" + c))).reduce(_ || _)
+    val change = when(!inOld, lit("added"))
+      .when(!inNew, lit("removed"))
+      .when(anyDiff, lit("changed"))
+    val changedCols = concat_ws(",", compareCols.map(c =>
+      when(inOld && inNew && !(col("_o_" + c) <=> col("_n_" + c)), lit(c))): _*)
+    joined
+      .withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .withColumn("changed_cols", when(col("change") === "changed", changedCols)
+        .otherwise(lit("")))
+      .select(keys.map(k => coalesce(col("_o_" + k), col("_n_" + k)).as(k)) ++
+        Seq(col("change"), col("changed_cols")): _*)
+  }
+
+  /** DuckDB twin of `snapshotDiff`: `old`/`newer` are full SELECT
+    * statements over the same tables the Spark side read.
+    */
+  def snapshotDiffSql(old: String, newer: String, keys: Seq[String],
+      compareCols: Seq[String]): String = {
+    val joinCond = keys.map(k => s"o.$k IS NOT DISTINCT FROM n.$k").mkString(" AND ")
+    val inOld = keys.map(k => s"o.$k IS NOT NULL").mkString(" OR ")
+    val inNew = keys.map(k => s"n.$k IS NOT NULL").mkString(" OR ")
+    val anyDiff = compareCols
+      .map(c => s"(o.$c IS DISTINCT FROM n.$c)").mkString(" OR ")
+    val changedCols = compareCols.map(c =>
+      s"CASE WHEN ($inOld) AND ($inNew) AND o.$c IS DISTINCT FROM n.$c THEN '$c' END")
+      .mkString("concat_ws(',', ", ", ", ")")
+    val keyOut = keys.map(k => s"COALESCE(o.$k, n.$k) AS $k").mkString(", ")
+    s"""WITH o AS ($old), n AS ($newer),
+       |j AS (
+       |  SELECT $keyOut,
+       |    CASE WHEN NOT ($inOld) THEN 'added'
+       |         WHEN NOT ($inNew) THEN 'removed'
+       |         WHEN $anyDiff THEN 'changed' END AS change,
+       |    CASE WHEN ($inOld) AND ($inNew) AND ($anyDiff)
+       |         THEN $changedCols ELSE '' END AS changed_cols
+       |  FROM o FULL OUTER JOIN n ON $joinCond)
+       |SELECT * FROM j WHERE change IS NOT NULL""".stripMargin
+  }
+
   /** DuckDB twin of `scd2` over `table` (same window semantics). */
   def scd2Sql(table: String, keys: Seq[String], tsCol: String, tieCol: String,
       attrs: Seq[String], pred: String = "TRUE"): String = {

@@ -59,6 +59,72 @@ object Chunker {
         col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** Boilerplate REMOVER built on the d09 signal: rebuild each document
+    * keeping only the chunks whose fingerprint occurs in at most `maxDocs`
+    * distinct documents — repeated headers/footers/licence blocks (high
+    * cross-doc chunk frequency) are stripped; unique prose survives. The
+    * C4-style cleaning rule at chunk granularity. Output: (id, n_chunks,
+    * n_kept, clean_text) with `clean_text` the kept chunks re-joined in
+    * chunk order (token-normalized text — single-space joined, like every
+    * downstream tokenizer sees it anyway).
+    *
+    * Scale notes: same two chunk-keyed shuffles as `dupChunkStats` (agg +
+    * join on `ch`, exchange reused) plus one doc-keyed rollup. The per-doc
+    * collect_list buffers one document's own chunks — bounded by document
+    * length, the same bound as holding the document's text column itself.
+    */
+  def stripSharedChunks(df: DataFrame, idCol: String, textCol: String,
+      width: Int, maxDocs: Int): DataFrame = {
+    val nChunks = floor((size(col("toks")) + width - 1) / width).cast("int")
+    val ch = df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("idx", explode(
+        when(col("toks").isNotNull && size(col("toks")) > 0,
+          sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("id"), col("idx"),
+        array_join(slice(col("toks"), col("idx") * width + 1, lit(width)), " ")
+          .as("chunk_txt"))
+      .withColumn("ch", md5(col("chunk_txt")))
+    val freq = ch.groupBy(col("ch"))
+      .agg(countDistinct(col("id")).as("docs_with"))
+    ch.join(freq, Seq("ch"))
+      .withColumn("keep", col("docs_with") <= maxDocs)
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("idx"), col("keep"), col("chunk_txt")))),
+              s => s.getField("keep")),
+            s => s.getField("chunk_txt")),
+          " ").as("clean_text"))
+  }
+
+  /** DuckDB mirror of `stripSharedChunks` over `table`. */
+  def stripSharedChunksSql(table: String, idCol: String, textCol: String,
+      width: Int, maxDocs: Int): String = {
+    val toks = TextFns.tokensSql(textCol)
+    s"""WITH docs AS (SELECT $idCol AS id, $toks AS toks FROM $table),
+       |exploded AS (
+       |  SELECT id, toks, unnest(range(0, (len(toks) + ${width - 1}) // $width)) AS i
+       |  FROM docs),
+       |chunked AS (
+       |  SELECT id, i,
+       |    array_to_string(toks[(i * $width + 1):(i * $width + $width)], ' ') AS chunk_txt
+       |  FROM exploded),
+       |withf AS (
+       |  SELECT id, i, chunk_txt, md5(chunk_txt) AS ch FROM chunked),
+       |freq AS (SELECT ch, COUNT(DISTINCT id) AS docs_with FROM withf GROUP BY 1)
+       |SELECT w.id AS $idCol, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.docs_with <= $maxDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(chunk_txt, ' ' ORDER BY w.i)
+       |    FILTER (WHERE f.docs_with <= $maxDocs), '') AS clean_text
+       |FROM withf w JOIN freq f ON w.ch = f.ch
+       |GROUP BY 1""".stripMargin
+  }
+
   /** RAG-prep sliding chunks: token windows of `width` starting every
     * `stride` tokens (stride < width ⇒ overlapping context windows, the
     * retrieval-index shape; stride == width degenerates to `chunks`).

@@ -51,4 +51,47 @@ object GapFill {
         last(col(valueCol), ignoreNulls = true).over(w).as(s"locf_$valueCol"),
         col(countCol).isNull.as("is_gap"))
   }
+
+  /** Densify like `denseLocf`, but fill level gaps by LINEAR INTERPOLATION
+    * between the surrounding observations instead of carrying the last one
+    * forward: on a gap day d between observations (d₀,v₀) and (d₁,v₁),
+    *   interp = v₀ + (v₁-v₀)·(d-d₀)/(d₁-d₀)
+    * — exact day arithmetic, one IEEE expression shape in both engines.
+    * Leading/trailing gaps (no observation on one side) stay null — the
+    * honest choice; compose with LOCF if edges must be filled.
+    *
+    * Scale notes: two windows (backward carry, forward carry) over the SAME
+    * key partitioning — the second reuses the first's exchange; otherwise
+    * identical shape to `denseLocf`.
+    */
+  def denseInterp(daily: DataFrame, keyCol: String, dayCol: String,
+      countCol: String, valueCol: String): DataFrame = {
+    val span = daily.agg(min(col(dayCol)).as("_dmin"), max(col(dayCol)).as("_dmax"))
+    val cal = daily.select(col(keyCol)).distinct()
+      .join(broadcast(span))
+      .select(col(keyCol),
+        explode(sequence(col("_dmin"), col("_dmax"), expr("INTERVAL 1 DAY")))
+          .as(dayCol))
+    val back = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col(valueCol).isNotNull, col(dayCol))
+    val joined = cal.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("_pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("_pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("_nd", first(obsDay, ignoreNulls = true).over(fwd))
+    val frac = datediff(col(dayCol), col("_pd")).cast("double") /
+      datediff(col("_nd"), col("_pd")).cast("double")
+    joined
+      .withColumn(s"interp_$valueCol",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("_pv").isNotNull && col("_nv").isNotNull,
+            col("_pv") + (col("_nv") - col("_pv")) * frac))
+      .select(col(keyCol), col(dayCol),
+        coalesce(col(countCol), lit(0L)).as(countCol),
+        col(valueCol), col(s"interp_$valueCol"),
+        col(countCol).isNull.as("is_gap"))
+  }
 }

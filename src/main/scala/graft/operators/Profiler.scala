@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the ANALYZE-TABLE shape every ingestion
@@ -55,6 +56,90 @@ object Profiler {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Distribution-drift detector between a reference and a current slice
+    * of the same numeric column: 10 equal-width buckets pinned to the
+    * REFERENCE's [min, max] (exact BIGINT cent arithmetic — p05's edge
+    * formula — with out-of-range current values clamped into the edge
+    * buckets), per-bucket counts and shares, and the chi-square
+    * contribution (q−p)²/p on add-one-smoothed shares. Chi-square instead
+    * of PSI on purpose: +,−,×,÷ are IEEE-correctly-rounded and therefore
+    * engine-portable, while ln() is not guaranteed bit-identical across
+    * engines. Emitting per-bucket terms (not their sum) keeps the result
+    * order-independent; the consumer sums 10 rows.
+    *
+    * Scale notes: reference bounds are a 1-row broadcast; each side is one
+    * scan + one 10-row aggregation; the final join is 10×10 rows. This is
+    * the weekly snapshot-vs-snapshot data-quality gate at any corpus size.
+    */
+  def distDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def cents(df: DataFrame) = df.select(
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val bounds = cents(ref).agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    def bucketed(df: DataFrame, name: String) = cents(df)
+      .crossJoin(broadcast(bounds))
+      .select(least(greatest(
+        expr("((c - minc) * 10) DIV (maxc - minc + 1)"), lit(0L)), lit(9L))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val r = bucketed(ref, "ref_n")
+    val q = bucketed(cur, "cur_n")
+    val allBuckets = ref.sparkSession.range(0, 10).select(col("id").as("bucket"))
+    // totals come from window sums over the 10-row joined frame — the
+    // clamp guarantees every row landed in a bucket, so no extra scan or
+    // driver count is needed
+    val wAll = Window.partitionBy()
+    val p = (col("ref_n") + 1L).cast("double") /
+      (sum(col("ref_n")).over(wAll) + 10L).cast("double")
+    val qq = (col("cur_n") + 1L).cast("double") /
+      (sum(col("cur_n")).over(wAll) + 10L).cast("double")
+    allBuckets
+      .join(r, Seq("bucket"), "left").join(q, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        p.as("ref_share"), qq.as("cur_share"),
+        ((qq - p) * (qq - p) / p).as("chi2_term"))
+  }
+
+  /** DuckDB twin of `distDrift`: `refPred` selects the reference slice of
+    * `table`, its negation the current slice.
+    */
+  def distDriftSql(table: String, valueCol: String, refPred: String): String =
+    s"""WITH refc AS (
+       |  SELECT CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM $table WHERE $refPred),
+       |curc AS (
+       |  SELECT CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM $table WHERE NOT ($refPred)),
+       |bounds AS (SELECT MIN(c) AS minc, MAX(c) AS maxc FROM refc),
+       |rb AS (
+       |  SELECT LEAST(GREATEST(((c - minc) * 10) // (maxc - minc + 1), 0), 9)
+       |    AS bucket, COUNT(*) AS ref_n
+       |  FROM refc CROSS JOIN bounds GROUP BY 1),
+       |cb AS (
+       |  SELECT LEAST(GREATEST(((c - minc) * 10) // (maxc - minc + 1), 0), 9)
+       |    AS bucket, COUNT(*) AS cur_n
+       |  FROM curc CROSS JOIN bounds GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM refc) AS rt,
+       |               (SELECT COUNT(*) FROM curc) AS ct),
+       |b AS (SELECT unnest(range(0, 10)) AS bucket)
+       |SELECT b.bucket,
+       |  COALESCE(rb.ref_n, 0) AS ref_n, COALESCE(cb.cur_n, 0) AS cur_n,
+       |  CAST(COALESCE(rb.ref_n, 0) + 1 AS DOUBLE) / CAST(t.rt + 10 AS DOUBLE)
+       |    AS ref_share,
+       |  CAST(COALESCE(cb.cur_n, 0) + 1 AS DOUBLE) / CAST(t.ct + 10 AS DOUBLE)
+       |    AS cur_share,
+       |  (CAST(COALESCE(cb.cur_n, 0) + 1 AS DOUBLE) / CAST(t.ct + 10 AS DOUBLE)
+       |    - CAST(COALESCE(rb.ref_n, 0) + 1 AS DOUBLE) / CAST(t.rt + 10 AS DOUBLE))
+       |  * (CAST(COALESCE(cb.cur_n, 0) + 1 AS DOUBLE) / CAST(t.ct + 10 AS DOUBLE)
+       |    - CAST(COALESCE(rb.ref_n, 0) + 1 AS DOUBLE) / CAST(t.rt + 10 AS DOUBLE))
+       |  / (CAST(COALESCE(rb.ref_n, 0) + 1 AS DOUBLE) / CAST(t.rt + 10 AS DOUBLE))
+       |    AS chi2_term
+       |FROM b LEFT JOIN rb ON b.bucket = rb.bucket
+       |       LEFT JOIN cb ON b.bucket = cb.bucket
+       |       CROSS JOIN tot t""".stripMargin
 
   def profileSql(table: String, numericCols: Seq[String],
       stringCols: Seq[String]): String = {

@@ -76,6 +76,78 @@ object Sampling {
   def weightedSamplePredSql(idCol: String, weightExpr: String): String =
     s"(CAST(${hashBucketSql(idCol)} AS DOUBLE) / 10000.0) < ($weightExpr)"
 
+  /** Source-mixture resampling: rebalance a multi-source corpus toward
+    * target per-source TOKEN shares (basis points). Each document gets a
+    * deterministic integer replication count approximating its source's
+    * up/down-sampling factor
+    *   factor_s = (target_bp · total_tokens) / (10000 · source_tokens)
+    * exactly in integer arithmetic: `floor(factor)` copies always, plus one
+    * extra iff the doc's hash bucket falls under the factor's fractional
+    * part (bucket·den < rem·10000 — all BIGINT, exact). factor < 1 becomes
+    * hash-thinned downsampling; factor > 1 epoch-style upsampling — the
+    * standard mixture knob when composing a training run from web/code/
+    * reference sources at fixed proportions.
+    *
+    * Output: one row per input doc — (id, source, n_tokens, n_copies).
+    * Realized shares converge to the targets as corpora grow; they are
+    * exact in expectation over the hash buckets.
+    *
+    * Scale notes: per-source totals are ONE tiny aggregation broadcast
+    * back onto the stream (sources are few); everything else is a narrow
+    * projection — no shuffle of the corpus itself. The bp·total products
+    * stay under int64 up to ~10^14 corpus tokens; beyond that widen the
+    * intermediate to decimal(38,0) (the comparison is the same).
+    */
+  def sourceMixture(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, targetsBp: Map[String, Int]): DataFrame = {
+    require(targetsBp.values.sum == 10000,
+      s"target shares must sum to 10000 bp, got ${targetsBp.values.sum}")
+    val tok = graft.functions.TextFns.tokenCount(col(textCol))
+    val docs = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+      tok.as("n_tokens"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val totals = bySrc.agg(sum(col("src_tokens")).as("total_tokens"))
+    val targets = targetsBp.toSeq.map { case (s, bp) => (s, bp.toLong) }
+    val targetCol = targets.foldLeft(lit(null).cast("long")) {
+      case (els, (s, bp)) => when(col("source") === s, lit(bp)).otherwise(els)
+    }
+    docs
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("target_bp", targetCol)
+      .withColumn("num", col("target_bp") * col("total_tokens"))
+      .withColumn("den", lit(10000L) * col("src_tokens"))
+      .withColumn("n_copies",
+        expr("num DIV den") +
+          when(hashBucket(col("id")) * col("den") <
+            pmod(col("num"), col("den")) * 10000L, 1L).otherwise(0L))
+      .select(col("id"), col("source"), col("n_tokens"), col("n_copies"))
+  }
+
+  /** DuckDB twin of `sourceMixture` over `table`. */
+  def sourceMixtureSql(table: String, idCol: String, textCol: String,
+      srcCol: String, targetsBp: Map[String, Int]): String = {
+    val tok = graft.functions.TextFns.tokenCountSql(textCol)
+    val targetCase = targetsBp.toSeq.sortBy(_._1)
+      .map { case (s, bp) => s"WHEN d.source = '$s' THEN CAST($bp AS BIGINT)" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH docs AS (
+       |  SELECT $idCol AS id, $srcCol AS source, $tok AS n_tokens FROM $table),
+       |by_src AS (
+       |  SELECT source, SUM(n_tokens) AS src_tokens FROM docs GROUP BY 1),
+       |tot AS (SELECT SUM(src_tokens) AS total_tokens FROM by_src),
+       |j AS (
+       |  SELECT d.id, d.source, d.n_tokens,
+       |    ($targetCase) * t.total_tokens AS num,
+       |    10000 * b.src_tokens AS den
+       |  FROM docs d JOIN by_src b ON d.source = b.source CROSS JOIN tot t)
+       |SELECT id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(num // den + (CASE WHEN ${hashBucketSql("id")} * den <
+       |    (num % den) * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+       |FROM j""".stripMargin
+  }
+
   /** Token-budget packing: assign docs (ordered by id within a stratum) to
     * consecutive batches of at most `budget` tokens — batch id =
     * floor(exclusive-prefix-sum / budget). Oversized single docs get their

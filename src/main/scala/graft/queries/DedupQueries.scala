@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.operators.{Chunker, Dedup, SpanDedup}
 import graft.util.Tables
@@ -163,5 +163,54 @@ object DedupQueries {
       Some(graft.operators.GraphRank.trianglesSql(
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
           N, JaccardThreshold)))),
+
+    // URL-level dedup — the FIRST pass of a web-corpus pipeline (cheaper
+    // than any content hash): canonicalize each doc's URL (t17's
+    // normalizer: case, default port, tracking params, fragment, param
+    // order) and keep the best doc per canonical URL (max token count, id
+    // tiebreak). Synthetic URLs collapse (doc_id%50, lang) groups onto one
+    // canonical target through per-doc tracking-param noise. One hash
+    // shuffle on the canonical URL — linear, the same shape at any scale.
+    Q("d18_url_dedup",
+      (s, dir) => {
+        import graft.functions.{TextFns, UrlFns}
+        val t = Tables(s, dir)
+        val url = concat(lit("HTTPS://WWW.Example.com:443/page/"),
+          (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=s"), col("doc_id").cast("string"),
+          lit("&ref="), col("lang"), lit("#top"))
+        val canon = UrlFns.normalizeUrl(url)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canon"))
+          .orderBy(col("n_tokens").desc, col("doc_id").asc)
+        t.documents
+          .select(col("doc_id"), canon.as("canon"),
+            TextFns.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("n_dups", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))))
+          .filter(col("_rn") === 1)
+          .select(col("canon"), col("doc_id").as("kept_id"),
+            col("n_tokens"), col("n_dups"))
+      },
+      Some {
+        import graft.functions.{TextFns, UrlFns}
+        val url = "'HTTPS://WWW.Example.com:443/page/' || " +
+          "CAST(doc_id % 50 AS VARCHAR) || '?utm_source=s' || " +
+          "CAST(doc_id AS VARCHAR) || '&ref=' || lang || '#top'"
+        s"""WITH docs AS (
+           |  SELECT doc_id, ${UrlFns.normalizeUrlSql(url)} AS canon,
+           |    ${TextFns.tokenCountSql("text")} AS n_tokens
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT canon, doc_id, n_tokens,
+           |    ROW_NUMBER() OVER (PARTITION BY canon
+           |      ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY canon) AS n_dups
+           |  FROM docs)
+           |SELECT canon, doc_id AS kept_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_dups AS BIGINT) AS n_dups
+           |FROM ranked WHERE rn = 1""".stripMargin
+      }),
   )
 }

@@ -260,6 +260,57 @@ object EventQueries {
               |  (n = 0) AS is_gap
               |FROM filled""".stripMargin)),
 
+    // Linear-interpolation gap fill (GapFill.denseInterp): the level-series
+    // companion to s11's LOCF — gap days take the time-weighted blend of
+    // the surrounding observations; leading/trailing gaps honestly stay
+    // null. Two carries over ONE key partitioning (exchange reused).
+    Q("s17_gap_fill_interp",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.events
+          .filter(col("event_type") === "purchase" && col("user_id") < 20)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        graft.operators.GapFill.denseInterp(daily, "user_id", "day", "n", "sum_value")
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("sum_value"), col("interp_sum_value"), col("is_gap"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |  FROM events WHERE event_type = 'purchase' AND user_id < 20
+              |  GROUP BY 1, 2),
+              |span AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+              |cal AS (
+              |  SELECT k.user_id,
+              |    CAST(unnest(generate_series(CAST(s.dmin AS TIMESTAMP),
+              |      CAST(s.dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+              |  FROM (SELECT DISTINCT user_id FROM daily) k CROSS JOIN span s),
+              |filled AS (
+              |  SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n, d.sum_value
+              |  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day),
+              |carried AS (
+              |  SELECT user_id, day, n, sum_value,
+              |    LAST_VALUE(sum_value IGNORE NULLS) OVER (PARTITION BY user_id
+              |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+              |    LAST_VALUE(CASE WHEN sum_value IS NOT NULL THEN day END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id
+              |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+              |    FIRST_VALUE(sum_value IGNORE NULLS) OVER (PARTITION BY user_id
+              |      ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    FIRST_VALUE(CASE WHEN sum_value IS NOT NULL THEN day END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id
+              |      ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+              |  FROM filled)
+              |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n, sum_value,
+              |  CASE WHEN sum_value IS NOT NULL THEN sum_value
+              |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              |         pv + (nv - pv) * (CAST(datediff('day', pd, day) AS DOUBLE) /
+              |           CAST(datediff('day', pd, nd) AS DOUBLE))
+              |  END AS interp_sum_value,
+              |  (n = 0) AS is_gap
+              |FROM carried""".stripMargin)),
+
     // Ordered conversion funnel (view -> click -> purchase): each stage's
     // timestamp is the user's FIRST event of that type AT OR AFTER the
     // previous stage's timestamp — the order-sensitive funnel, not three
@@ -403,5 +454,44 @@ object EventQueries {
               |  arg_max(value, epoch_us(ts)) AS close_v,
               |  COUNT(*) AS n
               |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // lead() pairs each event with the user's next one (total order —
+    // ts tie-broken by event_id), one aggregation counts (from, to) cells,
+    // and the per-from share lands as exact integer basis points (n·10⁴
+    // floor-divided by the from-state total, reusing the count exchange via
+    // a window over from_type). The sequence-mining primitive behind
+    // next-action prediction features and session-model QA. Shuffle cost:
+    // one user_id exchange (the lead) + one cell-count exchange — both keyed,
+    // both map-side combined; state space (|types|²) stays tiny at any
+    // corpus scale.
+    Q("s16_event_transitions",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cells = t.events
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy(col("from_type"))
+        cells
+          .withColumn("share_bp",
+            expr("n * 10000 DIV sum(n) OVER (PARTITION BY from_type)"))
+          .select(col("from_type"), col("to_type"), col("n"), col("share_bp"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS from_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts ASC, event_id ASC) AS to_type
+             |  FROM events),
+             |cells AS (
+             |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             |    AS share_bp
+             |FROM cells""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables
@@ -768,5 +769,182 @@ object MiscQueries {
         graft.operators.Quality.audit(t.orders, t.lineitem)
       },
       Some(graft.operators.Quality.auditSql)),
+
+    // Functional-dependency discovery: test candidate X→Y dependencies by
+    // counting determinant values with >1 distinct dependent — the schema-
+    // inference pass that finds real keys and denormalization opportunities
+    // in an unfamiliar drop. Each candidate is one map-side-combined
+    // aggregation on its determinant; candidates over the same determinant
+    // share a shuffle. Exact violation counts, so the verdict is a fact,
+    // not a sample.
+    Q("p10_fd_discovery",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val nat = t.nation.select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_shipdate"))
+        def fd(df: org.apache.spark.sql.DataFrame, x: String, y: String) = df
+          .groupBy(col(x)).agg(countDistinct(col(y)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum((col("nd") > 1).cast("long")).as("n_violating"))
+          .select(lit(s"$x->$y").as("fd"), col("n_keys"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+        fd(nat, "n_nationkey", "n_regionkey")
+          .unionByName(fd(nat, "n_regionkey", "n_name"))
+          .unionByName(fd(li, "l_orderkey", "l_shipdate"))
+          .unionByName(fd(li, "l_partkey", "l_suppkey"))
+      },
+      Some {
+        def fd(table: String, x: String, y: String) =
+          s"""SELECT '$x->$y' AS fd, COUNT(*) AS n_keys,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+             |FROM (SELECT $x, COUNT(DISTINCT $y) AS nd FROM $table GROUP BY 1)""".stripMargin
+        Seq(fd("nation", "n_nationkey", "n_regionkey"),
+          fd("nation", "n_regionkey", "n_name"),
+          fd("lineitem", "l_orderkey", "l_shipdate"),
+          fd("lineitem", "l_partkey", "l_suppkey")).mkString("\nUNION ALL\n")
+      }),
+
+    // Time-weighted average price (TWAP) per (event_type, day): each
+    // observation weighted by its holding interval to the next observation
+    // (exact µs deltas; the day's last interval has no successor and drops
+    // out — the standard open-interval TWAP). value·Δt products accumulate
+    // in DECIMAL, so the division is a deterministic function of exact
+    // sums. ONE window shuffle on (type, day) feeds both the lead() and
+    // the final aggregation.
+    Q("q45_twap",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t.events
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("dt_us", unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts")))
+          .filter(col("dt_us").isNotNull)
+          .groupBy(col("event_type"), col("day"))
+          .agg(
+            sum(dec(col("value")) * col("dt_us")).as("vt"),
+            sum(col("dt_us")).as("tt"),
+            count(lit(1)).as("n_intervals"))
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            (col("vt").cast("double") / col("tt").cast("double")).as("twap"),
+            col("n_intervals"))
+      },
+      Some(s"""WITH seq AS (
+              |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    value,
+              |    epoch_us(LEAD(ts) OVER (PARTITION BY event_type,
+              |        CAST(date_trunc('day', ts) AS DATE)
+              |      ORDER BY ts ASC, event_id ASC)) - epoch_us(ts) AS dt_us
+              |  FROM events),
+              |agg AS (
+              |  SELECT event_type, day,
+              |    SUM(${sqlDec("value")} * dt_us) AS vt,
+              |    SUM(dt_us) AS tt, COUNT(*) AS n_intervals
+              |  FROM seq WHERE dt_us IS NOT NULL GROUP BY 1, 2)
+              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+              |  CAST(vt AS DOUBLE) / CAST(tt AS DOUBLE) AS twap,
+              |  CAST(n_intervals AS BIGINT) AS n_intervals
+              |FROM agg""".stripMargin)),
+
+    // Distribution-drift gate (Profiler.distDrift): chi-square per-bucket
+    // drift of order totals between the pre-1997 reference slice and the
+    // rest — 10 exact-cent buckets pinned to the reference range, add-one
+    // smoothed shares. Chi-square, not PSI: ln() is not bit-portable
+    // across engines, IEEE ·/÷ are. Per-bucket terms keep the output
+    // order-independent.
+    Q("p09_dist_drift",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val refPred = col("o_orderdate") < "1997-01-01"
+        graft.operators.Profiler.distDrift(
+          t.orders.filter(refPred), t.orders.filter(!refPred), "o_totalprice")
+      },
+      Some(graft.operators.Profiler.distDriftSql(
+        "orders", "o_totalprice", "o_orderdate < '1997-01-01'"))),
+
+    // Snapshot diff / CDC delta (ingest.Upsert.snapshotDiff): two synthetic
+    // versions of `orders` (drop-by-modulus membership churn + deterministic
+    // price/status edits) compared into the added/removed/changed delta an
+    // incremental consumer applies. One full outer join on the key — the
+    // minimal shuffle any snapshot compare pays; bucketed snapshots (b01's
+    // layout) would eliminate even that exchange.
+    Q("q43_snapshot_diff",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        val old = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        val newer = base.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(3)) === 0,
+              col("o_totalprice") + lit(100.0)).otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(pmod(col("o_orderkey"), lit(11)) === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        graft.ingest.Upsert.snapshotDiff(old, newer, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+      },
+      Some(graft.ingest.Upsert.snapshotDiffSql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0",
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+          |       ELSE o_totalprice END AS o_totalprice
+          |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice")))),
+
+    // Per-group OLS regression: slope/intercept of extendedprice on
+    // quantity per brand, from the five exact split-sums (q33's technique —
+    // BIGINT integer part + exact decimal fraction, recombined in double
+    // with the identical expression tree in both engines). ONE aggregation
+    // over the broadcast-joined fact stream; the closed-form normal
+    // equations never materialize anything wider than 25 brand rows.
+    Q("q44_brand_regression",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def d2(c: String) = col(c).cast("decimal(9,2)")
+        def splitSum(e: Column, name: String): Seq[Column] = Seq(
+          sum(floor(e).cast("long")).as(name + "i"),
+          sum(e - floor(e)).as(name + "f"))
+        val joined = t.lineitem.join(broadcast(t.part),
+          col("l_partkey") === col("p_partkey"))
+        val aggs: Seq[Column] = Seq(count(lit(1)).as("n")) ++
+          splitSum(d2("l_quantity"), "sx") ++
+          splitSum(d2("l_quantity") * d2("l_quantity"), "sx2") ++
+          splitSum(d2("l_extendedprice"), "sy") ++
+          splitSum(d2("l_quantity") * d2("l_extendedprice"), "sxy")
+        val sums = joined.groupBy(col("p_brand")).agg(aggs.head, aggs.tail: _*)
+        def big(name: String): Column =
+          col(name + "i").cast("double") + col(name + "f").cast("double")
+        val nd = col("n").cast("double")
+        val (sx, sx2, sy, sxy) = (big("sx"), big("sx2"), big("sy"), big("sxy"))
+        val slope = (nd * sxy - sx * sy) / (nd * sx2 - sx * sx)
+        sums.select(col("p_brand"), col("n"), slope.as("slope"),
+          ((sy - slope * sx) / nd).as("intercept"))
+      },
+      Some {
+        def splitSum(e: String, name: String) =
+          s"SUM(CAST(floor($e) AS BIGINT)) AS ${name}i, SUM(($e) - floor($e)) AS ${name}f"
+        def big(name: String) = s"(CAST(${name}i AS DOUBLE) + CAST(${name}f AS DOUBLE))"
+        val (x, y) = ("CAST(l_quantity AS DECIMAL(9,2))",
+          "CAST(l_extendedprice AS DECIMAL(9,2))")
+        val n = "CAST(n AS DOUBLE)"
+        val (sx, sx2, sy, sxy) = (big("sx"), big("sx2"), big("sy"), big("sxy"))
+        val slope = s"(($n * $sxy - $sx * $sy) / ($n * $sx2 - $sx * $sx))"
+        s"""WITH sums AS (
+           |  SELECT p_brand, COUNT(*) AS n,
+           |    ${splitSum(x, "sx")},
+           |    ${splitSum(s"$x * $x", "sx2")},
+           |    ${splitSum(y, "sy")},
+           |    ${splitSum(s"$x * $y", "sxy")}
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  GROUP BY 1)
+           |SELECT p_brand, n, $slope AS slope,
+           |  (($sy - $slope * $sx) / $n) AS intercept
+           |FROM sums""".stripMargin
+      }),
   )
 }

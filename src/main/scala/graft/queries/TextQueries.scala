@@ -12,6 +12,11 @@ import graft.util.Tables
   */
 object TextQueries {
 
+  /** t27 target token shares (bp): 10% each for src0-3, rest even. */
+  private val MixTargets: Map[String, Int] =
+    (0 to 3).map(i => s"src$i" -> 1000).toMap ++
+      (4 to 19).map(i => s"src$i" -> 375).toMap
+
   val all: Seq[Q] = Seq(
     // Token statistics per source (whitespace + BPE-ish regex counts).
     Q("t01_token_stats",
@@ -468,5 +473,38 @@ object TextQueries {
         evalBelow = 50L, minTokens = 30, n = 3, numHashes = 12,
         rowsPerBand = 3, threshold = 0.8, contamFrac = 0.5,
         trainFrac = 0.8, validFrac = 0.1))),
+
+    // Boilerplate remover (Chunker.stripSharedChunks): d09 measures chunk-
+    // level cross-doc duplication; this REMOVES it — chunks shared by more
+    // than maxDocs distinct documents are stripped and each document is
+    // re-joined from its surviving chunks in order. Same two chunk-keyed
+    // shuffles as d09 plus the doc rollup.
+    Q("t25_strip_boilerplate",
+      (s, dir) => graft.operators.Chunker.stripSharedChunks(
+        Tables(s, dir).documents, "doc_id", "text", width = 20, maxDocs = 1),
+      Some(graft.operators.Chunker.stripSharedChunksSql(
+        "documents", "doc_id", "text", width = 20, maxDocs = 1))),
+
+    // BPE merge training (operators/Bpe): the tokenizer-construction pass
+    // run as a distributed aggregation loop — 10 merges trained on the
+    // corpus' word-frequency table, ties broken lexicographically so the
+    // merge table is a pure function of the corpus. The oracle replays all
+    // 10 steps (pair counts → top pick → greedy left-to-right rewrite as
+    // gaps-and-islands) and must land on the identical table.
+    Q("t26_bpe_merges",
+      (s, dir) => graft.operators.Bpe.trainMerges(
+        Tables(s, dir).documents, "text", steps = 10),
+      Some(graft.operators.Bpe.trainMergesSql("documents", "text", steps = 10))),
+
+    // Source-mixture resampling (Sampling.sourceMixture): rebalance the
+    // 20-source corpus toward a skewed target token share — 10% each for
+    // src0-src3, the rest split evenly. Deterministic hash-fractional
+    // replication, all-integer arithmetic; the per-source totals ride a
+    // broadcast, the corpus itself never shuffles.
+    Q("t27_source_mixture",
+      (s, dir) => graft.operators.Sampling.sourceMixture(
+        Tables(s, dir).documents, "doc_id", "text", "source", MixTargets),
+      Some(graft.operators.Sampling.sourceMixtureSql(
+        "documents", "doc_id", "text", "source", MixTargets))),
   )
 }

@@ -33,16 +33,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw int64 nanos via
-    * the legacy conf and truncate to microseconds — the same truncation
-    * DuckDB applies when it narrows ns to its native µs timestamps, so both
-    * engines see identical values.
+  /** events.parquet has stored ts as TIMESTAMP(NANOS) in some driver
+    * rounds (which Spark's parquet reader rejects — [PARQUET_TYPE_ILLEGAL]
+    * — unless read as raw int64 nanos via the legacy conf and truncated to
+    * microseconds, the same narrowing DuckDB applies) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) in others (which Spark reads
+    * as TIMESTAMP_NTZ). Handle both by inspecting the read schema; the
+    * NTZ→TIMESTAMP cast is value-preserving because every session here
+    * pins spark.sql.session.timeZone=UTC, matching DuckDB's naive-µs read.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
