@@ -40,6 +40,57 @@ object Decontaminate {
       .withColumn("contaminated", col("overlap_frac") >= frac)
   }
 
+  /** Contamination PROVENANCE: for every training doc sharing at least
+    * `minShared` distinct `n`-gram shingles with the eval corpus, the eval
+    * document it most overlaps (max shared count, min eval id on ties) —
+    * the "which benchmark leaked into this page" answer an audit needs
+    * after t13's boolean flag. Output: (id, best_eval_id, n_shared).
+    *
+    * Scale shape: same as `overlapFlags` — the eval shingle→doc relation
+    * broadcasts (eval corpora are MBs), the training side is one narrow
+    * shingle pass; the (train, eval) pair counts shuffle on the train id
+    * and the argmax is a declarative max_by, no window.
+    */
+  def provenance(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Long): DataFrame = {
+    val trainSh = train.select(col(idCol).as("id"),
+      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("sh"))
+    val evalSh = eval.select(col(idCol).as("eval_id"),
+      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("sh"))
+    trainSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("id"))
+      // composite argmax packed into one BIGINT (ids are bounded far below
+      // the 10^6 packing base): max n_shared, min eval_id on ties
+      .agg(
+        max_by(col("eval_id"), col("n_shared") * 1000000L - col("eval_id"))
+          .as("best_eval_id"),
+        max(col("n_shared")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of `provenance` (same split-by-predicate convention). */
+  def provenanceSql(table: String, idCol: String, textCol: String,
+      n: Int, minShared: Long, evalPred: String): String =
+    s"""WITH train_sh AS (
+       |  SELECT DISTINCT $idCol AS id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $table WHERE NOT ($evalPred)),
+       |eval_sh AS (
+       |  SELECT DISTINCT $idCol AS eval_id, unnest(${TextFns.shinglesSql(textCol, n)}) AS sh
+       |  FROM $table WHERE $evalPred),
+       |pairs AS (
+       |  SELECT t.id, e.eval_id, COUNT(*) AS n_shared
+       |  FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT id,
+       |    arg_max(eval_id, n_shared * 1000000 - eval_id) AS best_eval_id,
+       |    MAX(n_shared) AS n_shared
+       |  FROM pairs GROUP BY 1)
+       |SELECT id, best_eval_id, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM best WHERE n_shared >= $minShared""".stripMargin
+
   /** DuckDB twin over one table split by a predicate into train vs eval. */
   def overlapFlagsSql(table: String, idCol: String, textCol: String,
       n: Int, frac: Double, evalPred: String): String =

@@ -159,4 +159,65 @@ object GraphRank {
        |    THEN (20000 * COALESCE(p.tri, 0)) // (d.deg * (d.deg - 1))
        |    ELSE 0 END AS lcc_bp
        |FROM deg d LEFT JOIN per_node p ON d.node = p.node""".stripMargin
+
+  /** Flatten a parent-pointer hierarchy (each node at most ONE parent) to
+    * (node, root, depth) by pointer doubling: each round substitutes every
+    * node's ancestor with that ancestor's ancestor and adds the hop
+    * counts, so an H-deep chain resolves in ⌈log₂ H⌉ rounds — the
+    * iterative-fixpoint answer to recursive CTEs, which Spark does not
+    * have. Category trees, org charts, BOM containment, reply threads.
+    *
+    * Scale notes: one self-equi-join per round on the ancestor key (same
+    * exchange-per-round shape as d08's connected components), per-round
+    * `localCheckpoint` to cut lineage, loud failure after `maxRounds`
+    * (2^maxRounds depth) instead of a silent wrong answer. Cycles would
+    * never converge — they trip the same guard.
+    */
+  def flattenHierarchy(edges: DataFrame, childCol: String, parentCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col(childCol).cast("long").as("c"),
+      col(parentCol).cast("long").as("p")).distinct().localCheckpoint()
+    val nodes = e.select(col("c").as("node"))
+      .union(e.select(col("p").as("node"))).distinct()
+    // anc = parent where one exists, self at roots; d = hops folded in
+    var state = nodes.join(e, nodes("node") === e("c"), "left")
+      .select(col("node"), coalesce(col("p"), col("node")).as("anc"),
+        when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)).as("d"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = state.as("s")
+        .join(state.select(col("node").as("anc"), col("anc").as("anc2"),
+          col("d").as("d2")).as("t"), Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"))
+        .localCheckpoint()
+      converged = next.as("a").join(state.as("b"), Seq("node"))
+        .filter(col("a.anc") =!= col("b.anc")).isEmpty
+      state.unpersist()
+      state = next
+      round += 1
+    }
+    require(converged, s"hierarchy did not flatten in $maxRounds doubling " +
+      "rounds (depth > 2^rounds, or the parent relation has a cycle)")
+    state.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
+
+  /** DuckDB mirror of [[flattenHierarchy]]: a recursive CTE walks each
+    * node's parent chain to its root, counting hops.
+    */
+  def flattenHierarchySql(edgesRel: String): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT DISTINCT CAST(child AS BIGINT) AS c, CAST(parent AS BIGINT) AS p
+       |  FROM ($edgesRel)),
+       |nodes AS (SELECT c AS node FROM e UNION SELECT p FROM e),
+       |walk(node, anc, depth) AS (
+       |  SELECT node, node, 0 FROM nodes
+       |  UNION ALL
+       |  SELECT w.node, e.p, w.depth + 1
+       |  FROM walk w JOIN e ON w.anc = e.c)
+       |SELECT node, arg_max(anc, depth) AS root,
+       |  CAST(MAX(depth) AS BIGINT) AS depth
+       |FROM walk GROUP BY node""".stripMargin
 }

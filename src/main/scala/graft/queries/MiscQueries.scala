@@ -770,6 +770,23 @@ object MiscQueries {
       },
       Some(graft.operators.Quality.auditSql)),
 
+    // Hierarchy flattening (GraphRank.flattenHierarchy): transitive
+    // closure with depth over a parent-pointer relation — the recursive-
+    // CTE workload (category trees, BOM containment, reply threads) solved
+    // by log-round pointer doubling, since Spark has no WITH RECURSIVE.
+    // Synthetic tree: part p's parent is p DIV 10 (≈4 levels at sf0.01).
+    // The oracle walks the same chain with a real recursive CTE.
+    Q("q46_hierarchy_flatten",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val edges = t.part.filter(col("p_partkey") >= 10)
+          .select(col("p_partkey").as("child"),
+            expr("p_partkey DIV 10").as("parent"))
+        graft.operators.GraphRank.flattenHierarchy(edges, "child", "parent")
+      },
+      Some(graft.operators.GraphRank.flattenHierarchySql(
+        "SELECT p_partkey AS child, p_partkey // 10 AS parent FROM part WHERE p_partkey >= 10"))),
+
     // Functional-dependency discovery: test candidate X→Y dependencies by
     // counting determinant values with >1 distinct dependent — the schema-
     // inference pass that finds real keys and denormalization opportunities

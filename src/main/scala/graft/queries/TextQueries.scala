@@ -506,5 +506,17 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", "source", MixTargets),
       Some(graft.operators.Sampling.sourceMixtureSql(
         "documents", "doc_id", "text", "source", MixTargets))),
+
+    // Contamination provenance (Decontaminate.provenance): t13 flags WHICH
+    // training docs overlap the benchmark; this names the benchmark doc
+    // each one most overlaps (max shared trigrams, min eval id on ties) —
+    // the audit-trail answer. Same broadcast shape as t13.
+    Q("t28_contamination_provenance",
+      (s, dir) => graft.operators.Decontaminate.provenance(
+        Tables(s, dir).documents.filter(col("doc_id") >= 50),
+        Tables(s, dir).documents.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 3, minShared = 5L),
+      Some(graft.operators.Decontaminate.provenanceSql(
+        "documents", "doc_id", "text", n = 3, minShared = 5L, "doc_id < 50"))),
   )
 }
