@@ -770,6 +770,48 @@ object MiscQueries {
       },
       Some(graft.operators.Quality.auditSql)),
 
+    // Seasonal decomposition on the daily revenue series — trend via a
+    // 7-day centered window, seasonality as the mean per-weekday deviation.
+    // Engine-exact trick: instead of value − avg7 (a decimal division with
+    // engine-specific scale rules), the deviation is 7·value − sum7 —
+    // pure decimal ring arithmetic, bit-identical everywhere; only the
+    // final per-weekday mean divides (double of exact sums). The window
+    // runs over the PRE-AGGREGATED day series (|days| rows at any corpus
+    // scale), so the unpartitioned ordering is driver-scale tiny — the
+    // fact stream itself only ever passes one grouped aggregation.
+    Q("q47_seasonal_decompose",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.orders
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sv"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        daily
+          .withColumn("sum7", sum(col("sv")).over(w7))
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .filter(col("cnt7") === 7)
+          .withColumn("dev7", col("sv") * 7 - col("sum7"))
+          .groupBy(dayofweek(col("day")).cast("long").as("weekday"))
+          .agg(count(lit(1)).as("n_days"),
+            (sum(col("dev7")).cast("double") / count(lit(1))).as("mean_dev7"),
+            (sum(col("sv")).cast("double") / count(lit(1))).as("mean_revenue"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+              |    SUM(${sqlDec("o_totalprice")}) AS sv
+              |  FROM orders GROUP BY 1),
+              |win AS (
+              |  SELECT day, sv,
+              |    SUM(sv) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+              |      AND 3 FOLLOWING) AS sum7,
+              |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+              |      AND 3 FOLLOWING) AS cnt7
+              |  FROM daily)
+              |SELECT dayofweek(day) + 1 AS weekday, COUNT(*) AS n_days,
+              |  CAST(SUM(sv * 7 - sum7) AS DOUBLE) / COUNT(*) AS mean_dev7,
+              |  CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS mean_revenue
+              |FROM win WHERE cnt7 = 7 GROUP BY 1""".stripMargin)),
+
     // Hierarchy flattening (GraphRank.flattenHierarchy): transitive
     // closure with depth over a parent-pointer relation — the recursive-
     // CTE workload (category trees, BOM containment, reply threads) solved
