@@ -743,6 +743,44 @@ object Dedup {
        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** SOFT dedup: instead of dropping near-duplicates, downweight them —
+    * every doc gets sampling weight 1/|its transitive dup cluster|, so a
+    * passage duplicated m times contributes total mass 1 to the training
+    * mix regardless of m (the dedup-by-reweighting alternative used when
+    * dropping loses wanted coverage; singletons keep weight 1.0).
+    *
+    * Plan shape: `dupClusters`' label propagation, then a cluster-size
+    * aggregation joined back ON THE SAME KEY — Catalyst reuses the hash
+    * exchange (the d09 pattern), so the wrap costs one extra shuffle-free
+    * stage over the cluster labels, linear at any corpus size.
+    */
+  def dupWeights(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, n, numHashes, rowsPerBand,
+      threshold)
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster"))
+      .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
+  /** `dupWeights` oracle: the cluster fixpoint as a FROM-subquery (DuckDB
+    * allows a WITH RECURSIVE chain inside a derived table) — evaluated
+    * ONCE, sized with a window count (same values as the engine's
+    * agg+join), then the 1.0/size division.
+    */
+  def dupWeightsSql(table: String, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""SELECT doc_id, cluster, cluster_size,
+       |  CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS weight
+       |FROM (
+       |  SELECT c.id AS doc_id, c.cluster,
+       |    COUNT(*) OVER (PARTITION BY c.cluster) AS cluster_size
+       |  FROM (
+       |${dupClustersSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |  ) c)""".stripMargin
+
   def dropNearDuplicatesSql(table: String, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
     s"""WITH pairs AS (

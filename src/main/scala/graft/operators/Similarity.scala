@@ -970,6 +970,9 @@ object Similarity {
     * pair-similarity matrix, then `k` unrolled greedy-selection CTEs (the
     * pagerank-style fixed-step replay). `sel0` is the empty selected set,
     * so step 1 falls out of the same template (COALESCE(maxsim, 0.0)).
+    * Chained CTEs are MATERIALIZED: sel{t-1} is referenced three times per
+    * step, so default inlining re-expands the whole prefix ~3^k-fold
+    * (39 s at k=5 on sf0.01; ~1 s materialized). Same results either way.
     */
   def mmrTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
       cands: Int, k: Int, lambda: Double, queryPred: String): String = {
@@ -979,7 +982,7 @@ object Similarity {
     val l = s"CAST(${lambda.toString} AS DOUBLE)"
     val score = s"$l * cv.cos_sim - (1.0 - $l) * COALESCE(m.maxsim, 0.0)"
     val steps = (1 to k).map { t =>
-      s"""pick$t AS (
+      s"""pick$t AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, CAST($t AS BIGINT) AS mmr_rank,
          |    mmr_score
          |  FROM (
@@ -997,7 +1000,7 @@ object Similarity {
          |      WHERE s.query_id = cv.query_id
          |        AND s.neighbor_id = cv.neighbor_id))
          |  WHERE rn = 1),
-         |sel$t AS (SELECT query_id, neighbor_id FROM sel${t - 1}
+         |sel$t AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel${t - 1}
          |  UNION ALL SELECT query_id, neighbor_id FROM pick$t)""".stripMargin
     }.mkString(",\n")
     val unionAll = (1 to k)
@@ -1015,13 +1018,13 @@ object Similarity {
        |         (${VectorFns.dotSql("q.qvec", "c.cvec", dim)})
        |           / (q.qnorm * c.cnorm) AS cos_sim
        |  FROM c JOIN q ON c.neighbor_id <> q.query_id),
-       |cv AS (
+       |cv AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, cvec, cnorm, cos_sim FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
        |    FROM scored)
        |  WHERE rank <= $cands),
-       |pair AS (
+       |pair AS MATERIALIZED (
        |  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
        |    (${VectorFns.dotSql("a.cvec", "b.cvec", dim)})
        |      / (a.cnorm * b.cnorm) AS sim

@@ -171,6 +171,16 @@ object DedupQueries {
     // tiebreak). Synthetic URLs collapse (doc_id%50, lang) groups onto one
     // canonical target through per-doc tracking-param noise. One hash
     // shuffle on the canonical URL — linear, the same shape at any scale.
+    // SOFT dedup — duplicate-count downweighting: weight = 1/|dup cluster|
+    // so an m-times-duplicated passage contributes total mass 1 to the
+    // training mix instead of being dropped. Cluster-size agg joins back on
+    // the same key (exchange reuse); linear at any scale.
+    Q("d19_dup_weights",
+      (s, dir) => Dedup.dupWeights(Tables(s, dir).documents,
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
+      Some(Dedup.dupWeightsSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold))),
+
     Q("d18_url_dedup",
       (s, dir) => {
         import graft.functions.{TextFns, UrlFns}

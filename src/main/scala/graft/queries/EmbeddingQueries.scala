@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{KMeans, Similarity}
+import graft.operators.{Coreset, KMeans, Similarity}
 import graft.util.Tables
 
 /** Similarity-search queries over `embeddings` (64-dim float vectors):
@@ -200,5 +200,17 @@ object EmbeddingQueries {
           Dim, K, NumPlanes, QueryPredSql, probeRadius = 2),
         Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
           Dim, K, QueryPredSql)))),
+
+    // Diversity coreset: greedy k-center (farthest-point) selection — the
+    // data-curation complement of e08's SemDeDup (pick the spread-out
+    // subset rather than drop the redundant). Per round: one narrow
+    // constant-centers codegen projection + a 1-row TakeOrdered argmin;
+    // the corpus is never joined or shuffled. Oracle replays the greedy
+    // chain as 8 unrolled CTE steps (the e13 shape).
+    Q("e15_kcenter_sample",
+      (s, dir) => Coreset.kCenterSample(Tables(s, dir).embeddings,
+        "vec_id", "embedding", Dim, k = 8),
+      Some(Coreset.kCenterSampleSql("embeddings", "vec_id", "embedding",
+        Dim, k = 8))),
   )
 }
