@@ -248,5 +248,28 @@ object SqlQueries {
              |    SELECT 1 FROM lineitem l
              |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
              |GROUP BY o_orderpriority""".stripMargin)),
+
+    // LATERAL correlated subquery — per-brand top-2 parts by price through
+    // the SQL LATERAL surface (the other decorrelation family next to
+    // q40's EXISTS). Catalyst decorrelates the ORDER BY/LIMIT subquery
+    // into a ranked window join — same physical shape as q11's window
+    // top-N, arrived at from SQL; no per-brand re-execution.
+    Q("q48_lateral_topn",
+      (s, dir) => {
+        Tables(s, dir).part.createOrReplaceTempView("part")
+        s.sql(
+          """SELECT b.p_brand, t.p_name, t.p_retailprice
+            |FROM (SELECT DISTINCT p_brand FROM part) b,
+            |LATERAL (
+            |  SELECT p_name, p_retailprice FROM part x
+            |  WHERE x.p_brand = b.p_brand
+            |  ORDER BY p_retailprice DESC, p_name ASC LIMIT 2) t""".stripMargin)
+      },
+      Some("""SELECT b.p_brand, t.p_name, t.p_retailprice
+             |FROM (SELECT DISTINCT p_brand FROM part) b,
+             |LATERAL (
+             |  SELECT p_name, p_retailprice FROM part x
+             |  WHERE x.p_brand = b.p_brand
+             |  ORDER BY p_retailprice DESC, p_name ASC LIMIT 2) t""".stripMargin)),
   )
 }
