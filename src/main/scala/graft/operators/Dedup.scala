@@ -743,6 +743,56 @@ object Dedup {
        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** LSH-dedup evaluation harness (the d-series twin of e14's ANN recall):
+    * band recall and verify precision of the banded-MinHash near-dup
+    * detector against exact n-gram Jaccard ground truth at the SAME
+    * threshold — how numHashes/rowsPerBand get TUNED before a corpus-wide
+    * campaign. Like every exact-oracle twin it is quadratic and guarded:
+    * run it on a sample, never the full corpus (the LSH side is the
+    * production path). One summary row: pair counts, recall (pairs whose
+    * bands collided), precision (1.0 by construction when the candidate
+    * verify filter is exact Jaccard — kept as a computed check, not an
+    * assumption).
+    */
+  def lshEval(df: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    val lsh = minhashLshPairs(df, idCol, textCol, n, numHashes, rowsPerBand,
+      threshold)
+    val nHit = exact.join(lsh.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    nEx.crossJoin(nLsh).crossJoin(nHit).select(
+      col("n_exact"), col("n_lsh"), col("n_hit"),
+      (col("n_hit").cast("double") / col("n_exact").cast("double"))
+        .as("recall"),
+      (col("n_hit").cast("double") / col("n_lsh").cast("double"))
+        .as("prec"))
+  }
+
+  /** `lshEval` oracle: both pair statements as MATERIALIZED CTEs (each is
+    * referenced twice), then three scalar counts cross-joined.
+    */
+  def lshEvalSql(table: String, idCol: String, textCol: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""WITH ex AS MATERIALIZED (
+       |${ngramJaccardPairsSql(table, idCol, textCol, n, threshold)}
+       |),
+       |lsh AS MATERIALIZED (
+       |${minhashLshPairsSql(table, idCol, textCol, n, numHashes, rowsPerBand, threshold)}
+       |),
+       |h AS (SELECT COUNT(*) AS n_hit FROM ex e
+       |  WHERE EXISTS (SELECT 1 FROM lsh l
+       |    WHERE l.id_a = e.id_a AND l.id_b = e.id_b)),
+       |ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+       |nl AS (SELECT COUNT(*) AS n_lsh FROM lsh)
+       |SELECT ne.n_exact, nl.n_lsh, h.n_hit,
+       |  CAST(h.n_hit AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) AS recall,
+       |  CAST(h.n_hit AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE) AS prec
+       |FROM ne, nl, h""".stripMargin
+
   /** SOFT dedup: instead of dropping near-duplicates, downweight them —
     * every doc gets sampling weight 1/|its transitive dup cluster|, so a
     * passage duplicated m times contributes total mass 1 to the training

@@ -171,6 +171,15 @@ object DedupQueries {
     // tiebreak). Synthetic URLs collapse (doc_id%50, lang) groups onto one
     // canonical target through per-doc tracking-param noise. One hash
     // shuffle on the canonical URL — linear, the same shape at any scale.
+    // LSH tuning harness: band recall + verify precision of d04's detector
+    // vs exact Jaccard truth at the same 0.8 threshold — run on a sample
+    // (exact side is the guarded quadratic), the d-series twin of e14.
+    Q("d20_lsh_eval",
+      (s, dir) => Dedup.lshEval(Tables(s, dir).documents,
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
+      Some(Dedup.lshEvalSql("documents", "doc_id", "text",
+        N, NumHashes, RowsPerBand, LshThreshold))),
+
     // SOFT dedup — duplicate-count downweighting: weight = 1/|dup cluster|
     // so an m-times-duplicated passage contributes total mass 1 to the
     // training mix instead of being dropped. Cluster-size agg joins back on
