@@ -493,5 +493,54 @@ object EventQueries {
              |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
              |    AS share_bp
              |FROM cells""".stripMargin)),
+
+    // Per-window approx-distinct users: the q24 KMV bottom-k sketch at
+    // hourly window granularity — the batch twin of a streaming
+    // distinct-users dashboard (the same deterministic md5 KMV merges in
+    // a stateful stream; StreamingKmvSpec asserts stream ≡ batch). The
+    // exchange carries ≤ k hashes per (window, partition), never the
+    // distinct-user set itself.
+    Q("s18_window_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val k = 256
+        val hashed = t.events
+          .select(date_format(window(col("ts"), "1 hour").getField("start"),
+              TsFmtSpark).as("window_start"), col("user_id"))
+          .distinct()
+          .select(col("window_start"), graft.functions.TextFns
+            .md5Hash32(col("user_id").cast("string")).as("h"))
+          .distinct()
+        hashed.as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.BottomKSketch(k).toColumn.name("kmv"))
+          .toDF("window_start", "kmv")
+          .select(col("window_start"),
+            when(col("kmv._2").isNull, col("kmv._1").cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (col("kmv._2").cast("double") / lit(4294967296.0)))
+              .as("est_users"),
+            col("kmv._1").as("n_distinct_hashes"))
+      },
+      Some(s"""WITH hashed AS (
+              |  SELECT DISTINCT strftime(date_trunc('hour', ts), '$TsFmtDuck')
+              |      AS window_start,
+              |    ${graft.functions.TextFns.md5Hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+              |  FROM events),
+              |counts AS (
+              |  SELECT window_start, COUNT(*) AS n_distinct_hashes
+              |  FROM hashed GROUP BY 1),
+              |kth AS (
+              |  SELECT window_start, h AS kth FROM (
+              |    SELECT window_start, h,
+              |      ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY h) AS rn
+              |    FROM hashed) WHERE rn = 256)
+              |SELECT counts.window_start,
+              |  CASE WHEN kth IS NULL THEN CAST(n_distinct_hashes AS DOUBLE)
+              |       ELSE CAST(255 AS DOUBLE) / (CAST(kth AS DOUBLE) / 4294967296.0)
+              |  END AS est_users,
+              |  n_distinct_hashes
+              |FROM counts LEFT JOIN kth USING (window_start)""".stripMargin)),
   )
 }

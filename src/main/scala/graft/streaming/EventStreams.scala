@@ -106,6 +106,39 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming per-window approx-distinct users: the q24/s18 KMV bottom-k
+    * sketch run ON THE STREAM. The (window, user) pairs are first exactly
+    * deduped within the watermark horizon (the KMV aggregator's
+    * distinct-input contract), then the md5 hashes aggregate through the
+    * sketch as a UDAF — partial buffers merge across micro-batches like
+    * any declarative agg, so per-window state carries at most k hashes
+    * plus a count, never the user set. A re-delivery AFTER the dedup
+    * state expired would double-count; the watermark is the documented
+    * bound, as in dedupStream. Dedup is user-level (the batch twin also
+    * drops 32-bit hash COLLISIONS — a 2^-32-per-pair count discrepancy the
+    * stream tolerates rather than keeping hash state). Batch twin: s18
+    * (oracle-checked); StreamingKmvSpec asserts stream ≡ batch.
+    */
+  def approxDistinctUsers(events: DataFrame, width: String,
+      watermark: String, k: Int): DataFrame = {
+    val kmv = udaf(new graft.operators.BottomKSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), width).getField("start").as("ws"))
+      .dropDuplicatesWithinWatermark("ws", "user_id")
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(kmv(graft.functions.TextFns.md5Hash32(
+        col("user_id").cast("string"))).as("kmv"))
+      .select(col("w.start").as("window_start"),
+        when(col("kmv._2").isNull, col("kmv._1").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("kmv._2").cast("double") / lit(4294967296.0)))
+          .as("est_users"),
+        col("kmv._1").as("n_distinct_hashes"))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a SMALL static
     * dimension relation. The broadcast is forced (the dim must fit in
     * memory — that is this operator's contract; drop the hint for a large
