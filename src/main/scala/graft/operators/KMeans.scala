@@ -247,6 +247,83 @@ object KMeans {
     (sb.toString, s"${p}assign$iters")
   }
 
+  /** Cluster-quality evaluation: simplified SILHOUETTE on a bounded sample
+    * — the k-means analog of e14's ANN recall / d20's LSH recall (how k and
+    * iters get tuned before committing a clustering to SemDeDup or IVF).
+    * For each sampled point: a = mean squared quantized distance to its own
+    * cluster's other members, b = min over other clusters of the mean
+    * distance to that cluster, sil = (b − a) / max(a, b) ∈ [−1, 1].
+    * Output: one row per sampled point (vec_id, cluster, a_mean, b_mean,
+    * sil) — per-sample rows, no double-sum aggregation, so scores are
+    * engine-exact (distances are exact integer sums in quantized space;
+    * only the final mean division is floating point).
+    *
+    * Scale: the sample side is broadcast (bounded BY CONTRACT, like e01's
+    * query side); the corpus streams ONCE through a narrow zip_with
+    * distance and partial-aggregates to |sample|·k rows — no corpus
+    * self-join, one shuffle of the tiny partial relation. Samples whose
+    * cluster has no other member (a undefined) are dropped by the final
+    * inner join, mirrored in the oracle.
+    */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int, samplePred: Column): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2 (b is a min over OTHER clusters)")
+    val assigned = assign(df, idCol, vecCol, dim, k, iters)
+    val base = df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+    val full = base.join(assigned, Seq("vec_id"))
+    val sample = full.filter(samplePred)
+      .select(col("vec_id").as("sid"), col("q").as("sq"),
+        col("cluster").as("scl"))
+    // exact integer squared distance — order-independent, codegen-friendly
+    val d2 = aggregate(
+      zip_with(col("q"), col("sq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, e) => acc + e)
+    val pairs = full.join(broadcast(sample), col("vec_id") =!= col("sid"))
+      .groupBy(col("sid"), col("scl"), col("cluster"))
+      .agg(sum(d2).as("sd"), count(lit(1)).as("n"))
+    val means = pairs.select(col("sid"), col("scl"), col("cluster"),
+      (col("sd").cast("double") / col("n").cast("double")).as("md"))
+    val aRel = means.filter(col("cluster") === col("scl"))
+      .select(col("sid"), col("scl"), col("md").as("a_mean"))
+    val bRel = means.filter(col("cluster") =!= col("scl"))
+      .groupBy(col("sid")).agg(min(col("md")).as("b_mean"))
+    aRel.join(bRel, Seq("sid"))
+      .select(col("sid").as("vec_id"), col("scl").as("cluster"),
+        col("a_mean"), col("b_mean"),
+        when(greatest(col("a_mean"), col("b_mean")) === 0.0, lit(0.0))
+          .otherwise((col("b_mean") - col("a_mean")) /
+            greatest(col("a_mean"), col("b_mean"))).as("sil"))
+  }
+
+  /** [[clusterQuality]] oracle: the assignment CTE chain, then the same
+    * sample join / integer distance sums / mean-and-min chain.
+    */
+  def clusterQualitySql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, samplePredSql: String): String = {
+    val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k.toString, iters)
+    val dist = (1 to dim)
+      .map(i => s"(f.q[$i] - s.sq[$i]) * (f.q[$i] - s.sq[$i])")
+      .mkString(" + ")
+    s"""WITH $ctes,
+       |samp AS (SELECT vec_id AS sid, q AS sq, cluster AS scl
+       |  FROM $out WHERE $samplePredSql),
+       |pairs AS (
+       |  SELECT s.sid, s.scl, f.cluster,
+       |    CAST(SUM($dist) AS BIGINT) AS sd, COUNT(*) AS n
+       |  FROM $out f JOIN samp s ON f.vec_id <> s.sid
+       |  GROUP BY 1, 2, 3),
+       |means AS (SELECT sid, scl, cluster,
+       |  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS md FROM pairs),
+       |a AS (SELECT sid, scl, md AS a_mean FROM means WHERE cluster = scl),
+       |b AS (SELECT sid, MIN(md) AS b_mean FROM means WHERE cluster <> scl
+       |  GROUP BY sid)
+       |SELECT a.sid AS vec_id, a.scl AS cluster, a.a_mean, b.b_mean,
+       |  CASE WHEN GREATEST(a.a_mean, b.b_mean) = 0.0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE (b.b_mean - a.a_mean) / GREATEST(a.a_mean, b.b_mean)
+       |  END AS sil
+       |FROM a JOIN b ON a.sid = b.sid""".stripMargin
+  }
+
   def assignSql(table: String, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): String = {
     val (ctes, out) = assignCtes(table, idCol, vecCol, dim, k.toString, iters)

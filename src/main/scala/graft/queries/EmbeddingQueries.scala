@@ -212,5 +212,16 @@ object EmbeddingQueries {
         "vec_id", "embedding", Dim, k = 8),
       Some(Coreset.kCenterSampleSql("embeddings", "vec_id", "embedding",
         Dim, k = 8))),
+
+    // Cluster-quality eval (simplified silhouette on a bounded sample) —
+    // the k-means tuning harness next to e14 (ANN recall) and d20 (LSH
+    // recall): per-sample a/b/sil against the engine-exact k=8 assignment.
+    // Corpus streams once; the sample side is broadcast.
+    Q("e16_cluster_quality",
+      (s, dir) => KMeans.clusterQuality(Tables(s, dir).embeddings,
+        "vec_id", "embedding", Dim, k = 8, iters = 2,
+        samplePred = col("vec_id") < 20),
+      Some(KMeans.clusterQualitySql("embeddings", "vec_id", "embedding",
+        Dim, k = 8, iters = 2, samplePredSql = "vec_id < 20"))),
   )
 }
