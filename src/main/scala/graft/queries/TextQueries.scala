@@ -518,5 +518,25 @@ object TextQueries {
         "doc_id", "text", n = 3, minShared = 5L),
       Some(graft.operators.Decontaminate.provenanceSql(
         "documents", "doc_id", "text", n = 3, minShared = 5L, "doc_id < 50"))),
+
+    // Bloom-filter decontamination (Bloom.probeFlags): t13's gate with the
+    // eval shingle set compressed to a 32 KB bit array (m=2^18, k=4) — the
+    // probe is a fully NARROW projection (zero joins; the only exchange is
+    // the final per-doc agg), no false negatives, deterministic false
+    // positives both engines replay exactly. The 100 TB shape: a fixed-size
+    // filter rides inside the scan instead of a broadcast semi-join.
+    Q("t29_bloom_decontaminate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val bits = graft.operators.Bloom.build(
+          t.documents.filter(col("doc_id") < 50), "text",
+          n = 3, k = 4, m = 1 << 18)
+        graft.operators.Bloom.probeFlags(
+          t.documents.filter(col("doc_id") >= 50), "doc_id", "text",
+          n = 3, k = 4, m = 1 << 18, bits, frac = 0.5)
+      },
+      Some(graft.operators.Bloom.probeFlagsSql(
+        "documents", "doc_id", "text", n = 3, k = 4, m = 1 << 18,
+        frac = 0.5, "doc_id < 50"))),
   )
 }
