@@ -86,3 +86,22 @@ final class BottomKSketch(k: Int)
   override def outputEncoder: Encoder[(Long, Option[Long])] =
     ExpressionEncoder[(Long, Option[Long])]()
 }
+
+/** BottomKSketch variant that emits the kept values themselves (ascending)
+  * — the STORED summary form. Bottom-k of a union equals bottom-k over the
+  * union of per-part bottom-ks, so persisted per-partition heaps merge
+  * later without the raw data (Profiler.incremental*: the incremental
+  * ANALYZE shape — each ingest batch writes its summary row; a stats
+  * refresh re-aggregates summaries, never rescans history).
+  */
+final class BottomKHeap(k: Int)
+    extends Aggregator[Long, KmvBuf, Seq[Long]] {
+  private val inner = new BottomKSketch(k)
+  override def zero: KmvBuf = inner.zero
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+  override def finish(b: KmvBuf): Seq[Long] =
+    b.heap.take(b.size).sorted.toSeq
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

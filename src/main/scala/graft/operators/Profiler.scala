@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,6 +140,92 @@ object Profiler {
        |FROM b LEFT JOIN rb ON b.bucket = rb.bucket
        |       LEFT JOIN cb ON b.bucket = cb.bucket
        |       CROSS JOIN tot t""".stripMargin
+
+  /** Incremental (mergeable) profiling — the stats-maintenance shape for a
+    * partitioned 100 TB table: each partition contributes one SUMMARY row
+    * (count, min, max, and a bottom-k KMV heap of the key column's
+    * distinct hashes); summaries persist per ingest batch and a stats
+    * refresh merges them WITHOUT rescanning history. Exact for count/min/
+    * max; the distinct estimate is the q24 KMV estimator, and per-part
+    * heaps merge losslessly (bottom-k of a union = bottom-k of the union
+    * of bottom-ks) — so the merged estimate is IDENTICAL to profiling the
+    * whole table directly, which is what the oracle replays.
+    *
+    * Summary relation: (part, n, min_v, max_v, kmv: array<long> ascending).
+    */
+  def incrementalSummaries(df: DataFrame, partCol: Column, numCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.groupBy(partCol.cast("string").as("part"))
+      .agg(count(lit(1)).as("n"),
+        min(col(numCol)).as("min_v"), max(col(numCol)).as("max_v"))
+    // dedup raw (part, key) first (cheap hash-agg), then hash — same hash
+    // set as hashing every row, a fraction of the md5 work (q24's trick)
+    val hashed = df.select(partCol.cast("string").as("part"), col(keyCol))
+      .distinct()
+      .select(col("part"),
+        graft.functions.TextFns.md5Hash32(col(keyCol).cast("string")).as("h"))
+      .distinct()
+      .as[(String, Long)]
+    val kmv = hashed.groupByKey(_._1).mapValues(_._2)
+      .agg(new BottomKHeap(k).toColumn.name("kmv"))
+      .toDF("part", "kmv")
+    stats.join(kmv, Seq("part"))
+  }
+
+  /** Merge a summary relation into one profile row: (n_rows, n_parts,
+    * min_v, max_v, est_distinct). The distinct estimate re-runs the
+    * bottom-k sketch over the UNION of the per-part heaps (|parts|×k
+    * values — summary-sized, nothing touches raw data).
+    */
+  def mergeSummaries(summ: DataFrame, k: Int): DataFrame = {
+    val spark = summ.sparkSession
+    import spark.implicits._
+    val base = summ.agg(
+      sum(col("n")).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_parts"),
+      min(col("min_v")).cast("double").as("min_v"),
+      max(col("max_v")).cast("double").as("max_v"))
+    // a typed select of a tuple-output Aggregator flattens to _1/_2
+    val merged = summ.select(explode(col("kmv")).as("h")).distinct()
+      .as[Long]
+      .select(new BottomKSketch(k).toColumn.name("kmv"))
+      .select(col("_1").as("cnt"), col("_2").as("kth"))
+    base.crossJoin(merged).select(
+      col("n_rows"), col("n_parts"), col("min_v"), col("max_v"),
+      when(col("kth").isNull, col("cnt").cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (col("kth").cast("double") / lit(4294967296.0)))
+        .as("est_distinct"))
+  }
+
+  /** DuckDB mirror of incrementalSummaries+mergeSummaries: the merged
+    * result equals profiling the whole table directly (mergeability), so
+    * the oracle computes the direct form.
+    */
+  def incrementalProfileSql(table: String, partExpr: String, numCol: String,
+      keyCol: String, k: Int): String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT ${graft.functions.TextFns.md5Hash32Sql(
+             s"CAST($keyCol AS VARCHAR)")} AS h
+       |  FROM $table),
+       |cnt AS (SELECT COUNT(*) AS n_h FROM hashed),
+       |kth AS (
+       |  SELECT h AS kth FROM (
+       |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed)
+       |  WHERE rn = $k),
+       |base AS (
+       |  SELECT COUNT(*) AS n_rows, COUNT(DISTINCT $partExpr) AS n_parts,
+       |    CAST(MIN($numCol) AS DOUBLE) AS min_v,
+       |    CAST(MAX($numCol) AS DOUBLE) AS max_v
+       |  FROM $table)
+       |SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_parts AS BIGINT) AS n_parts,
+       |  min_v, max_v,
+       |  CASE WHEN kth IS NULL THEN CAST(n_h AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) / (CAST(kth AS DOUBLE) / 4294967296.0)
+       |  END AS est_distinct
+       |FROM base CROSS JOIN cnt LEFT JOIN kth ON TRUE""".stripMargin
 
   def profileSql(table: String, numericCols: Seq[String],
       stringCols: Seq[String]): String = {

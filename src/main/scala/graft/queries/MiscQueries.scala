@@ -865,6 +865,27 @@ object MiscQueries {
           fd("lineitem", "l_partkey", "l_suppkey")).mkString("\nUNION ALL\n")
       }),
 
+    // Incremental (mergeable) profile: per-month summaries of `orders` —
+    // count/min/max plus a bottom-k KMV heap of distinct customer hashes —
+    // merged into one profile row WITHOUT rescanning raw data. Per-part
+    // heaps merge losslessly (bottom-k of a union = bottom-k of the union
+    // of bottom-ks), so the merged distinct estimate is identical to
+    // profiling the whole table directly — exactly what the oracle
+    // replays. The 100 TB stats-maintenance shape: each ingest batch
+    // persists one summary row; refreshes aggregate summaries only.
+    Q("p11_incremental_profile",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 1024
+        val summ = graft.operators.Profiler.incrementalSummaries(
+          t.orders, date_format(col("o_orderdate"), "yyyy-MM"),
+          "o_totalprice", "o_custkey", k)
+        graft.operators.Profiler.mergeSummaries(summ, k)
+      },
+      Some(graft.operators.Profiler.incrementalProfileSql(
+        "orders", "strftime(o_orderdate, '%Y-%m')", "o_totalprice",
+        "o_custkey", 1024))),
+
     // Time-weighted average price (TWAP) per (event_type, day): each
     // observation weighted by its holding interval to the next observation
     // (exact µs deltas; the day's last interval has no successor and drops

@@ -55,4 +55,35 @@ class ProfilerSpec extends SparkSpec {
         (r.isNullAt(i) && e.isNullAt(i)) || r.get(i) == e.get(i)))
     }
   }
+
+  test("incremental summaries merge to the direct whole-table profile") {
+    import org.apache.spark.sql.functions._
+    val k = 8
+    // 3 parts, overlapping keys across parts, > k distinct keys overall
+    val df = (0 until 60).map(i => (s"p${i % 3}", i.toDouble, (i % 20).toLong))
+      .toDF("part", "v", "key")
+    val merged = Profiler.mergeSummaries(
+      Profiler.incrementalSummaries(df, col("part"), "v", "key", k), k).head()
+    assert(merged.getLong(0) == 60 && merged.getLong(1) == 3)
+    assert(merged.getDouble(2) == 0.0 && merged.getDouble(3) == 59.0)
+    // direct whole-table sketch: same distinct hash set → same estimate
+    val hashes = df.select(
+        graft.functions.TextFns.md5Hash32(col("key").cast("string")).as("h"))
+      .distinct().as[Long]
+      .select(new graft.operators.BottomKSketch(k).toColumn.name("kmv"))
+      .head()
+    val est = if (hashes._2.isEmpty) hashes._1.toDouble
+      else (k - 1).toDouble / (hashes._2.get.toDouble / 4294967296.0)
+    assert(merged.getDouble(4) == est, s"${merged.getDouble(4)} vs $est")
+  }
+
+  test("incremental summaries merge even when a part keeps fewer than k") {
+    import org.apache.spark.sql.functions._
+    val k = 64 // > distinct keys: estimate must be the EXACT count
+    val df = (0 until 30).map(i => (s"p${i % 2}", i.toDouble, (i % 10).toLong))
+      .toDF("part", "v", "key")
+    val merged = Profiler.mergeSummaries(
+      Profiler.incrementalSummaries(df, col("part"), "v", "key", k), k).head()
+    assert(merged.getDouble(4) == 10.0)
+  }
 }
