@@ -507,6 +507,124 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (r rows × dim
+    * cols) from a splitmix-style integer mix of (j, i) — stateless, so the
+    * Spark plan and the oracle SQL embed the SAME literals.
+    */
+  private[operators] def jlSigns(dim: Int, r: Int): Array[Array[Double]] =
+    Array.tabulate(r) { j =>
+      Array.tabulate(dim) { i =>
+        var z = j.toLong * 0x9E3779B97F4A7C15L +
+          i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+        z ^= z >>> 31; z *= 0xD6E8FEB86659FD93L; z ^= z >>> 27
+        if ((z & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss reduced-dimension top-k with exact rerank —
+    * the dimensionality-REDUCTION ANN path (vs e10's precision reduction):
+    * each vector is projected once to `r` dims through a deterministic ±1
+    * sign matrix (a narrow codegen projection — r DotProductConst columns,
+    * zero shuffle), candidates are ranked by cosine IN THE PROJECTED SPACE
+    * (r/dim of the scoring arithmetic and bytes: at dim=64, r=16 a 4×
+    * smaller scan, and the reduced vectors are what you'd persist), and
+    * each query's top `rerank` get the exact float-cosine rerank.
+    *
+    * Same output contract as `cosineTopK`. Engine-exact: the oracle embeds
+    * the same sign literals and replays the same left-associated chains,
+    * so results hash-match regardless of what the projection distorts;
+    * recall vs brute force is spec-checked (JL: inner products survive
+    * sign projections in expectation, so projected-cosine ranking tracks
+    * true-cosine ranking).
+    */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, r: Int, k: Int, rerank: Int,
+      maxQueryRows: Long = 10000): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    guardSmallSide(queries, "jlTopK", "lshTopK or ivfTopK", maxQueryRows)
+    val signs = jlSigns(dim, r)
+    def proj(vec: Column): Column =
+      array(signs.map(w => graft.plans.DotProductConst(vec, w)): _*)
+    def pnorm(p: Column): Column =
+      sqrt((1 to r).map(i => element_at(p, i) * element_at(p, i))
+        .reduceLeft(_ + _))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+      .withColumn("cproj", proj(col("cvec")))
+      .withColumn("cpnorm", pnorm(col("cproj")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+      .withColumn("qproj", proj(col("qvec")))
+      .withColumn("qpnorm", pnorm(col("qproj")))
+    val pdot = (1 to r)
+      .map(i => element_at(col("qproj"), i) * element_at(col("cproj"), i))
+      .reduceLeft(_ + _)
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qscore", pdot / (col("qpnorm") * col("cpnorm")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_qrank", row_number().over(wq))
+      .filter(col("_qrank") <= rerank)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cos_sim", VectorFns.cosineFromNorms(
+        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** `jlTopK` oracle: the same ±1 literals, the same left-associated
+    * projection / norm / dot chains, projected-cosine candidates,
+    * exact-cosine rerank.
+    */
+  def jlTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
+      r: Int, k: Int, rerank: Int, queryPred: String): String = {
+    val signs = jlSigns(dim, r)
+    def projExpr(vec: String, j: Int): String =
+      (0 until dim).map(i =>
+        s"CAST($vec[${i + 1}] AS DOUBLE) * ${if (signs(j)(i) > 0) "1.0" else "-1.0"}")
+        .mkString("(", " + ", ")")
+    def projList(vec: String): String =
+      (0 until r).map(j => projExpr(vec, j)).mkString("[", ", ", "]")
+    def pnormSql(p: String): String =
+      "sqrt(" + (1 to r).map(i => s"$p[$i] * $p[$i]").mkString("(", " + ", ")") + ")"
+    val pdot = (1 to r).map(i => s"q.qproj[$i] * c.cproj[$i]")
+      .mkString("(", " + ", ")")
+    s"""WITH c0 AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm,
+       |         ${projList(vecCol)} AS cproj
+       |  FROM $table),
+       |c AS (SELECT *, ${pnormSql("cproj")} AS cpnorm FROM c0),
+       |q0 AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm,
+       |         ${projList(vecCol)} AS qproj
+       |  FROM $table WHERE $queryPred),
+       |q AS (SELECT *, ${pnormSql("qproj")} AS qpnorm FROM q0),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec, q.qnorm, c.cnorm,
+       |         ($pdot) / (q.qpnorm * c.cpnorm) AS qscore
+       |  FROM c JOIN q ON c.neighbor_id <> q.query_id),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qscore DESC, neighbor_id ASC) AS _qrank
+       |    FROM scored) WHERE _qrank <= $rerank),
+       |rer AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${VectorFns.dotSql("qvec", "cvec", dim)}) / (qnorm * cnorm) AS cos_sim
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** PRODUCT-QUANTIZED top-k with exact rerank — the memory-bound ANN
     * scale path beyond e10's scalar quantization: the vector is split into
     * `m` subspaces of dim/m dims, each subspace gets a `ksub`-entry

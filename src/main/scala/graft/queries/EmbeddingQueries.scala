@@ -96,6 +96,23 @@ object EmbeddingQueries {
       Some(Similarity.quantizedTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, 20, QueryPredSql))),
 
+    // Johnson–Lindenstrauss DIMENSION reduction + exact rerank (vs e10's
+    // precision reduction): one narrow ±1-sign projection to r=16 dims
+    // (deterministic literals both engines embed), projected-cosine
+    // candidates — 4x less scoring arithmetic and scan bytes — then exact
+    // rerank of the top 20. The reduced vectors are what a 100 TB corpus
+    // would persist for all downstream distance work.
+    Q("e17_knn_jl",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Similarity.jlTopK(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, r = 16, k = K,
+          rerank = 20)
+      },
+      Some(Similarity.jlTopKSql("embeddings", "vec_id", "embedding",
+        Dim, 16, K, 20, QueryPredSql))),
+
     // PRODUCT quantization + exact rerank: m=8 subspace codebooks (ksub=16,
     // trained by the engine-exact Lloyd chain per subspace) store each
     // corpus vector as 8 codes — a 32x-smaller scan than float32; ADC-style

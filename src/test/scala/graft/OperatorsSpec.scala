@@ -301,6 +301,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("JL-projected top-k recall rises with the rerank pool") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", 64, 5))
+    assert(exact.nonEmpty)
+    val recalls = Seq(20, 60, 120).map { rr =>
+      val jl = pairs(Similarity.jlTopK(emb, q, "vec_id", "embedding", 64,
+        r = 16, k = 5, rerank = rr))
+      (exact & jl).size.toDouble / exact.size
+    }
+    info(s"JL recall@5 by rerank 20/60/120: ${recalls.mkString(", ")}")
+    assert(recalls.last >= recalls.head,
+      s"recall should not degrade with a deeper pool: $recalls")
+    assert(recalls.last >= 0.6, s"JL recall ${recalls.last} at rerank=120")
+  }
+
   test("k-means-trained IVF beats first-id seeding at equal nlist/nprobe") {
     // sf0.01 planted near-dup corpus (500 vecs). Queries must be DISJOINT
     // from the first-nlist ids: a query that IS a seed centroid gets its
