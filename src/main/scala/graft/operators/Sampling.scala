@@ -164,4 +164,54 @@ object Sampling {
         floor((col("_cum") - col(tokenCol)) / budget).cast("long"))
       .drop("_cum")
   }
+
+  /** Deterministic contrastive NEGATIVE sampling — the pairing pass a
+    * retrieval/embedding training set needs: for every document, `numNegs`
+    * pseudo-random other documents, chosen by hashing (doc, slot) — never
+    * `rand()`, so the same corpus always pairs the same way and both
+    * engines replay it. Requires ids dense in [0, n) (the layout a
+    * packed training corpus has); a hashed slot that lands on the doc
+    * itself is dropped (standard — docs then have <= numNegs negatives).
+    *
+    * Shape: one scalar count broadcast + a narrow explode (numNegs rows
+    * per doc), then ONE equi-join back on the sampled id to fetch the
+    * negative's attributes — at 100 TB the join shuffles only (id, slot)
+    * pairs against the attr projection; nothing is quadratic.
+    */
+  def negativePairs(docs: DataFrame, idCol: String, attrCols: Seq[String],
+      numNegs: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("long").as("_n"))
+    val cand = docs.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("_n"),
+        explode(array((0 until numNegs).map(j => lit(j.toLong)): _*)).as("slot"))
+      .withColumn("neg_id", pmod(graft.functions.TextFns.md5Hash32(
+        concat(col("doc_id").cast("string"), lit(":"), col("slot").cast("string"))),
+        col("_n")))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("slot"), col("neg_id"))
+    val attrs = docs.select(col(idCol).as("neg_id") +:
+      attrCols.map(c => col(c).as(s"neg_$c")): _*)
+    cand.join(attrs, Seq("neg_id"))
+      .select(col("doc_id") +: col("slot") +: col("neg_id") +:
+        attrCols.map(c => col(s"neg_$c")): _*)
+  }
+
+  /** DuckDB mirror of negativePairs over `table`. */
+  def negativePairsSql(table: String, idCol: String, attrCols: Seq[String],
+      numNegs: Int): String = {
+    val negAttrs = attrCols.map(c => s"nd.$c AS neg_$c").mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) AS _n FROM $table),
+       |cand AS (
+       |  SELECT d.$idCol AS doc_id, s.slot,
+       |    ${graft.functions.TextFns.md5Hash32Sql(
+              s"CAST(d.$idCol AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)")} % _n
+       |      AS neg_id
+       |  FROM $table d
+       |  CROSS JOIN n
+       |  CROSS JOIN (SELECT unnest(range($numNegs)) AS slot) s)
+       |SELECT c.doc_id, c.slot, c.neg_id, $negAttrs
+       |FROM cand c JOIN $table nd ON nd.$idCol = c.neg_id
+       |WHERE c.neg_id <> c.doc_id""".stripMargin
+  }
 }

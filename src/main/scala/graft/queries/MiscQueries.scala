@@ -1026,5 +1026,52 @@ object MiscQueries {
            |  (($sy - $slope * $sx) / $n) AS intercept
            |FROM sums""".stripMargin
       }),
+
+    // Time-decay weighted aggregate: per event type, Σ value·0.9^age_days
+    // against a fixed as-of date — the recency weighting every freshness-
+    // sensitive rollup (engagement scores, retrain mixes) applies. The
+    // decay powers are a 60-row LITERAL lookup table (0.9^d pre-rounded to
+    // 12 decimal places in Scala and embedded in BOTH plans), so the
+    // weighted sum is pure decimal arithmetic — exact, order-independent,
+    // engine-identical; no pow() enters the dataflow. Shape: broadcast the
+    // tiny weight table against the narrow event scan, one aggregation.
+    Q("q49_time_decay",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val weights = (0 until 60)
+          .map(d => (d.toLong, new java.math.BigDecimal("0.9").pow(d)
+            .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString))
+          .toDF("age_d", "w_str")
+          .select(col("age_d"), col("w_str").cast("decimal(14,12)").as("w"))
+        t.events
+          .select(col("event_type"), col("value"),
+            datediff(lit("2024-01-31").cast("date"), to_date(col("ts"))).cast("long").as("age_d"))
+          .join(broadcast(weights), Seq("age_d"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            // emit exact integer CENTS: the scale-14 decimal sum is exact
+            // in both engines, but a double cast can differ in the last
+            // ulp and a scale-2 re-round hits engine rounding-mode
+            // differences on .xx5 boundaries — floor(100×sum) does neither
+            floor(sum(dec(col("value")) * col("w")) * lit(100))
+              .cast("long").as("decayed_cents"))
+      },
+      Some {
+        val rows = (0 until 60)
+          .map(d => s"($d, CAST('${new java.math.BigDecimal("0.9").pow(d)
+            .setScale(12, java.math.RoundingMode.HALF_UP).toPlainString}' AS DECIMAL(14,12)))")
+          .mkString(", ")
+        s"""WITH weights(age_d, w) AS (VALUES $rows),
+           |aged AS (
+           |  SELECT event_type, value,
+           |    date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age_d
+           |  FROM events)
+           |SELECT event_type, COUNT(*) AS n,
+           |  CAST(floor(SUM(${sqlDec("value")} * w) * 100) AS BIGINT)
+           |    AS decayed_cents
+           |FROM aged JOIN weights USING (age_d)
+           |GROUP BY event_type""".stripMargin
+      }),
   )
 }

@@ -538,5 +538,15 @@ object TextQueries {
       Some(graft.operators.Bloom.probeFlagsSql(
         "documents", "doc_id", "text", n = 3, k = 4, m = 1 << 18,
         frac = 0.5, "doc_id < 50"))),
+
+    // Contrastive negative sampling (Sampling.negativePairs): 4 hash-chosen
+    // negatives per document with the negative's source/lang fetched by one
+    // equi-join — the deterministic pairing pass for retrieval/embedding
+    // training sets. Never rand(): both engines replay the same pairs.
+    Q("t30_negative_pairs",
+      (s, dir) => graft.operators.Sampling.negativePairs(
+        Tables(s, dir).documents, "doc_id", Seq("source", "lang"), numNegs = 4),
+      Some(graft.operators.Sampling.negativePairsSql(
+        "documents", "doc_id", Seq("source", "lang"), numNegs = 4))),
   )
 }
