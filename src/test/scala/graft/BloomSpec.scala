@@ -40,6 +40,32 @@ class BloomSpec extends SparkSpec {
     assert(java.util.Arrays.equals(merged, whole))
   }
 
+  test("probe runs unchanged on a stream (narrow, stateless, append-safe)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val eval = docs(1L -> "the quick brown fox jumps over the lazy dog")
+    val bits = Bloom.build(eval, "text", 3, K, M)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Bloom.probeFlags(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", 3, K, M, bits, 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_stream_out").start()
+    in.addData(10L -> "the quick brown fox jumps over the lazy dog once more",
+      11L -> "entirely unrelated words about spark catalyst plans")
+    q.processAllAvailable()
+    val out = spark.table("bloom_stream_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(10L) && !out(11L))
+    // batch agreement: same filter, same flags
+    val batch = Bloom.probeFlags(
+        docs(10L -> "the quick brown fox jumps over the lazy dog once more",
+          11L -> "entirely unrelated words about spark catalyst plans"),
+        "doc_id", "text", 3, K, M, bits, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == batch)
+    q.stop()
+  }
+
   test("probe plan is join-free (narrow scan + one aggregation)") {
     val eval = docs(1L -> "the quick brown fox jumps over the lazy dog")
     val train = docs(10L -> "the quick brown fox jumps over the lazy dog too")
