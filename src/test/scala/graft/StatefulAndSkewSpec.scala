@@ -48,4 +48,32 @@ class StatefulAndSkewSpec extends SparkSpec {
     val buckets = df.select(Skew.salt(col("id"), 8)).distinct().count()
     assert(buckets == 8)
   }
+
+  test("AQE splits the skewed partition of a shuffle join (skew=true)") {
+    // JOIN-side skew complement to the salted-AGG demo above: one hot key
+    // owns most of the probe side, so one shuffle partition dwarfs the
+    // rest — AQE's runtime re-plan (OptimizeSkewedJoin) must split it into
+    // parallel sub-partitions instead of letting a straggler task carry
+    // the whole key. Thresholds are lowered to trigger at test scale; at
+    // 100 TB the defaults fire the same rewrite.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the SMJ
+    import s2.implicits._
+    val pad = "x" * 64
+    val left = Seq.tabulate(20000)(i =>
+      (if (i % 10 != 0) 0L else i.toLong, s"$pad$i")).toDF("k", "lv")
+    val right = Seq.tabulate(200)(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val joined = left.join(right, "k")
+    // collect() (not count()) so the SAME queryExecution finalizes and the
+    // AQE-rewritten plan is the one inspected
+    assert(joined.collect().length == 18000 + 20) // hot key + distinct tail
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"AQE did not split the skew:\n$plan")
+  }
 }
