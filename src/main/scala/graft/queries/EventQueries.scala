@@ -542,5 +542,104 @@ object EventQueries {
               |  END AS est_users,
               |  n_distinct_hashes
               |FROM counts LEFT JOIN kth USING (window_start)""".stripMargin)),
+
+    // Temporal (point-in-time) join: enrich each purchase with the SCD2
+    // dimension version valid at the event's timestamp. Because SCD2
+    // intervals tile [first_ts, inf) per key, a backward as-of join on
+    // valid_from IS the interval lookup — so the native as-of operator
+    // (one shuffle per side, sorted-merge, no range-explode) replaces the
+    // generic inequality join a naive BETWEEN predicate would plan.
+    // Tiebreak = version: among versions sharing valid_from (two changes at
+    // the same ts) the highest version wins, exactly the row whose
+    // [from, to) interval is non-empty.
+    Q("s19_scd2_temporal_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val scoped = t.events.filter(col("user_id") < 50)
+        // both sides derive from the same `scoped` plan, so the right's
+        // columns must be re-aliased (fresh ExprIds) or the custom join
+        // node would see its key as a left-side attribute (self-join dedup
+        // is an analyzer service that custom-assembled plans don't get)
+        val dim = graft.ingest.Upsert.scd2(scoped,
+            keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+            attrs = Seq("event_type"))
+          .select(col("user_id").as("dim_user"), col("valid_from"),
+            col("event_type").as("dim_type"), col("version"))
+        val purchases = scoped.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.plans.AsOfJoinNative.backward(purchases, dim,
+          leftKey = "user_id", rightKey = "dim_user",
+          leftTime = "ts", rightTime = "valid_from",
+          payloadCols = Seq("dim_type", "version"),
+          rightTiebreak = "version")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TsFmtSpark).as("ts"),
+            col("dim_type"), col("version"))
+      },
+      Some(s"""WITH versions AS (
+              |  ${graft.ingest.Upsert.scd2Sql("events", Seq("user_id"), "ts",
+                    "event_id", Seq("event_type"), pred = "user_id < 50")
+                    .replace("\n", "\n  ")}),
+              |purch AS (
+              |  SELECT event_id, user_id, ts FROM events
+              |  WHERE user_id < 50 AND event_type = 'purchase')
+              |SELECT p.event_id, p.user_id, strftime(p.ts, '$TsFmtDuck') AS ts,
+              |  v.event_type AS dim_type, v.version
+              |FROM purch p JOIN versions v
+              |  ON v.user_id = p.user_id AND v.valid_from <= p.ts
+              |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)""".stripMargin)),
+
+    // Marketing-style attribution: for each purchase, the first and last
+    // non-purchase touch within the trailing 7 days — ONE window with a
+    // RANGE frame over epoch-micros does both (conditional min/max of a
+    // zero-padded packed key), so the whole query is a single shuffle on
+    // user_id; no self-join, no per-purchase subquery. The packed-string
+    // min/max is an argmin that stays inside codegen'd window aggregation.
+    Q("s20_touch_attribution",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val weekUs = 7L * 86400L * 1000000L
+        val ep = unix_micros(col("ts"))
+        val touchKey = when(col("event_type") =!= "purchase",
+          concat(lpad(ep.cast("string"), 20, "0"), lit("|"),
+            lpad(col("event_id").cast("string"), 12, "0"), lit("|"),
+            col("event_type")))
+        val w = Window.partitionBy(col("user_id")).orderBy(ep)
+          .rangeBetween(-weekUs, 0L)
+        t.events.filter(col("user_id") < 40)
+          .withColumn("first_touch", min(touchKey).over(w))
+          .withColumn("last_touch", max(touchKey).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TsFmtSpark).as("ts"),
+            element_at(split(col("first_touch"), "\\|"), 3).as("first_touch_type"),
+            element_at(split(col("first_touch"), "\\|"), 2).cast("long")
+              .as("first_touch_event"),
+            element_at(split(col("last_touch"), "\\|"), 3).as("last_touch_type"),
+            element_at(split(col("last_touch"), "\\|"), 2).cast("long")
+              .as("last_touch_event"))
+      },
+      Some(s"""WITH scoped AS (
+              |  SELECT *, epoch_us(ts) AS ep,
+              |    CASE WHEN event_type <> 'purchase' THEN
+              |      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+              |      lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+              |    END AS touch_key
+              |  FROM events WHERE user_id < 40),
+              |framed AS (
+              |  SELECT *,
+              |    MIN(touch_key) OVER (PARTITION BY user_id ORDER BY ep
+              |      RANGE BETWEEN ${7L * 86400L * 1000000L} PRECEDING
+              |      AND CURRENT ROW) AS first_touch,
+              |    MAX(touch_key) OVER (PARTITION BY user_id ORDER BY ep
+              |      RANGE BETWEEN ${7L * 86400L * 1000000L} PRECEDING
+              |      AND CURRENT ROW) AS last_touch
+              |  FROM scoped)
+              |SELECT event_id, user_id, strftime(ts, '$TsFmtDuck') AS ts,
+              |  str_split(first_touch, '|')[3] AS first_touch_type,
+              |  CAST(str_split(first_touch, '|')[2] AS BIGINT) AS first_touch_event,
+              |  str_split(last_touch, '|')[3] AS last_touch_type,
+              |  CAST(str_split(last_touch, '|')[2] AS BIGINT) AS last_touch_event
+              |FROM framed WHERE event_type = 'purchase'""".stripMargin)),
   )
 }
