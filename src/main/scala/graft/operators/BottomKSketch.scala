@@ -105,3 +105,20 @@ final class BottomKHeap(k: Int)
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
+
+/** Bottom-k plus the exact element count in one pass: the summary row KMV
+  * set algebra needs (estimates when saturated, exact sets when not).
+  * Input contract as above: values within a group are already distinct.
+  */
+final class BottomKSummary(k: Int)
+    extends Aggregator[Long, KmvBuf, (Long, Seq[Long])] {
+  private val inner = new BottomKSketch(k)
+  override def zero: KmvBuf = inner.zero
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+  override def finish(b: KmvBuf): (Long, Seq[Long]) =
+    (b.count, b.heap.take(b.size).sorted.toSeq)
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+  override def outputEncoder: Encoder[(Long, Seq[Long])] =
+    ExpressionEncoder[(Long, Seq[Long])]()
+}

@@ -1073,5 +1073,103 @@ object MiscQueries {
            |FROM aged JOIN weights USING (age_d)
            |GROUP BY event_type""".stripMargin
       }),
+
+    // KMV sketch SET ALGEBRA: per-source bottom-k summaries support not
+    // just distinct counts but union / intersection / Jaccard estimates
+    // between any source pair — the "how much does corpus A overlap corpus
+    // B" question answered from k-hash summaries instead of a doc-level
+    // join. One corpus pass builds the 20 summary rows (bounded heaps,
+    // map-side combine: the exchange carries ≤ k hashes per source per
+    // partition); the pairwise algebra then runs on a 20-row relation with
+    // array functions — at 100 TB the sketches are persisted once per
+    // ingest batch and every cross-corpus overlap query is sketch-only.
+    // Unsaturated sketches (cnt < k) are complete hash sets, so those
+    // pairs fall back to EXACT set arithmetic; the estimator paths use the
+    // standard KMV forms: est = (k-1)/h_(k), rho = |K ∩ A ∩ B| / k,
+    // inter = rho * union.
+    Q("p12_sketch_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val k = 16
+        val hashed = t.documents
+          .select(col("source"),
+            graft.functions.TextFns.md5Hash32(col("text")).as("h"))
+          .distinct()
+        val sk = hashed.as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.BottomKSummary(k).toColumn.name("s"))
+          .toDF("source", "s")
+          .select(col("source"), col("s._1").as("cnt"), col("s._2").as("sk"))
+        def est(cnt: Column, skc: Column): Column =
+          when(cnt < k, cnt.cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(skc, k).cast("double") / lit(4294967296.0)))
+        val pairs = sk.select(col("source").as("source_a"),
+            col("cnt").as("cnt_a"), col("sk").as("sk_a"))
+          .join(sk.select(col("source").as("source_b"),
+            col("cnt").as("cnt_b"), col("sk").as("sk_b")),
+            col("source_a") < col("source_b"))
+        val complete = col("cnt_a") < k && col("cnt_b") < k
+        pairs
+          .withColumn("u", array_sort(array_union(col("sk_a"), col("sk_b"))))
+          .withColumn("est_a", est(col("cnt_a"), col("sk_a")))
+          .withColumn("est_b", est(col("cnt_b"), col("sk_b")))
+          .withColumn("est_union",
+            when(complete, size(col("u")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("u"), k).cast("double") / lit(4294967296.0))))
+          .withColumn("est_inter",
+            when(complete,
+              size(array_intersect(col("sk_a"), col("sk_b"))).cast("double"))
+              .otherwise(
+                size(filter(slice(col("u"), 1, k), x =>
+                  array_contains(col("sk_a"), x) &&
+                    array_contains(col("sk_b"), x))).cast("double") *
+                  col("est_union") / lit(k.toDouble)))
+          .withColumn("jaccard_est", col("est_inter") / col("est_union"))
+          .select(col("source_a"), col("source_b"), col("cnt_a"), col("cnt_b"),
+            col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+            col("jaccard_est"))
+      },
+      Some(s"""WITH hashed AS (
+              |  SELECT DISTINCT source,
+              |    ${graft.functions.TextFns.md5Hash32Sql("text")} AS h
+              |  FROM documents),
+              |cnts AS (SELECT source, COUNT(*) AS cnt FROM hashed GROUP BY 1),
+              |ranked AS (
+              |  SELECT source, h,
+              |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+              |  FROM hashed),
+              |sks AS (
+              |  SELECT source, list(h ORDER BY h) AS sk
+              |  FROM ranked WHERE rn <= 16 GROUP BY 1),
+              |summ AS (
+              |  SELECT c.source, c.cnt, sks.sk FROM cnts c JOIN sks USING (source)),
+              |pairs AS (
+              |  SELECT a.source AS source_a, b.source AS source_b,
+              |    a.cnt AS cnt_a, b.cnt AS cnt_b, a.sk AS sk_a, b.sk AS sk_b,
+              |    list_sort(list_distinct(list_concat(a.sk, b.sk))) AS u
+              |  FROM summ a JOIN summ b ON a.source < b.source),
+              |ests AS (
+              |  SELECT *,
+              |    CASE WHEN cnt_a < 16 THEN CAST(cnt_a AS DOUBLE)
+              |      ELSE 15.0 / (CAST(sk_a[16] AS DOUBLE) / 4294967296.0) END AS est_a,
+              |    CASE WHEN cnt_b < 16 THEN CAST(cnt_b AS DOUBLE)
+              |      ELSE 15.0 / (CAST(sk_b[16] AS DOUBLE) / 4294967296.0) END AS est_b,
+              |    CASE WHEN cnt_a < 16 AND cnt_b < 16 THEN CAST(len(u) AS DOUBLE)
+              |      ELSE 15.0 / (CAST(u[16] AS DOUBLE) / 4294967296.0) END AS est_union
+              |  FROM pairs),
+              |inters AS (
+              |  SELECT *,
+              |    CASE WHEN cnt_a < 16 AND cnt_b < 16
+              |      THEN CAST(len(list_intersect(sk_a, sk_b)) AS DOUBLE)
+              |      ELSE CAST(len(list_filter(u[1:16], x ->
+              |          list_contains(sk_a, x) AND list_contains(sk_b, x)))
+              |        AS DOUBLE) * est_union / 16.0 END AS est_inter
+              |  FROM ests)
+              |SELECT source_a, source_b, cnt_a, cnt_b, est_a, est_b,
+              |  est_union, est_inter, est_inter / est_union AS jaccard_est
+              |FROM inters""".stripMargin)),
   )
 }
