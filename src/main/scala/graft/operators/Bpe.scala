@@ -101,13 +101,37 @@ object Bpe {
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count"), syms)
   }
 
+  /** Per-document BPE token counts under the corpus's own trained merge
+    * table — the tokenizer APPLY pass. Encoding reuses the trained
+    * word-TYPE segmentation (`trainState`'s second return): each distinct
+    * word is segmented exactly once, and per-occurrence cost is a hash
+    * join on the word — at 100 TB the vocabulary relation is millions of
+    * rows (shuffle-joinable, AQE broadcasts when small) while the corpus
+    * itself only explodes to (doc, word) and re-aggregates, never
+    * re-running the merge fold per occurrence.
+    */
+  def encodeCounts(df: DataFrame, idCol: String, textCol: String,
+      steps: Int): DataFrame = {
+    val (_, syms) = trainState(df, textCol, steps)
+    val enc = syms.select(col("w"), size(col("syms")).as("n_sub"),
+      length(col("w")).as("n_chars"))
+    df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_word_chars"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** DuckDB replay of `trainMerges`: `steps` chained stages, each counting
     * pairs, picking the (cnt DESC, a, b) top, and rewriting the
     * segmentation with the SAME greedy left-to-right semantics — expressed
     * as gaps-and-islands over match positions (within a run of consecutive
     * matches, even offsets merge; the position after a merge is skipped).
+    * `chainSql` is the shared CTE chain; `wt$steps` is the trained
+    * word-type segmentation it ends on.
     */
-  def trainMergesSql(table: String, textCol: String, steps: Int): String = {
+  private def chainSql(table: String, textCol: String, steps: Int): String = {
     val toks = TextFns.tokensSql(textCol)
     val base =
       s"""wt0 AS MATERIALIZED (
@@ -147,12 +171,30 @@ object Bpe {
          |      FILTER (WHERE NOT COALESCE(drop_me, FALSE)) AS syms
          |  FROM nw$k GROUP BY w)""".stripMargin
     }
+    s"""$base,
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  def trainMergesSql(table: String, textCol: String, steps: Int): String = {
     val tops = (1 to steps).map(k => s"SELECT * FROM top$k").mkString("\nUNION ALL\n")
-    s"""WITH $base,
-       |${stages.mkString(",\n")}
+    s"""WITH ${chainSql(table, textCol, steps)}
        |SELECT CAST(step AS INT) AS step, a AS left_sym, b AS right_sym,
        |  CAST(cnt AS BIGINT) AS pair_count
        |FROM ($tops)
        |ORDER BY step""".stripMargin
   }
+
+  /** DuckDB replay of `encodeCounts`: the same training chain, then each
+    * document's words joined to the trained segmentation.
+    */
+  def encodeCountsSql(table: String, idCol: String, textCol: String,
+      steps: Int): String =
+    s"""WITH ${chainSql(table, textCol, steps)},
+       |words AS (
+       |  SELECT $idCol, unnest(${TextFns.tokensSql(textCol)}) AS w FROM $table)
+       |SELECT $idCol, COUNT(*) AS n_words,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_word_chars,
+       |  CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens
+       |FROM words JOIN wt$steps USING (w)
+       |GROUP BY $idCol""".stripMargin
 }

@@ -548,5 +548,17 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", Seq("source", "lang"), numNegs = 4),
       Some(graft.operators.Sampling.negativePairsSql(
         "documents", "doc_id", Seq("source", "lang"), numNegs = 4))),
+
+    // Tokenizer APPLY: per-document BPE token counts under the corpus's
+    // own t26-trained merge table (Bpe.encodeCounts). Each word TYPE is
+    // segmented once; per-occurrence cost is a vocabulary hash join — the
+    // token-budget accounting pass (packing, pricing, context-window fit)
+    // of an LLM pipeline, engine-exact against a full DuckDB replay of the
+    // training chain plus the encode join.
+    Q("t31_bpe_encode",
+      (s, dir) => graft.operators.Bpe.encodeCounts(
+        Tables(s, dir).documents, "doc_id", "text", steps = 10),
+      Some(graft.operators.Bpe.encodeCountsSql(
+        "documents", "doc_id", "text", steps = 10))),
   )
 }
