@@ -170,6 +170,109 @@ object Chunker {
        |FROM ch""".stripMargin
   }
 
+  /** Content-DEFINED chunking (CDC, the Rabin-fingerprint boundary rule at
+    * token granularity): a chunk boundary falls after token i exactly when
+    * the rolling hash of the last `window` tokens ≡ 0 (mod `divisor`) — so
+    * boundaries are a function of local CONTENT, not of position. That is
+    * the property fixed-width chunking (d09) lacks: insert one sentence
+    * ahead of a shared licence block and every later fixed chunk shifts
+    * and stops matching, while CDC boundaries re-align within `window`
+    * tokens and the shared tail still dedups. Average chunk length ≈
+    * `divisor` tokens.
+    *
+    * Output: per document, chunk counts plus how many chunks (and tokens)
+    * are shared with other documents.
+    *
+    * Scale notes (100 TB): boundary detection is a narrow higher-order
+    * projection, O(n·window) integer ops per document, zero shuffle; the
+    * chunk relation is ~n_tokens/divisor rows per doc (constant factor);
+    * the frequency agg and the chunk→frequency join hash on the same
+    * chunk-hash key (exchange reused), and the final rollup shuffles doc
+    * ids with counts only — the d09 plan shape, with content-defined
+    * spans. This is also the storage-dedup primitive: the same boundary
+    * rule over byte streams gives variable-size block dedup.
+    */
+  def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, divisor: Int = 8): DataFrame = {
+    val P = 1000000007L
+    def poly(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (h, x) => pmod(h * 31 + x, lit(P)))
+    val spans = df
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("tk"))
+      .withColumn("hs", transform(col("tk"), t => TextFns.md5Hash32(t)))
+      .withColumn("n", size(col("tk")))
+      .withColumn("bpos",
+        when(col("n") >= window,
+          filter(sequence(lit(window), col("n")), i =>
+            pmod(poly(slice(col("hs"), i - (window - 1), lit(window))),
+              lit(divisor.toLong)) === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("ss", concat(array(lit(1)), transform(col("bpos"), _ + 1)))
+      .withColumn("es", concat(col("bpos"), array(col("n"))))
+      .select(col("id"), col("hs"),
+        explode(filter(
+          transform(sequence(lit(1), size(col("ss"))), j =>
+            struct(element_at(col("ss"), j).as("s"),
+              element_at(col("es"), j).as("e"))),
+          c => c.getField("s") <= c.getField("e"))).as("sp"))
+      .select(col("id"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_toks"),
+        poly(slice(col("hs"), col("sp.s"), col("sp.e") - col("sp.s") + 1))
+          .as("chash"))
+    val freq = spans.groupBy(col("chash"))
+      .agg(countDistinct(col("id")).as("docs_with"))
+    spans.join(freq, Seq("chash"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("docs_with") > 1).cast("long")).as("n_shared_chunks"),
+        sum(when(col("docs_with") > 1, col("n_toks")).otherwise(0L))
+          .as("n_shared_tokens"))
+      .withColumn("dup_chunk_frac",
+        col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** DuckDB mirror of `cdcDupStats` over `table`. */
+  def cdcDupStatsSql(table: String, idCol: String, textCol: String,
+      window: Int = 4, divisor: Int = 8): String = {
+    val toks = TextFns.tokensSql(textCol)
+    val w1 = window - 1
+    val poly = s"(h, x) -> (h * 31 + x) % 1000000007"
+    s"""WITH docs AS (SELECT $idCol AS id, $toks AS tk FROM $table),
+       |hashed AS (
+       |  SELECT id, list_transform(tk, t -> ${TextFns.md5Hash32Sql("t")}) AS hs,
+       |    len(tk) AS n
+       |  FROM docs),
+       |bp AS (
+       |  SELECT id, hs, n,
+       |    list_filter(range($window, n + 1), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i - $w1:i]), $poly)
+       |        % $divisor = 0) AS bpos
+       |  FROM hashed),
+       |sp AS (
+       |  SELECT id, hs,
+       |    list_prepend(1, list_transform(bpos, i -> i + 1)) AS ss,
+       |    list_append(bpos, n) AS es
+       |  FROM bp),
+       |ix AS (
+       |  SELECT id, hs, ss, es, unnest(range(1, len(ss) + 1)) AS j FROM sp),
+       |spans AS (
+       |  SELECT id, CAST(es[j] - ss[j] + 1 AS BIGINT) AS n_toks,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[ss[j]:es[j]]), $poly)
+       |      AS chash
+       |  FROM ix WHERE ss[j] <= es[j]),
+       |freq AS (SELECT chash, COUNT(DISTINCT id) AS docs_with FROM spans GROUP BY 1)
+       |SELECT spans.id AS $idCol, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared_chunks,
+       |  CAST(SUM(CASE WHEN docs_with > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS n_shared_tokens,
+       |  CAST(SUM(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
+       |FROM spans JOIN freq USING (chash)
+       |GROUP BY 1""".stripMargin
+  }
+
   def dupChunkStatsSql(table: String, idCol: String, textCol: String,
       width: Int): String = {
     val toks = TextFns.tokensSql(textCol)

@@ -231,5 +231,17 @@ object DedupQueries {
            |  CAST(n_dups AS BIGINT) AS n_dups
            |FROM ranked WHERE rn = 1""".stripMargin
       }),
+
+    // Content-defined chunking (Chunker.cdcDupStats): Rabin-style
+    // boundaries (rolling hash of the last 4 tokens ≡ 0 mod 8) make chunk
+    // spans a function of content, not position — the dedup survives
+    // insertions that shift offsets, which is exactly what d09's
+    // fixed-width chunks cannot do. Same two chunk-keyed shuffles as d09
+    // (freq agg + join, exchange reused); boundary detection is narrow.
+    Q("d21_cdc_chunk_dedup",
+      (s, dir) => graft.operators.Chunker.cdcDupStats(
+        Tables(s, dir).documents, "doc_id", "text", window = 4, divisor = 8),
+      Some(graft.operators.Chunker.cdcDupStatsSql(
+        "documents", "doc_id", "text", window = 4, divisor = 8))),
   )
 }

@@ -77,4 +77,44 @@ class DiffAndChunksSpec extends SparkSpec {
       docs.filter(col("doc_id") < 3), "doc_id", "text", 2, 2).collect()
     assert(out2.forall(_.getAs[String]("clean_text") == "x y"))
   }
+
+  test("cdcDupStats: boundaries survive a prefix insertion (shift resilience)") {
+    // doc 2 = doc 1 with 5 extra leading tokens. Fixed-width chunking
+    // shifts every chunk and finds nothing shared; CDC boundaries re-align
+    // after the window, so most of doc 1's chunks dedup against doc 2.
+    val rnd = new scala.util.Random(7)
+    val body = (1 to 200).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    val docs = Seq((1L, body), (2L, "p0 p1 p2 p3 p4 " + body))
+      .toDF("doc_id", "text")
+    val cdc = Chunker.cdcDupStats(docs, "doc_id", "text", window = 4, divisor = 8)
+      .orderBy("doc_id").collect()
+    val cdcShared = cdc.map(r => (r.getAs[Long]("n_shared_chunks"),
+      r.getAs[Long]("n_chunks")))
+    // doc 1: the overwhelming majority of chunks re-found inside doc 2
+    assert(cdcShared(0)._1.toDouble / cdcShared(0)._2 > 0.8,
+      s"CDC should re-align after insertion, got $cdcShared")
+    // fixed-width baseline on the same pair finds (almost) nothing
+    val fixed = Chunker.dupChunkStats(docs, "doc_id", "text", width = 8)
+      .orderBy("doc_id").collect()
+    val f0 = fixed(0)
+    assert(f0.getAs[Long]("n_shared_chunks") <
+      cdcShared(0)._1 * f0.getAs[Long]("n_chunks") / cdcShared(0)._2,
+      "fixed-width chunking should shift out of alignment where CDC does not")
+  }
+
+  test("cdcDupStats: chunk spans tile the token stream; empty docs vanish") {
+    // two identical docs: every chunk is shared, so n_shared_tokens must
+    // equal the full token count — only true if the spans tile [1, n]
+    // with no gap and no overlap
+    val body = (1 to 37).map("t" + _).mkString(" ")
+    val docs = Seq((1L, body), (2L, body), (3L, "")).toDF("doc_id", "text")
+    val out = Chunker.cdcDupStats(docs, "doc_id", "text", 4, 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_shared_chunks") == r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("n_shared_tokens") == 37L)
+      assert(r.getAs[Double]("dup_chunk_frac") == 1.0)
+    }
+  }
 }
