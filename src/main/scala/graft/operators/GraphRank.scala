@@ -220,4 +220,65 @@ object GraphRank {
        |SELECT node, arg_max(anc, depth) AS root,
        |  CAST(MAX(depth) AS BIGINT) AS depth
        |FROM walk GROUP BY node""".stripMargin
+
+  /** Synchronous label-propagation COMMUNITIES over the undirected pair
+    * graph: labels start as node ids; each round every node adopts the
+    * most frequent label among its neighbors (tie → smallest label).
+    * Deterministic by construction (fixed rounds, total tiebreak), unlike
+    * the classic randomized-order LPA — which is what makes it
+    * oracle-replayable. Communities differ from d08's connected
+    * components: a component that is two dense cliques joined by one
+    * bridge edge splits into two communities, the signal that separates
+    * "two template families sharing one hybrid doc" from "one family".
+    *
+    * Scale notes (100 TB): per round = one shuffle of the edge relation
+    * against |nodes| labels plus two key-partitioned aggregations —
+    * linear per round, the Pregel shape with relational ops; the argmax
+    * is a packed struct max (no row_number sort over the full
+    * neighborhood relation). Edges are materialized once.
+    */
+  def labelProp(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val ed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var lab = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      lab = ed.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    lab.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"), col("csize"))
+  }
+
+  /** DuckDB mirror of [[labelProp]]: unrolled per-round CTEs with a
+    * (cnt DESC, label ASC) row_number argmax.
+    */
+  def labelPropSql(pairsRel: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""s$t AS (
+         |  SELECT e.dst, l.label, COUNT(*) AS cnt
+         |  FROM ed e JOIN l${t - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$t AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM s$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($pairsRel),
+       |ed AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+       |$steps,
+       |sizes AS (SELECT label, COUNT(*) AS csize FROM l$iters GROUP BY 1)
+       |SELECT l.node, l.label AS community, s.csize
+       |FROM l$iters l JOIN sizes s ON l.label = s.label""".stripMargin
+  }
 }

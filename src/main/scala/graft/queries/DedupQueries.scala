@@ -232,6 +232,21 @@ object DedupQueries {
            |FROM ranked WHERE rn = 1""".stripMargin
       }),
 
+    // Label-propagation COMMUNITIES over the same near-dup graph
+    // (GraphRank.labelProp, deterministic synchronous variant): where d08
+    // finds connected components, communities split a component whose
+    // dense cores are joined by a single bridge doc — template families
+    // sharing one hybrid document stay separate families. 3 rounds,
+    // Pregel-shaped (linear per round), argmax via packed struct max.
+    Q("d22_label_communities",
+      (s, dir) => graft.operators.GraphRank.labelProp(
+        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
+          "doc_id", "text", N, JaccardThreshold),
+        "id_a", "id_b", iters = 3),
+      Some(graft.operators.GraphRank.labelPropSql(
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
+          N, JaccardThreshold), iters = 3))),
+
     // Content-defined chunking (Chunker.cdcDupStats): Rabin-style
     // boundaries (rolling hash of the last 4 tokens ≡ 0 mod 8) make chunk
     // spans a function of content, not position — the dedup survives

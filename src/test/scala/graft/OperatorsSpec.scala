@@ -903,4 +903,19 @@ class OperatorsSpec extends SparkSpec {
       .head()
     assert(bar == (("B", "2024-01", 10.0, 30.0, 10.0, 20.0, 110.0 / 5.0, 3L)))
   }
+  test("GraphRank.labelProp splits bridge-joined cliques that stay one component") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4: one
+    // connected component, but label propagation separates the cliques
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphRank.labelProp(pairs, "id_a", "id_b", iters = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byNode = got.map(r => r._1 -> r._2).toMap
+    assert(Set(1L, 2L, 3L).map(byNode) == Set(1L),
+      s"left clique should converge to label 1, got $byNode")
+    assert(Set(4L, 5L, 6L).map(byNode) == Set(3L),
+      s"right clique should converge to label 3, got $byNode")
+    assert(got.forall(_._3 == 3L), "both communities have size 3")
+  }
 }
