@@ -57,6 +57,23 @@ object Multimodal {
           bytesPerSec.cast("double")).as("duration_ms")))
   }
 
+  /** Typed FLAC metadata from a binary column: real STREAMINFO bit-unpack
+    * (graft.plans.FlacMeta; null for non-FLAC) plus derived duration_ms —
+    * total_samples is in the header, so duration needs no data scan.
+    */
+  def withFlacMeta(df: DataFrame, binCol: String): DataFrame = {
+    val f = graft.plans.FlacMeta(col(binCol))
+    df.withColumn("flac_meta", struct(
+      f.getField("format").as("format"),
+      f.getField("sample_rate").as("sample_rate"),
+      f.getField("channels").as("channels"),
+      f.getField("bits").as("bits"),
+      f.getField("total_samples").as("total_samples"),
+      when(f.getField("sample_rate") > 0,
+        (f.getField("total_samples") * 1000L).cast("double") /
+          f.getField("sample_rate").cast("double")).as("duration_ms")))
+  }
+
   /** Typed video metadata from a binary column: real MP4/ISO-BMFF box walk
     * (mvhd timescale/duration; null for non-MP4) plus derived duration_ms.
     */

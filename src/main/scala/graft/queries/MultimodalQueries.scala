@@ -45,6 +45,7 @@ object MultimodalQueries {
   lazy val webpFixturePath: String = fixturePath("images_webp.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
   lazy val videoFixturePath: String = fixturePath("video.parquet")
+  lazy val flacFixturePath: String = fixturePath("flac.parquet")
 
   val all: Seq[Q] = Seq(
     // Binary metadata extraction over arbitrary payloads: byte length,
@@ -198,5 +199,52 @@ object MultimodalQueries {
              |SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
              |  md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_hash
              |FROM f WHERE frame_idx % 4 = 0""".stripMargin)),
+
+    // FLAC STREAMINFO bit-unpack (plans.FlacMeta): the lossless-audio
+    // sibling of mm04 — sample rate (20 bits), channels (3), bit depth
+    // (5) and total samples (36) all live packed in the mandatory first
+    // metadata block, so duration comes from the header alone, no data
+    // scan. Fixtures exercise every bit boundary (sub-nibble rates, 8
+    // channels, a 36-bit sample count) plus the null paths; the oracle
+    // re-derives each field with hex-nibble arithmetic.
+    Q("mm07_flac_meta",
+      (s, _) => {
+        val flacs = s.read.parquet(flacFixturePath)
+        Multimodal.withFlacMeta(flacs, "payload")
+          .select(col("name"),
+            col("flac_meta.format").as("format"),
+            col("flac_meta.sample_rate").as("sample_rate"),
+            col("flac_meta.channels").as("channels"),
+            col("flac_meta.bits").as("bits"),
+            col("flac_meta.total_samples").as("total_samples"),
+            col("flac_meta.duration_ms").as("duration_ms"))
+      },
+      Some {
+        val b = (i: Int) => MediaSql.byteAt("h", i)
+        val sr = s"(${b(18)}*4096 + ${b(19)}*16 + ${b(20)}//16)"
+        val ch = s"((${b(20)}//2) % 8 + 1)"
+        val bps = s"((${b(20)} % 2)*16 + ${b(21)}//16 + 1)"
+        val total = s"((${b(21)} % 16)*4294967296 + ${MediaSql.be32("h", 22)})"
+        s"""WITH flacs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('$flacFixturePath')),
+           |parsed AS (
+           |  SELECT name,
+           |    (n >= 42 AND substr(h, 1, 8) = '664C6143'
+           |     AND ${b(4)} % 128 = 0
+           |     AND (${b(5)}*65536 + ${b(6)}*256 + ${b(7)}) >= 34) AS ok,
+           |    $sr AS sr, $ch AS ch, $bps AS bps, $total AS total
+           |  FROM flacs)
+           |SELECT name,
+           |  CASE WHEN ok THEN 'flac' END AS format,
+           |  CASE WHEN ok THEN CAST(sr AS BIGINT) END AS sample_rate,
+           |  CASE WHEN ok THEN ch END AS channels,
+           |  CASE WHEN ok THEN bps END AS bits,
+           |  CASE WHEN ok THEN CAST(total AS BIGINT) END AS total_samples,
+           |  CASE WHEN ok AND sr > 0
+           |       THEN CAST(total * 1000 AS DOUBLE) / CAST(sr AS DOUBLE)
+           |  END AS duration_ms
+           |FROM parsed""".stripMargin
+      }),
   )
 }

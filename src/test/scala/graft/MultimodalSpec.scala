@@ -139,4 +139,17 @@ class MultimodalSpec extends SparkSpec {
     // partial frame (bytes 96..100) differs
     assert(frames.filter(_.getLong(0) == 1L).map(_.getString(2)).distinct.length == 2)
   }
+  test("FlacHeaders unpacks every STREAMINFO bit boundary; rejects invalid") {
+    import graft.tools.GenFlacFixtures.flac
+    val r = graft.plans.FlacHeaders.parseRow(flac(192000, 8, 32, (1L << 35) + 5L))
+    assert(r != null)
+    assert(r.getLong(1) == 192000L && r.getInt(2) == 8 && r.getInt(3) == 32)
+    assert(r.getLong(4) == (1L << 35) + 5L)
+    val odd = graft.plans.FlacHeaders.parseRow(flac(22051, 2, 12, 777L))
+    assert(odd.getLong(1) == 22051L && odd.getInt(2) == 2 && odd.getInt(3) == 12)
+    val bad = flac(44100, 2, 16, 1L); bad(4) = 0x84.toByte
+    assert(graft.plans.FlacHeaders.parseRow(bad) == null)
+    assert(graft.plans.FlacHeaders.parseRow(Array.emptyByteArray) == null)
+    assert(graft.plans.FlacHeaders.parseRow("fLaC".getBytes("US-ASCII")) == null)
+  }
 }
