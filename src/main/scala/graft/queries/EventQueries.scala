@@ -607,8 +607,10 @@ object EventQueries {
         val w = Window.partitionBy(col("user_id")).orderBy(ep)
           .rangeBetween(-weekUs, 0L)
         t.events.filter(col("user_id") < 40)
-          .withColumn("first_touch", min(touchKey).over(w))
-          .withColumn("last_touch", max(touchKey).over(w))
+          // both touches in ONE select so they share a single Window
+          // operator (separate withColumns would plan two sorts)
+          .select(col("*"), min(touchKey).over(w).as("first_touch"),
+            max(touchKey).over(w).as("last_touch"))
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
             date_format(col("ts"), TsFmtSpark).as("ts"),

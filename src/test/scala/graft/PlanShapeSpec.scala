@@ -210,4 +210,27 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+  test("s20: attribution computes both touches in ONE window shuffle") {
+    val plan = finalPlanString(q("s20_touch_attribution"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single user_id shuffle, got $exchanges:\n$plan")
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"first and last touch must share one window operator:\n$plan")
+  }
+
+  test("p12: sketch build is a bounded-heap partial aggregation, pair algebra joins without a shuffle") {
+    val plan = finalPlanString(q("p12_sketch_set_ops"))
+    // the bottom-k heaps aggregate partially (map-side combine) as an
+    // ObjectHashAggregate; the 20-row pair self-join must not sort-merge
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("d21: CDC boundary detection is narrow; chunk freq agg and join reuse one key") {
+    val plan = finalPlanString(q("d21_cdc_chunk_dedup"))
+    // no join strategy other than the chunk-hash equi-join; no cartesian
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"CDC dedup should stay at the d09 shuffle budget, got $exchanges:\n$plan")
+  }
 }
