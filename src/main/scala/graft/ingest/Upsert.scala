@@ -67,6 +67,51 @@ object Upsert {
         Seq(col("valid_from"), col("valid_to"), col("version"), col("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance: fold a batch of NEW observations into a
+    * standing version table without rescanning closed history — the
+    * foreachBatch companion of [[scd2]] (which rebuilds from all raw
+    * events). Contract: batches are append-only in event time per key
+    * (every batch ts >= the key's current valid_from), the Structured
+    * Streaming shape.
+    *
+    * Mechanism: only the batch's keys are touched. Each affected key's
+    * OPEN version is re-expressed as a pseudo-observation at its own
+    * valid_from (null tie, so it sorts before any real event at the same
+    * ts), the batch rows are appended, and [[scd2]] reruns on that small
+    * relation; version numbers continue from the key's closed-history
+    * count. Closed versions and unaffected keys pass through untouched.
+    *
+    * Scale: per-batch cost is |affected keys' open versions| + |batch| —
+    * independent of history length; the only joins are a semi/anti pair
+    * on the batch's key set (broadcastable) and the rebuilt relation is
+    * batch-sized. `scd2Merge(scd2Merge(scd2(b1)), b2) == scd2(b1 ∪ b2)`
+    * exactly (spec-proven), so checkpointed streaming maintenance is
+    * trustworthy without periodic rebuilds.
+    */
+  def scd2Merge(standing: DataFrame, batch: DataFrame, keys: Seq[String],
+      tsCol: String, tieCol: String, attrs: Seq[String]): DataFrame = {
+    val affected = batch.select(keys.map(col): _*).distinct()
+    val closed = standing.filter(col("is_current") === 0)
+    val cur = standing.filter(col("is_current") === 1)
+    val curAff = cur.join(affected, keys, "left_semi")
+    val curUntouched = cur.join(affected, keys, "left_anti")
+    val tieType = batch.schema(tieCol).dataType
+    val pseudo = curAff.select(
+      (keys ++ attrs).map(col) :+
+        col("valid_from").as(tsCol) :+
+        lit(null).cast(tieType).as(tieCol): _*)
+    val base = curAff.select(
+      keys.map(col) :+ (col("version") - 1).as("_base"): _*)
+    val rebuilt = scd2(
+      pseudo.unionByName(
+        batch.select((keys ++ attrs).map(col) :+ col(tsCol) :+ col(tieCol): _*)),
+      keys, tsCol, tieCol, attrs)
+      .join(base, keys, "left")
+      .withColumn("version", col("version") + coalesce(col("_base"), lit(0L)))
+      .drop("_base")
+    closed.unionByName(curUntouched).unionByName(rebuilt)
+  }
+
   /** Incremental aggregate maintenance: fold a delta batch's partial rollup
     * into the standing rollup without touching raw history. Counts and
     * (decimal) sums are reassociable partials, so

@@ -269,4 +269,63 @@ class EventStreamsSpec extends SparkSpec {
       .orderBy("event_type").collect().toSeq
     assert(got == want, s"got $got want $want")
   }
+
+  test("scd2Merge: chained incremental merges equal the full-history rebuild") {
+    import org.apache.spark.sql.DataFrame
+    val b1 = Seq(
+      Ev(1, ts(1), 1, "click", 0), Ev(2, ts(2), 1, "view", 0),
+      Ev(3, ts(1), 2, "view", 0))
+    val b2 = Seq(
+      Ev(4, ts(3), 1, "view", 0),  // same attr as user 1's open version → absorbed
+      Ev(5, ts(4), 2, "click", 0), // change at the batch boundary
+      Ev(6, ts(2), 3, "view", 0))  // new key mid-stream
+    val b3 = Seq(
+      Ev(7, ts(5), 1, "click", 0),
+      Ev(8, ts(5), 1, "view", 0),  // same-ts tie inside a batch (id order)
+      Ev(9, ts(6), 3, "view", 0))  // still absorbed
+    def sc(df: DataFrame) = graft.ingest.Upsert.scd2(
+      df, Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    val merged = Seq(b2, b3).foldLeft(sc(b1.toDF())) { (standing, b) =>
+      graft.ingest.Upsert.scd2Merge(standing.localCheckpoint(), b.toDF(),
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    }
+    val full = sc((b1 ++ b2 ++ b3).toDF())
+    val cols = Seq("user_id", "event_type", "valid_from", "valid_to",
+      "version", "is_current")
+    val got = merged.select(cols.map(col): _*).orderBy("user_id", "version")
+      .collect().toSeq
+    val want = full.select(cols.map(col): _*).orderBy("user_id", "version")
+      .collect().toSeq
+    assert(got == want, s"got\n${got.mkString("\n")}\nwant\n${want.mkString("\n")}")
+  }
+
+  test("foreachBatch + scd2Merge maintains the version table incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    var standing: DataFrame = graft.ingest.Upsert.scd2(
+      Seq.empty[Ev].toDF(), Seq("user_id"), "ts", "event_id", Seq("event_type"))
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        standing = graft.ingest.Upsert.scd2Merge(standing, batch,
+          Seq("user_id"), "ts", "event_id", Seq("event_type"))
+          .localCheckpoint() // cut lineage so plans don't nest per batch
+        ()
+      }
+      .start()
+    val evs = Seq(
+      Ev(1, ts(1), 1, "click", 0), Ev(2, ts(2), 1, "view", 0),
+      Ev(3, ts(3), 2, "view", 0), Ev(4, ts(4), 1, "view", 0),
+      Ev(5, ts(5), 2, "click", 0), Ev(6, ts(6), 1, "click", 0))
+    evs.grouped(2).foreach { g => in.addData(g); q.processAllAvailable() }
+    q.stop()
+    val cols = Seq("user_id", "event_type", "valid_from", "valid_to",
+      "version", "is_current")
+    val got = standing.select(cols.map(col): _*).orderBy("user_id", "version")
+      .collect().toSeq
+    val want = graft.ingest.Upsert.scd2(evs.toDF(),
+      Seq("user_id"), "ts", "event_id", Seq("event_type"))
+      .select(cols.map(col): _*).orderBy("user_id", "version").collect().toSeq
+    assert(got == want, s"got\n${got.mkString("\n")}\nwant\n${want.mkString("\n")}")
+  }
 }
