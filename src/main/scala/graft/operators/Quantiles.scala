@@ -50,6 +50,69 @@ object Quantiles {
     vLo * (1 - f) + vHi * f
   }
 
+  /** All of `ps` in ONE distributed sort pass (exactQuantile runs the
+    * sort-and-rank job per quantile; boundary sets want B-1 of them).
+    * Same bit-exact interpolation; returns values in `ps` order.
+    */
+  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
+    ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile p=$p out of [0,1]"))
+    val vals = df.select(col(c).cast("double")).na.drop
+      .rdd.map(_.getDouble(0))
+    val n = vals.count()
+    require(n > 0, s"exactQuantiles($c): no non-null values")
+    val hs = ps.map(p => (n - 1) * p)
+    val wanted = hs.flatMap(h =>
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+    val picked = vals.sortBy(identity).zipWithIndex()
+      .filter { case (_, i) => wanted.contains(i) }
+      .map { case (v, i) => (i, v) }
+      .collect().toMap
+    hs.map { h =>
+      val lo = math.floor(h).toLong
+      val f = h - lo
+      picked(lo) * (1 - f) + picked(math.ceil(h).toLong) * f
+    }
+  }
+
+  /** Equi-DEPTH histogram (p05's value_histogram is equi-WIDTH): `bins`
+    * buckets holding ~equal row counts, split at the exact i/bins
+    * quantiles. NOT ntile — a global ntile is a single-partition sort. The
+    * plan is the scale shape: one range-partitioned boundary sort
+    * (exactQuantiles, B-1 cut points collected to the driver) + one narrow
+    * fold-the-boundaries-into-a-CASE count scan. Ties at a cut point go to
+    * the lower bin (`>` comparisons), so equal values never straddle by
+    * arrival order — deterministic where ntile is row-order-dependent.
+    * Output per bin: bin (1-based), n, lo/hi = observed min/max inside.
+    */
+  def equiDepthHistogram(df: DataFrame, valCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val bounds = exactQuantiles(df, valCol,
+      (1 until bins).map(i => i.toDouble / bins))
+    val v = col(valCol).cast("double")
+    val bin = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.filter(v.isNotNull)
+      .groupBy(bin.cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+  }
+
+  /** DuckDB mirror: quantile_cont cut points (bit-identical to
+    * exactQuantiles' interpolation), same `>`-fold bin assignment.
+    */
+  def equiDepthHistogramSql(table: String, valCol: String, bins: Int): String = {
+    val qs = (1 until bins)
+      .map(i => s"quantile_cont($valCol, ${i.toDouble / bins}) AS q$i")
+      .mkString(", ")
+    val binExpr = (1 until bins)
+      .map(i => s"(CASE WHEN CAST($valCol AS DOUBLE) > b.q$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT $qs FROM $table WHERE $valCol IS NOT NULL)
+       |SELECT CAST($binExpr + 1 AS INTEGER) AS bin, COUNT(*) AS n,
+       |  MIN(CAST($valCol AS DOUBLE)) AS lo, MAX(CAST($valCol AS DOUBLE)) AS hi
+       |FROM $table, b WHERE $valCol IS NOT NULL
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Exact per-group continuous quantiles without value buffering: shuffle
     * on the group key, SORT within the group (window sort — streams and
     * spills, unlike `percentile`'s in-memory buffer), then pick the two

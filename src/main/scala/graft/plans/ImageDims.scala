@@ -20,6 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP:  "BM", DIB header size at 14 ⇒ legacy BITMAPCOREHEADER (size 12)
   *          has 16-bit dims at 18/20, modern headers have signed 32-bit dims
   *          at 18/22 (height negative for top-down rows ⇒ abs).
+  *  - TIFF: "II*\0" (little-endian) or "MM\0*" (big-endian), IFD0 offset at
+  *          4 ⇒ walk the IFD's 12-byte entries for tags 256/257
+  *          (ImageWidth/ImageLength), SHORT or LONG, value inline in the
+  *          entry's value field IN FILE BYTE ORDER (a SHORT sits in the
+  *          field's first two bytes).
   *  - WebP: "RIFF"+"WEBP" container; first chunk decides the flavor —
   *          VP8X extended ⇒ 24-bit LE canvas dims minus one at 24/27;
   *          "VP8 " lossy ⇒ 9D 01 2A sync then 14-bit LE dims at 26/28;
@@ -103,6 +108,35 @@ object ImageHeaders {
       val hdrSize = le32(b, 14)
       if (hdrSize == 12) row("bmp", le16(b, 18), le16(b, 20)) // BITMAPCOREHEADER
       else row("bmp", le32(b, 18).toLong, math.abs(le32(b, 22).toLong))
+    } else if (n >= 8 &&
+        ((u8(b, 0) == 'I' && u8(b, 1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+         (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))) {
+      // TIFF: endianness from the magic, then one IFD0 walk
+      val le = u8(b, 0) == 'I'
+      def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int): Long = if (le) le32(b, i).toLong & 0xffffffffL else be32(b, i)
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > n) null
+      else {
+        val cnt = u16(ifd.toInt)
+        if (ifd + 2 + cnt * 12L > n) null // truncated entry table
+        else {
+          var (w, hh) = (-1L, -1L)
+          var i = 0
+          while (i < cnt) {
+            val e = ifd.toInt + 2 + 12 * i
+            val tag = u16(e)
+            val v: Long = u16(e + 2) match {
+              case 3 => u16(e + 8) // SHORT, first two value-field bytes
+              case 4 => u32(e + 8) // LONG
+              case _ => -1L
+            }
+            if (tag == 256) w = v else if (tag == 257) hh = v
+            i += 1
+          }
+          if (w >= 0 && hh >= 0) row("tiff", w, hh) else null
+        }
+      }
     } else if (n >= 25 && u8(b, 0) == 'R' && u8(b, 1) == 'I' && u8(b, 2) == 'F' &&
         u8(b, 3) == 'F' && u8(b, 8) == 'W' && u8(b, 9) == 'E' &&
         u8(b, 10) == 'B' && u8(b, 11) == 'P' &&

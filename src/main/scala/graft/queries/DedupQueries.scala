@@ -258,5 +258,17 @@ object DedupQueries {
         Tables(s, dir).documents, "doc_id", "text", window = 4, divisor = 8),
       Some(graft.operators.Chunker.cdcDupStatsSql(
         "documents", "doc_id", "text", window = 4, divisor = 8))),
+
+    // Pigeonhole-banded Hamming search over the integer simhash: with
+    // radius < bands, every pair within the radius shares at least one
+    // exact signature band, so the engine's linear bucketed equi-join is
+    // PROVABLY equal to the oracle's brute-force all-pairs bit_count(xor)
+    // scan — LSH's shape with an exactness guarantee instead of a recall
+    // probability. 32-bit/4-band/r=3 declared; 64/16 is the 100 TB shape.
+    Q("d23_simhash_hamming_pairs",
+      (s, dir) => Dedup.simhashHammingPairs(Tables(s, dir).documents,
+        "doc_id", "text", bits = 32, bands = 4, radius = 3),
+      Some(Dedup.simhashHammingPairsSql("documents", "doc_id", "text",
+        bits = 32, bands = 4, radius = 3))),
   )
 }

@@ -643,5 +643,53 @@ object EventQueries {
               |  str_split(last_touch, '|')[3] AS last_touch_type,
               |  CAST(str_split(last_touch, '|')[2] AS BIGINT) AS last_touch_event
               |FROM framed WHERE event_type = 'purchase'""".stripMargin)),
+
+    // Ordered funnel conversion (view → click → purchase, strictly
+    // increasing timestamps): step k's time is the user's earliest
+    // qualifying event AFTER step k-1's time, so a later click can't count
+    // toward an earlier view. ONE exchange on user_id feeds three stacked
+    // UNBOUNDED windows (no orderBy → no sort, each a pure per-partition
+    // aggregate; step k's predicate references step k-1's column), then a
+    // per-user dedup and one global count — no self-joins, no
+    // per-step event rescans. The oracle computes the same chain as
+    // sequential min-after-join CTEs.
+    Q("s21_funnel_steps",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+        val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(w))
+        val perUser = e.select(col("user_id"), col("t1"), col("t2"), col("t3"))
+          .groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
+        perUser.agg(
+            count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+            count(col("t3")).as("n3"))
+          .select(expr(
+            "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)")
+            .as(Seq("stage", "n_users")))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+             |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+             |UNION ALL SELECT '2_click', COUNT(*) FROM s2
+             |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3""".stripMargin)),
   )
 }

@@ -138,6 +138,47 @@ object MediaSql {
        |  SELECT key, format, w, h_px FROM webpdims0 WHERE w IS NOT NULL)""".stripMargin
   }
 
+  /** The TIFF branch of `graft.plans.ImageHeaders` over `src(key, h, n)`:
+    * emits CTEs ending in `tiffdims(key, format, w, h_px)`. No recursion —
+    * the IFD entry table's size is known up front, so the walk is one
+    * `unnest(range(cnt))` expansion (guarded: the whole table must be
+    * readable, like the parser's truncation check), a per-entry value
+    * decode in FILE byte order (SHORT in the value field's first two
+    * bytes), and a tag-256/257 pivot.
+    */
+  def tiffCtes(src: String): String = {
+    def u16(pos: String) =
+      s"(CASE WHEN le THEN ${le16("h", pos)} ELSE ${be16("h", pos)} END)"
+    def u32(pos: String) =
+      s"(CASE WHEN le THEN ${le32u("h", pos)} ELSE ${be32u("h", pos)} END)"
+    s"""tiff0 AS (
+       |  SELECT key, h, n, substr(h,1,8) = '49492A00' AS le,
+       |    CASE WHEN substr(h,1,8) = '49492A00' THEN ${le32u("h", "4")}
+       |         ELSE ${be32u("h", "4")} END AS ifd
+       |  FROM $src
+       |  WHERE n >= 8 AND substr(h,1,8) IN ('49492A00','4D4D002A')),
+       |tiff1 AS (
+       |  SELECT key, h, n, le, ifd, ${u16("ifd")} AS cnt
+       |  FROM tiff0 WHERE ifd >= 8 AND ifd + 2 <= n),
+       |tiffent AS (
+       |  SELECT key, h, le, ifd + 2 + 12*i AS e
+       |  FROM (SELECT key, h, le, ifd, unnest(range(cnt)) AS i
+       |        FROM tiff1 WHERE ifd + 2 + 12*cnt <= n)),
+       |tiffvals AS (
+       |  SELECT key, ${u16("e")} AS tag,
+       |    CASE WHEN ${u16("e+2")} = 3 THEN ${u16("e+8")}
+       |         WHEN ${u16("e+2")} = 4 THEN ${u32("e+8")}
+       |         ELSE -1 END AS v
+       |  FROM tiffent),
+       |tiffdims AS (
+       |  SELECT key, format, w, h_px FROM (
+       |    SELECT key, 'tiff' AS format,
+       |      MAX(CASE WHEN tag = 256 THEN v END) AS w,
+       |      MAX(CASE WHEN tag = 257 THEN v END) AS h_px
+       |    FROM tiffvals GROUP BY key)
+       |  WHERE w >= 0 AND h_px >= 0)""".stripMargin
+  }
+
   /** The WAV (RIFF) chunk walk of `graft.plans.WavHeaders` as recursive-CTE
     * SQL over `src(key, h, n)`; emits `wscan` and `wavmeta(key, format,
     * channels, sample_rate, bits, data_bytes)`. Latch-first `fmt ` (size ≥

@@ -652,6 +652,17 @@ object MiscQueries {
              |FROM priced CROSS JOIN bounds
              |GROUP BY 1""".stripMargin)),
 
+    // Equi-DEPTH histogram (p05 is equi-width): 8 buckets of ~equal row
+    // count split at the exact i/8 quantiles — the optimizer-statistics /
+    // data-skew view of a value distribution. Deliberately NOT ntile (a
+    // global ntile is one single-partition sort): one range-partitioned
+    // boundary sort + one narrow CASE-fold count scan, both scale shapes.
+    Q("p13_equidepth_histogram",
+      (s, dir) => graft.operators.Quantiles.equiDepthHistogram(
+        Tables(s, dir).orders, "o_totalprice", bins = 8),
+      Some(graft.operators.Quantiles.equiDepthHistogramSql(
+        "orders", "o_totalprice", bins = 8))),
+
     // Key-distribution profile (util/Skew.keyStats): the pre-join advisor
     // that decides salting / broadcast / AQE-skew handling from ONE reduced
     // pass — p01 profiles column VALUES, this profiles the GROUP-SIZE
@@ -1073,6 +1084,31 @@ object MiscQueries {
            |FROM aged JOIN weights USING (age_d)
            |GROUP BY event_type""".stripMargin
       }),
+
+    // Explicit GROUPING SETS (Dataset.groupingSets, Spark 4): an IRREGULAR
+    // set list — two independent single-column breakdowns, no combined
+    // cell, no grand total — which neither rollup nor cube can express
+    // (they'd compute strictly more cells that then need filtering). One
+    // Expand of factor 2 + one hash agg; grouping_id disambiguates which
+    // breakdown a row belongs to (a genuinely NULL key vs a rolled-up one).
+    Q("q50_grouping_sets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            (grouping(col("o_orderpriority")) * 2 +
+              grouping(col("o_orderstatus"))).cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            sumd(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""SELECT o_orderpriority, o_orderstatus,
+              |  CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+              |  COUNT(*) AS n, ${sqlSumd("o_totalprice")} AS sum_price
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)),
 
     // KMV sketch SET ALGEBRA: per-source bottom-k summaries support not
     // just distinct counts but union / intersection / Jaccard estimates

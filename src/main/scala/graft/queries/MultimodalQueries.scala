@@ -43,6 +43,7 @@ object MultimodalQueries {
 
   lazy val imageFixturePath: String = fixturePath("images.parquet")
   lazy val webpFixturePath: String = fixturePath("images_webp.parquet")
+  lazy val tiffFixturePath: String = fixturePath("images_tiff.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
   lazy val videoFixturePath: String = fixturePath("video.parquet")
   lazy val flacFixturePath: String = fixturePath("flac.parquet")
@@ -127,6 +128,33 @@ object MultimodalQueries {
              |  md5(i.h) AS content_hash, d.format AS format,
              |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
              |FROM imgs i LEFT JOIN webpdims d ON d.key = i.name""".stripMargin)),
+
+    // Real TIFF decode over committed hand-assembled bytes: BOTH byte
+    // orders (the format's endianness lives in its magic), SHORT and LONG
+    // dimension tags, an IFD displaced past padding; negatives (truncated
+    // entry table, missing ImageLength, noise) must be null in BOTH
+    // engines. The oracle expands the IFD with unnest(range(cnt)) — no
+    // recursion needed since the entry count is declared up front.
+    Q("mm08_tiff_dims",
+      (s, _) => {
+        val imgs = s.read.parquet(tiffFixturePath)
+        Multimodal.withMediaMeta(imgs, "payload")
+          .select(col("name"),
+            col("media_meta.byte_len").as("byte_len"),
+            md5(hex(col("payload"))).as("content_hash"),
+            col("media_meta.format").as("format"),
+            col("media_meta.width").as("width"),
+            col("media_meta.height").as("height"))
+      },
+      Some(s"""WITH imgs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$tiffFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${MediaSql.tiffCtes("src")}
+             |SELECT i.name, CAST(i.n AS BIGINT) AS byte_len,
+             |  md5(i.h) AS content_hash, d.format AS format,
+             |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
+             |FROM imgs i LEFT JOIN tiffdims d ON d.key = i.name""".stripMargin)),
 
     // Real audio decode over committed hand-built RIFF/WAVE bytes: the
     // chunk walk (LIST/junk chunks skipped, pad bytes honored) latches

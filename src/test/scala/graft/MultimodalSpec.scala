@@ -86,6 +86,29 @@ class MultimodalSpec extends SparkSpec {
       && got("webp_alien_chunk").isEmpty && got("riff_not_webp").isEmpty)
   }
 
+  test("ImageHeaders parses TIFF in both byte orders; negatives stay null") {
+    val got = graft.tools.GenTiffFixtures.fixtures().map { case (name, bytes) =>
+      name -> graft.plans.ImageHeaders.parse(bytes)
+    }.toMap
+    assert(got("tiff_le_long_800x600") == Some(("tiff", 800, 600)))
+    assert(got("tiff_le_short_41x29") == Some(("tiff", 41, 29)))
+    assert(got("tiff_be_short_320x240") == Some(("tiff", 320, 240)))
+    assert(got("tiff_be_long_70000x2") == Some(("tiff", 70000, 2))) // > 16 bit
+    assert(got("tiff_displaced_ifd_64x48") == Some(("tiff", 64, 48)))
+    assert(got("tiff_truncated_ifd").isEmpty && got("tiff_no_height").isEmpty
+      && got("not_a_tiff").isEmpty)
+    // committed fixture parquet byte-matches the generator (regeneration
+    // guard: the oracle reads the committed file, the engine could read
+    // either — they must be the same bytes)
+    val committed = spark.read.parquet(
+      graft.queries.MultimodalQueries.tiffFixturePath)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val gen = graft.tools.GenTiffFixtures.fixtures().toMap
+    assert(committed.keySet == gen.keySet)
+    for ((k, v) <- gen)
+      assert(java.util.Arrays.equals(committed(k), v), s"fixture $k drifted")
+  }
+
   test("extractFeatures runs batched and is deterministic") {
     val ds = media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]

@@ -263,6 +263,39 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(h(0L), h(1L)) <= 3)
   }
 
+  test("simhashInt folds the same bits as the bit-string simhash") {
+    val bits = 16
+    val str = Dedup.simhash(docs, "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ints = Dedup.simhashInt(docs, "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, s) <- str)
+      assert(ints(id) == java.lang.Long.parseLong(s, 2), s"doc $id")
+  }
+
+  test("simhashHammingPairs equals brute force (pigeonhole: radius < bands)") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (bits, bands, radius) = (32, 4, 3)
+    val got = Dedup.simhashHammingPairs(docs500, "doc_id", "text",
+        bits, bands, radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = Dedup.simhashInt(docs500, "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= radius
+    } yield (ia, ib, d)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the planted near-dups must actually surface
+  }
+
+  test("simhashHammingPairs rejects a radius the pigeonhole cannot cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(docs, "doc_id", "text",
+        bits = 32, bands = 4, radius = 4)
+    }
+  }
+
   val vecs = Seq(
     (0L, Array(1f, 0f, 0f, 0f)),
     (1L, Array(0.9f, 0.1f, 0f, 0f)), // closest to 0
