@@ -257,6 +257,58 @@ object GraphRank {
       .select(col("node"), col("label").as("community"), col("csize"))
   }
 
+  /** Bounded-depth BFS from a seed set over the undirected graph
+    * `pairs(aCol, bCol)`: one row (id, depth) per node within `maxDepth`
+    * hops of any seed, depth = MIN hops (seeds at 0). d08's components
+    * answer "same family ANYWHERE"; this answers "HOW CLOSE to a flagged
+    * doc" — what a remove-within-k contamination policy actually consumes.
+    *
+    * Each round joins only the previous FRONTIER (depth = k-1 rows)
+    * against the once-materialized edge relation and folds with a min-agg,
+    * so per-round cost is frontier × mean-degree, never the whole
+    * component; maxDepth bounds the rounds regardless of graph diameter.
+    */
+  def bfsDepths(pairs: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0 && maxDepth <= 8, s"maxDepth=$maxDepth out of [0,8]")
+    val ed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var reached = seeds.select(col(seedCol).as("id"), lit(0).as("depth"))
+    for (k <- 1 to maxDepth) {
+      val frontier = reached.filter(col("depth") === k - 1)
+        .select(col("id").as("fid"))
+      val next = ed.join(frontier, col("src") === col("fid"))
+        .select(col("dst").as("id"), lit(k).as("depth"))
+      reached = reached.union(next)
+        .groupBy(col("id")).agg(min(col("depth")).as("depth"))
+    }
+    reached
+  }
+
+  /** DuckDB mirror of [[bfsDepths]]: unrolled frontier-expand + min-fold
+    * CTEs over `pairsRel(id_a, id_b)` and `seedsRel` (one `id` column).
+    */
+  def bfsDepthsSql(pairsRel: String, seedsRel: String, maxDepth: Int): String = {
+    val steps = (1 to maxDepth).map { k =>
+      s"""f$k AS (
+         |  SELECT e.dst AS id, $k AS depth
+         |  FROM ed e JOIN (SELECT id FROM r${k - 1} WHERE depth = ${k - 1}) f
+         |    ON e.src = f.id),
+         |r$k AS (
+         |  SELECT id, MIN(depth) AS depth FROM
+         |    (SELECT * FROM r${k - 1} UNION ALL SELECT * FROM f$k)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val chain = if (maxDepth == 0) "" else s",\n$steps"
+    s"""WITH pairs AS ($pairsRel),
+       |ed AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |r0 AS (SELECT id, 0 AS depth FROM ($seedsRel))$chain
+       |SELECT id, CAST(depth AS INTEGER) AS depth FROM r$maxDepth""".stripMargin
+  }
+
   /** DuckDB mirror of [[labelProp]]: unrolled per-round CTEs with a
     * (cnt DESC, label ASC) row_number argmax.
     */

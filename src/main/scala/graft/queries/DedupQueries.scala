@@ -270,5 +270,33 @@ object DedupQueries {
         "doc_id", "text", bits = 32, bands = 4, radius = 3),
       Some(Dedup.simhashHammingPairsSql("documents", "doc_id", "text",
         bits = 32, bands = 4, radius = 3))),
+
+    // Contamination BLAST RADIUS: bounded-depth BFS over the near-dup pair
+    // graph from the directly-contaminated docs (t13's flags). Depth 0 =
+    // benchmark overlap itself, depth 1 = near-dup of a contaminated doc,
+    // depth 2 = two hops — the transitive remove-within-k policy that
+    // catches paraphrased copies of leaked benchmark text which the direct
+    // n-gram probe misses. Per-round cost is frontier x degree over the
+    // once-materialized edge relation, never the whole component.
+    Q("d24_contamination_radius",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
+          N, JaccardThreshold)
+        val seeds = graft.operators.Decontaminate.overlapFlags(
+          t.documents.filter(col("doc_id") >= 50),
+          t.documents.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 3, frac = 0.5)
+          .filter(col("contaminated"))
+        graft.operators.GraphRank.bfsDepths(pairs, "id_a", "id_b",
+          seeds, "id", maxDepth = 2)
+      },
+      Some(graft.operators.GraphRank.bfsDepthsSql(
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
+          N, JaccardThreshold),
+        "SELECT id FROM (" + graft.operators.Decontaminate.overlapFlagsSql(
+          "documents", "doc_id", "text", n = 3, frac = 0.5, "doc_id < 50") +
+          ") WHERE contaminated",
+        maxDepth = 2))),
   )
 }

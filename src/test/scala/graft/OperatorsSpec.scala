@@ -951,4 +951,22 @@ class OperatorsSpec extends SparkSpec {
       s"right clique should converge to label 3, got $byNode")
     assert(got.forall(_._3 == 3L), "both communities have size 3")
   }
+
+  test("GraphRank.bfsDepths: min-hop depths, radius bound, unreachable absent") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus a shortcut 1-3 (min-depth must win) and an
+    // isolated edge 8-9 (unreachable from the seed)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (8L, 9L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.operators.GraphRank.bfsDepths(pairs, "id_a", "id_b",
+        seeds, "id", maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // maxDepth = 0 returns exactly the seed set
+    val onlySeeds = graft.operators.GraphRank.bfsDepths(pairs, "id_a", "id_b",
+        seeds, "id", maxDepth = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(onlySeeds == Map(1L -> 0))
+  }
 }
