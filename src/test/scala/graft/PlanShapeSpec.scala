@@ -233,4 +233,31 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 4, s"CDC dedup should stay at the d09 shuffle budget, got $exchanges:\n$plan")
   }
+
+  test("s21: funnel is ONE user_id shuffle, three windows, one key-only sort") {
+    val plan = finalPlanString(q("s21_funnel_steps"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one user_id shuffle, got $exchanges:\n$plan")
+    assert("Window".r.findAllIn(plan).size == 3, plan)
+    // all three windows share ONE grouping sort, keyed on user_id only
+    // (unbounded frames need no ordering column)
+    val sorts = "Sort \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(sorts.size == 1 && sorts.head.contains("user_id") &&
+      !sorts.head.contains(","),
+      s"expected one user_id-only grouping sort, got $sorts:\n$plan")
+  }
+
+  test("d23: pigeonhole Hamming pairs is a bucketed equi-join, never all-pairs") {
+    // bypass the entry point's eager materialization so the real plan shows
+    spark.conf.set("spark.graft.skipMaterialize", "true")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val df = graft.operators.Dedup.simhashHammingPairs(
+        docs, "doc_id", "text", bits = 32, bands = 4, radius = 3)
+      val plan = finalPlanString(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"candidate generation must stay an equi-join:\n$plan")
+    } finally spark.conf.unset("spark.graft.skipMaterialize")
+  }
 }
