@@ -72,6 +72,74 @@ object Profiler {
     * scan + one 10-row aggregation; the final join is 10×10 rows. This is
     * the weekly snapshot-vs-snapshot data-quality gate at any corpus size.
     */
+  /** Pairwise Pearson correlation MATRIX over `cols` in ONE aggregation
+    * pass: every per-column sum/sum-of-squares and every pairwise cross
+    * sum ride the same global aggregate (map-side combined — the scan cost
+    * is one pass regardless of how many pairs), then the 1-row result
+    * explodes into (col_a, col_b, corr, n) rows. Numerics use q33's
+    * split-sum trick — exact DECIMAL co-moments carried as BIGINT integer
+    * part + exact fractional part, recombined in double — so the result is
+    * a deterministic function of exact sums in BOTH engines (built-in
+    * `corr` is summation-order-dependent and engine-specific).
+    * Inputs are 2-dp-exact domain values (prices/quantities/rates), hence
+    * the DECIMAL(9,2) cast; generalize the scale before reusing on data
+    * with more fractional digits.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def d2(c: String) = col(c).cast("decimal(9,2)")
+    def splitSum(e: Column, name: String): Seq[Column] = Seq(
+      sum(floor(e).cast("long")).as(name + "i"),
+      sum(e - floor(e)).as(name + "f"))
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        splitSum(d2(c), s"s$i") ++ splitSum(d2(c) * d2(c), s"q$i") } ++
+      pairs.flatMap { case (i, j) =>
+        splitSum(d2(cols(i)) * d2(cols(j)), s"x${i}_$j") }
+    val sums = df.agg(aggs.head, aggs.tail: _*)
+    def big(name: String) =
+      col(name + "i").cast("double") + col(name + "f").cast("double")
+    val nd = col("n").cast("double")
+    val rows = pairs.map { case (i, j) =>
+      val (sx, sy) = (big(s"s$i"), big(s"s$j"))
+      val (sx2, sy2, sxy) = (big(s"q$i"), big(s"q$j"), big(s"x${i}_$j"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        ((nd * sxy - sx * sy) /
+          (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy))).as("corr"),
+        col("n").as("n"))
+    }
+    sums.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** DuckDB mirror of [[correlationMatrix]] (same split sums, same
+    * recombination order, one UNION ALL arm per pair over the 1-row CTE).
+    */
+  def correlationMatrixSql(table: String, cols: Seq[String]): String = {
+    def d2(c: String) = s"CAST($c AS DECIMAL(9,2))"
+    def splitSum(e: String, name: String) =
+      s"SUM(CAST(floor($e) AS BIGINT)) AS ${name}i, SUM(($e) - floor($e)) AS ${name}f"
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val aggs = Seq("COUNT(*) AS n") ++
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        splitSum(d2(c), s"s$i"), splitSum(s"${d2(c)} * ${d2(c)}", s"q$i")) } ++
+      pairs.map { case (i, j) =>
+        splitSum(s"${d2(cols(i))} * ${d2(cols(j))}", s"x${i}_$j") }
+    def big(name: String) =
+      s"(CAST(${name}i AS DOUBLE) + CAST(${name}f AS DOUBLE))"
+    val nd = "CAST(n AS DOUBLE)"
+    val arms = pairs.map { case (i, j) =>
+      val (sx, sy) = (big(s"s$i"), big(s"s$j"))
+      val (sx2, sy2, sxy) = (big(s"q$i"), big(s"q$j"), big(s"x${i}_$j"))
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+         |  ($nd * $sxy - $sx * $sy) /
+         |    (sqrt($nd * $sx2 - $sx * $sx) * sqrt($nd * $sy2 - $sy * $sy)) AS corr,
+         |  n FROM sums""".stripMargin
+    }
+    s"""WITH sums AS (SELECT ${aggs.mkString(", ")} FROM $table)
+       |${arms.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   def distDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     def cents(df: DataFrame) = df.select(
       (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))

@@ -663,6 +663,19 @@ object MiscQueries {
       Some(graft.operators.Quantiles.equiDepthHistogramSql(
         "orders", "o_totalprice", bins = 8))),
 
+    // Pairwise correlation MATRIX across the lineitem measures in ONE
+    // aggregation pass (q33 computes one grouped pair; this is the
+    // profiler's all-pairs ANALYZE form): per-column and cross sums all
+    // ride a single map-side-combined aggregate, exact decimal co-moments
+    // recombined deterministically in double — never the built-in
+    // summation-order-dependent corr.
+    Q("p14_correlation_matrix",
+      (s, dir) => graft.operators.Profiler.correlationMatrix(
+        Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some(graft.operators.Profiler.correlationMatrixSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
+
     // Key-distribution profile (util/Skew.keyStats): the pre-join advisor
     // that decides salting / broadcast / AQE-skew handling from ONE reduced
     // pass — p01 profiles column VALUES, this profiles the GROUP-SIZE

@@ -32,6 +32,24 @@ class ProfilerSpec extends SparkSpec {
     assert(scans == 1, plan)
   }
 
+  test("correlationMatrix agrees with built-in corr; one scan for all pairs") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val df = Profiler.correlationMatrix(li, cols)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    for (((a, b), c) <- got) {
+      val ref = li.agg(corr(col(a), col(b))).head.getDouble(0)
+      assert(math.abs(c - ref) < 1e-9, s"($a,$b): $c vs builtin $ref")
+    }
+    // fresh frame: an executed AQE plan stringifies initial+final and
+    // would double-count the scan
+    val plan = Profiler.correlationMatrix(li, cols)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("approx profile matches exact within HLL tolerance, plan has no Expand") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val cols = (Seq("o_orderkey", "o_custkey", "o_totalprice"),
