@@ -31,6 +31,66 @@ class StatefulAndSkewSpec extends SparkSpec {
     assert(rows.exists(r => r.user_id == 2 && r.n == 1))
   }
 
+  test("funnelStages: late view retroactively unlocks click+purchase; re-delivery idempotent") {
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelProgress}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StatefulOps.funnelStages(spark, in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    // click and purchase arrive FIRST: no view yet, stage must be 0
+    in.addData(FunnelEvent(1, "click", ts(5)), FunnelEvent(1, "purchase", ts(6)))
+    q.processAllAvailable()
+    val afterB1 = spark.table("funnel_out").as[FunnelProgress].collect()
+    assert(afterB1.last.stage == 0 && afterB1.last.t1 == -1L)
+    // the view arrives LATE, earlier than both: unlocks the whole chain
+    in.addData(FunnelEvent(1, "view", ts(1)))
+    q.processAllAvailable()
+    val afterB2 = spark.table("funnel_out").as[FunnelProgress].collect()
+    assert(afterB2.last.stage == 3)
+    assert(afterB2.last.t1 == ts(1).getTime && afterB2.last.t2 == ts(5).getTime
+      && afterB2.last.t3 == ts(6).getTime)
+    // re-delivering batch 1 must not change anything (min/set-union state)
+    in.addData(FunnelEvent(1, "click", ts(5)), FunnelEvent(1, "purchase", ts(6)))
+    q.processAllAvailable()
+    val afterB3 = spark.table("funnel_out").as[FunnelProgress].collect()
+    assert(afterB3.last == afterB2.last)
+    q.stop()
+  }
+
+  test("funnelStages agrees with a batch recomputation on shuffled real events") {
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelProgress}
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+      .as[FunnelEvent].collect()
+    // deterministic shuffle: deliver in hash order, split into 3 batches —
+    // plenty of cross-batch reordering against event time
+    val shuffled = events.sortBy(e => (e.ts.getTime * 31 + e.user_id).hashCode)
+    val batches = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    val in = MemoryStream[FunnelEvent]
+    val q = StatefulOps.funnelStages(spark, in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_batch_agree").start()
+    batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("funnel_batch_agree").as[FunnelProgress]
+      .collect().groupBy(_.user_id).map { case (u, rows) => u -> rows.last.stage }
+    // batch truth: the s21 definition folded directly
+    val truth = events.groupBy(_.user_id).map { case (u, es) =>
+      val t1 = es.filter(_.event_type == "view").map(_.ts.getTime)
+        .minOption.getOrElse(-1L)
+      val t2 = if (t1 < 0) -1L else es.filter(e => e.event_type == "click"
+        && e.ts.getTime > t1).map(_.ts.getTime).minOption.getOrElse(-1L)
+      val t3 = if (t2 < 0) -1L else es.filter(e => e.event_type == "purchase"
+        && e.ts.getTime > t2).map(_.ts.getTime).minOption.getOrElse(-1L)
+      u -> Seq(t1, t2, t3).takeWhile(_ >= 0).size
+    }
+    assert(streamed == truth)
+    assert(truth.values.exists(_ == 3), "fixture must exercise full funnels")
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val df = Seq.tabulate(1000)(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong, i.toDouble))
       .toDF("key", "id", "v")
