@@ -46,4 +46,35 @@ object AsOfJoin {
       payloadCols.map(p => col("_match").getField(p).as(p))
     carried.filter(col("_side") === 1).select(outCols.toIndexedSeq: _*)
   }
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with the
+    * same key and right.time >= left.time (the "next event after" lookup:
+    * next quote after a trade, next order after a page view). Same
+    * one-shuffle union+window shape as [[backward]], mirrored: left rows
+    * sort BEFORE right rows at equal timestamps (>= includes ties) and the
+    * window looks forward, taking the FIRST non-null payload in
+    * [current, unbounded following]. Smallest tiebreak wins at equal right
+    * times (the earliest-deterministic choice), so `_tb` orders ascending.
+    */
+  def forward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payloadCols: Seq[String], rightTiebreak: String): DataFrame = {
+    val r = right.select(
+      col(rightKey).as("_k"), col(rightTime).as("_t"),
+      lit(1).as("_side"), col(rightTiebreak).cast("long").as("_tb"),
+      struct(payloadCols.map(col): _*).as("_payload"))
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0)).withColumn("_tb", lit(0L))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("_match",
+      first(col("_payload"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col) ++
+      payloadCols.map(p => col("_match").getField(p).as(p))
+    carried.filter(col("_side") === 0).select(outCols.toIndexedSeq: _*)
+  }
 }

@@ -141,6 +141,30 @@ object EventQueries {
              |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
              |WHERE rn = 1""".stripMargin)),
 
+    // FORWARD as-of: the NEXT order at-or-after each event (s04 is the
+    // backward twin). Same one-shuffle union+window composition, mirrored:
+    // left rows sort before right at equal times (>= includes the tie) and
+    // a forward-looking first(ignoreNulls) carries the match back.
+    Q("s22_asof_next_order",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        AsOfJoin.forward(
+          t.events.select(col("event_id"), col("user_id"), col("ts")),
+          t.orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          rightTiebreak = "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT event_id, o_orderkey, o_totalprice FROM (
+             |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+             |WHERE rn = 1""".stripMargin)),
+
     // The built-in session_window operator in batch, checked against an
     // independent gaps-and-islands derivation in DuckDB (session end =
     // last event + gap, merged on 30-minute inactivity).

@@ -600,6 +600,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("o_price") == 9.0)
   }
 
+  test("asof forward join: >= semantics, min-tiebreak, and no-match nulls") {
+    val out = AsOfJoin.forward(eventsT, ordersT,
+      "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey", "o_price"), "o_orderkey")
+      .orderBy("event_id").collect()
+    val keys = out.map(r => Option(r.getAs[java.lang.Long]("o_orderkey")).map(_.toLong))
+    // event 1 (Jan 5) → next is the Jan 10 pair, MIN key 11 wins;
+    // event 2 ties exactly at Jan 10 (>= includes it) → 11;
+    // event 3 (Feb 1) is after every 100-order → null;
+    // event 4 (Jan 1, key 200) → order 13 in June; event 5: no such key.
+    assert(keys.toSeq == Seq(Some(11L), Some(11L), None, Some(13L), None))
+  }
+
   test("BottomKSketch matches sort-based rank-k over distinct values") {
     import graft.operators.BottomKSketch
     val rnd = new scala.util.Random(42)
