@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ingest.MarketPipeline
 import graft.sources.HtmlTable
+import graft.util.Tables
 
 /** The reference's own pipeline (EP3: scrape → enrich → filter → normalize,
   * SURVEY.md §3) declared as an oracle-checked query. The driver testdata has
@@ -13,6 +14,7 @@ import graft.sources.HtmlTable
   * parse → enrich → dropTotals → normalize chain.
   */
 object MarketQueries {
+  import Num._
 
   private[graft] val FixturePage: String =
     """<html><div id="right2"><b>2026-08-12</b></div>
@@ -265,5 +267,39 @@ object MarketQueries {
              |   '2026-08-12', 'apples_golden_delicious', 'summary'))
              |AS t(container, price_r, total_value_sold, total_quantity_sold,
              |     scrape_date, commodity, link_type)""".stripMargin)),
+
+    // JSONL landing-zone ingest: events round-trip through a text JSONL
+    // drop (the other ubiquitous landing format next to SNK1's CSV), read
+    // back with an explicit schema in PERMISSIVE mode. Two planted bad
+    // rows exercise both failure surfaces: a malformed line lands whole in
+    // the corrupt-record column; a type-mismatched field (string where
+    // BIGINT is declared) nulls JUST that field without tripping the
+    // corrupt column — so the quarantine predicate must also demand a
+    // parseable id, or the half-parsed row silently joins the clean data.
+    // The oracle aggregates the source table directly: the hash match
+    // proves the round trip is lossless and exactly the two planted rows
+    // were dropped.
+    Q("m06_jsonl_ingest",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_m06_jsonl_")
+        val landing = tmp.resolve("landing")
+        t.events
+          .select(to_json(struct(col("event_id"), col("event_type"),
+            col("value"))).as("value"))
+          .write.mode("overwrite").text(landing.toString)
+        java.nio.file.Files.writeString(landing.resolve("zz_badshard.txt"),
+          "{this is not json}\n{\"event_id\": \"not-a-number\", \"event_type\": \"view\", \"value\": 1.0}\n")
+        val parsed = s.read
+          .schema("event_id BIGINT, event_type STRING, value DOUBLE, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(landing.toString)
+        parsed.filter(col("_bad").isNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
   )
 }
