@@ -1123,6 +1123,58 @@ object MiscQueries {
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)),
 
+    // Mode + DISCRETE median per group (q15's percentile_cont interpolates;
+    // percentile_disc returns an actual element). Both engines' builtins
+    // (Spark mode(), DuckDB quantile_disc) leave tie/rounding semantics
+    // engine-defined, so both stats are pinned by explicit arithmetic:
+    // mode = argmax of (count, smallest-value-on-tie) via one packed-BIGINT
+    // max_by over the frequency relation; disc median = the value at rank
+    // ceil(n/2) of the sorted multiset (row_number + count window, value at
+    // a rank is well-defined regardless of tie order). Values ride as exact
+    // integer cents.
+    Q("q51_mode_disc_median",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cents = t.lineitem.select(col("l_returnflag").as("f"),
+          (dec(col("l_quantity")) * 100).cast("long").as("c"))
+        val mode = cents.groupBy(col("f"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("f"))
+          .agg(max_by(col("c"), col("cnt") * 1000000L - col("c")).as("mc"),
+            max(col("cnt")).as("n_modal"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("f")).orderBy(col("c"))
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+        val med = cents
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          // DIV, not `/`: Column./ is double division, and an even-count
+          // group's (n+1)/2 = x.5 would match no rank at all
+          .filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("f"), col("c").as("medc"))
+        mode.join(med, Seq("f"))
+          .select(col("f").as("l_returnflag"),
+            (col("mc").cast("double") / 100).as("modal_qty"), col("n_modal"),
+            (col("medc").cast("double") / 100).as("median_qty"))
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT l_returnflag AS f,
+              |    CAST(${sqlDec("l_quantity")} * 100 AS BIGINT) AS c
+              |  FROM lineitem),
+              |freq AS (SELECT f, c, COUNT(*) AS cnt FROM cents GROUP BY 1, 2),
+              |md AS (
+              |  SELECT f, arg_max(c, cnt * 1000000 - c) AS mc,
+              |    MAX(cnt) AS n_modal
+              |  FROM freq GROUP BY 1),
+              |ranked AS (
+              |  SELECT f, c, ROW_NUMBER() OVER (PARTITION BY f ORDER BY c) AS rn,
+              |    COUNT(*) OVER (PARTITION BY f) AS n
+              |  FROM cents),
+              |med AS (SELECT f, c AS medc FROM ranked WHERE rn = (n + 1) // 2)
+              |SELECT md.f AS l_returnflag, CAST(md.mc AS DOUBLE) / 100 AS modal_qty,
+              |  md.n_modal, CAST(med.medc AS DOUBLE) / 100 AS median_qty
+              |FROM md JOIN med ON md.f = med.f""".stripMargin)),
+
     // KMV sketch SET ALGEBRA: per-source bottom-k summaries support not
     // just distinct counts but union / intersection / Jaccard estimates
     // between any source pair — the "how much does corpus A overlap corpus
