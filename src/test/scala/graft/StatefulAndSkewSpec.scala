@@ -58,6 +58,36 @@ class StatefulAndSkewSpec extends SparkSpec {
     q.stop()
   }
 
+  test("funnelStages state survives a checkpointed kill/restart") {
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelProgress}
+    val src = tmpDir("funnel_src")
+    val ckpt = tmpDir("funnel_ckpt")
+    val out = tmpDir("funnel_restart_out")
+    val schema = Seq(FunnelEvent(0L, "x", ts(0))).toDF().schema
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(src).as[FunnelEvent]
+      val q = StatefulOps.funnelStages(spark, in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+    }
+    // run 1: click+purchase land first → stage 0, but their TIMES enter state
+    Seq(FunnelEvent(1, "click", ts(5)), FunnelEvent(1, "purchase", ts(6)))
+      .toDF().write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(out).as[FunnelProgress].collect()
+      .map(_.stage).max == 0)
+    // the query is gone; the late view lands; a NEW query on the same
+    // checkpoint must resume the state store and unlock the full chain
+    Seq(FunnelEvent(1, "view", ts(1))).toDF().write.mode("append").parquet(src)
+    run()
+    val rows = spark.read.parquet(out).as[FunnelProgress].collect()
+    assert(rows.exists(r => r.stage == 3 && r.t2 == ts(5).getTime),
+      s"restarted query must see the pre-kill click/purchase state: ${rows.toSeq}")
+  }
+
   test("funnelStages agrees with a batch recomputation on shuffled real events") {
     import graft.streaming.StatefulOps.{FunnelEvent, FunnelProgress}
     implicit val sqlCtx = spark.sqlContext
