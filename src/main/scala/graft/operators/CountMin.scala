@@ -95,4 +95,29 @@ object CountMin {
        |LEFT JOIN $sketchRel s ON a.seed = s.seed AND a.bucket = s.bucket
        |GROUP BY a.tok""".stripMargin
   }
+
+  /** JOIN-SIZE estimation from two sketches — the query-optimizer
+    * cardinality primitive: |A ⋈_k B| = Σ_k fA(k)·fB(k), estimated as the
+    * MIN over the depth rows of the per-row inner product
+    * Σ_b cmA[j][b]·cmB[j][b]. Hash collisions only ADD cross terms, so
+    * like point estimates this never undercounts; two depth×width
+    * summaries answer the question without touching either table again.
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("seed"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(b.select(col("seed"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("seed", "bucket"))
+      .groupBy(col("seed"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).cast("long").as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+
+  /** DuckDB mirror of [[joinSizeEstimate]] over two sketch relations:
+    * scalar body producing (est_join_size).
+    */
+  def joinSizeEstimateSql(sketchA: String, sketchB: String): String =
+    s"""SELECT MIN(ip) AS est_join_size FROM (
+       |  SELECT a.seed, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+       |  FROM $sketchA a JOIN $sketchB b
+       |    ON a.seed = b.seed AND a.bucket = b.bucket
+       |  GROUP BY 1)""".stripMargin
 }

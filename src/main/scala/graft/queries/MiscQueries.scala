@@ -1123,6 +1123,43 @@ object MiscQueries {
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)),
 
+    // JOIN-SIZE estimation from two CountMin sketches — the cardinality
+    // question a cost-based optimizer asks before picking a join strategy,
+    // answered from two depth×width summaries WITHOUT touching either
+    // table again: |A ⋈ B| = Σ_k fA(k)·fB(k), min over rows of the per-row
+    // cell inner product. Never undercounts; the additive error is
+    // ~|A|·|B|/width (production widths are 2^20+, the declared 4096 keeps
+    // the oracle replay cheap). Emitted next to the exact join count so
+    // the bound is visible in the result itself.
+    Q("p15_join_size_estimate",
+      (s, dir) => {
+        val depth = 4; val width = 4096
+        val t = Tables(s, dir)
+        val cm = graft.operators.CountMin
+        val est = cm.joinSizeEstimate(
+          cm.sketch(t.orders.select(col("o_orderkey").cast("string").as("tok")),
+            "tok", depth, width),
+          cm.sketch(t.lineitem.select(col("l_orderkey").cast("string").as("tok")),
+            "tok", depth, width))
+        val exact = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("exact_join_size"))
+        est.crossJoin(broadcast(exact))
+      },
+      Some {
+        val depth = 4; val width = 4096
+        val cm = graft.operators.CountMin
+        s"""WITH otoks AS (SELECT CAST(o_orderkey AS VARCHAR) AS tok FROM orders),
+           |ltoks AS (SELECT CAST(l_orderkey AS VARCHAR) AS tok FROM lineitem),
+           |ska AS (${cm.sketchSql("otoks", depth, width)}),
+           |skb AS (${cm.sketchSql("ltoks", depth, width)}),
+           |est AS (${cm.joinSizeEstimateSql("ska", "skb")}),
+           |exact AS (
+           |  SELECT COUNT(*) AS exact_join_size
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+           |SELECT est_join_size, exact_join_size FROM est, exact""".stripMargin
+      }),
+
     // Mode + DISCRETE median per group (q15's percentile_cont interpolates;
     // percentile_disc returns an actual element). Both engines' builtins
     // (Spark mode(), DuckDB quantile_disc) leave tie/rounding semantics

@@ -795,6 +795,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("CountMin.joinSizeEstimate: >= true join size, exact when collision-free") {
+    import spark.implicits._
+    // fA = {a:2, b:1, c:3}, fB = {a:1, c:2, d:5} → Σ fA·fB = 2·1 + 3·2 = 8
+    val a = Seq("a", "a", "b", "c", "c", "c").toDF("tok")
+    val b = Seq("a", "c", "c", "d", "d", "d", "d", "d").toDF("tok")
+    def est(width: Int): Long = {
+      val skA = graft.operators.CountMin.sketch(a, "tok", 4, width)
+      val skB = graft.operators.CountMin.sketch(b, "tok", 4, width)
+      graft.operators.CountMin.joinSizeEstimate(skA, skB)
+        .head.getLong(0)
+    }
+    assert(est(4096) == 8L) // 4 keys in 4096 buckets: no collisions, exact
+    assert(est(2) >= 8L)    // forced collisions may only overcount
+  }
+
   test("CountMin.merge: per-shard sketches sum cellwise to the full sketch") {
     import spark.implicits._
     val a = Seq("x y z x", "y common words here").toDF("text")
