@@ -1123,6 +1123,39 @@ object MiscQueries {
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)),
 
+    // The remaining window-NAVIGATION surface in one query (q26 covers
+    // lead/lag/ntile; q05/q11 cover running/ranking): percent_rank,
+    // cume_dist, nth_value over an explicit cumulative ROWS frame, and a
+    // centered 3-row moving average. Ordering is pinned unique by
+    // (price, orderkey) so every rank-derived value is deterministic, and
+    // frames are written out explicitly — default-frame semantics for
+    // nth_value differ subtly across engines. The moving average divides
+    // in DOUBLE on both sides (decimal division would widen scale
+    // engine-specifically).
+    Q("q52_window_navigation",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wf = w.rowsBetween(Long.MinValue, 0)
+        val wc = w.rowsBetween(-1, 1)
+        t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_lowest"),
+          (sum(dec(col("o_totalprice"))).over(wc).cast("double") /
+            count(lit(1)).over(wc)).as("centered_avg"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority,
+              |  percent_rank() OVER w AS pr,
+              |  cume_dist() OVER w AS cd,
+              |  nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest,
+              |  CAST(SUM(${sqlDec("o_totalprice")}) OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+              |    / (COUNT(*) OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)) AS centered_avg
+              |FROM orders
+              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
     // JOIN-SIZE estimation from two CountMin sketches — the cardinality
     // question a cost-based optimizer asks before picking a join strategy,
     // answered from two depth×width summaries WITHOUT touching either
