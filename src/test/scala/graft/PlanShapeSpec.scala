@@ -247,6 +247,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one user_id-only grouping sort, got $sorts:\n$plan")
   }
 
+  test("b06: ANALYZE column statistics flow into CBO plan estimates") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS g_cbo_orders")
+    s.sql(s"CREATE TABLE g_cbo_orders USING parquet AS " +
+      s"SELECT * FROM parquet.`$sf/orders.parquet`")
+    s.sql("ANALYZE TABLE g_cbo_orders COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderkey, o_orderpriority, o_custkey")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rel = s.table("g_cbo_orders")
+      val n = s.read.parquet(s"$sf/orders.parquet").count()
+      val stats = rel.queryExecution.optimizedPlan.stats
+      // catalog row count and per-column NDV/min/max reach the optimizer
+      assert(stats.rowCount.contains(BigInt(n)), s"rowCount=${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty,
+        "ANALYZE FOR COLUMNS must surface attribute-level statistics")
+      // CBO uses them: an equality filter's cardinality estimate shrinks
+      // by the column's selectivity instead of staying the table size
+      val fstats = rel
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .queryExecution.optimizedPlan.stats
+      assert(fstats.rowCount.isDefined && fstats.rowCount.get < BigInt(n) / 2,
+        s"filter estimate ${fstats.rowCount} should reflect NDV-based selectivity")
+    } finally {
+      s.conf.unset("spark.sql.cbo.enabled")
+      s.sql("DROP TABLE IF EXISTS g_cbo_orders")
+    }
+  }
+
   test("d23: pigeonhole Hamming pairs is a bucketed equi-join, never all-pairs") {
     // bypass the entry point's eager materialization so the real plan shows
     spark.conf.set("spark.graft.skipMaterialize", "true")
