@@ -179,6 +179,34 @@ object SqlQueries {
              |  SELECT c_nationkey AS nk FROM customer
              |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
 
+    // BAG-semantics set ops (q31 is the SET forms): EXCEPT ALL keeps the
+    // multiplicity DIFFERENCE per value, INTERSECT ALL the minimum — on
+    // nation keys both sides carry heavy duplication, so the distinction
+    // is load-bearing here, not cosmetic. Rolled up to (nk, which, n) so
+    // the multiset itself (not just its support) is what the hash checks.
+    Q("q53_bag_set_ops",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val suppNations = t.supplier.select(col("s_nationkey").as("nk"))
+        val custNations = t.customer.select(col("c_nationkey").as("nk"))
+        val excess = custNations.exceptAll(suppNations)
+          .withColumn("which", lit("cust_excess"))
+        val common = custNations.intersectAll(suppNations)
+          .withColumn("which", lit("common_min"))
+        excess.unionByName(common)
+          .groupBy(col("nk"), col("which"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT nk, which, COUNT(*) AS n FROM (
+             |  SELECT nk, 'cust_excess' AS which FROM (
+             |    SELECT c_nationkey AS nk FROM customer
+             |    EXCEPT ALL SELECT s_nationkey FROM supplier)
+             |  UNION ALL
+             |  SELECT nk, 'common_min' FROM (
+             |    SELECT c_nationkey AS nk FROM customer
+             |    INTERSECT ALL SELECT s_nationkey FROM supplier))
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Three-valued-logic semantics: NOT IN over a list containing NULL
     // matches nothing (per SQL), while NOT EXISTS gives the intuitive
     // answer — both engines must agree on both counts.
