@@ -179,6 +179,25 @@ object SqlQueries {
              |  SELECT c_nationkey AS nk FROM customer
              |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
 
+    // String aggregation (LISTAGG/STRING_AGG surface; q17's set-agg emits
+    // an ARRAY): per-region roster as ONE sorted delimited string.
+    // collect_list's order is partition-arrival nondeterministic, so the
+    // deterministic form is array_sort before array_join — mirrored by
+    // DuckDB's string_agg ORDER BY.
+    Q("q54_string_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",")
+              .as("nations_csv"))
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
     // BAG-semantics set ops (q31 is the SET forms): EXCEPT ALL keeps the
     // multiplicity DIFFERENCE per value, INTERSECT ALL the minimum — on
     // nation keys both sides carry heavy duplication, so the distinction
