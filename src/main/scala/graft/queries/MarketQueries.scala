@@ -301,5 +301,38 @@ object MarketQueries {
       },
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM events GROUP BY 1""".stripMargin)),
+
+    // CSV round-trip — the reference's OWN landing format (SNK1 writes
+    // header CSV): events land as headered CSV, read back with an explicit
+    // schema in PERMISSIVE mode. A planted ragged line (too few columns)
+    // must fill missing fields null and surface in the corrupt-record
+    // column, and a type-mismatched cell must null its field — both
+    // quarantined by the same parseable-id contract as m06. The oracle
+    // aggregates the source table: the hash proves losslessness (including
+    // doubles surviving text round-trip) and an exact quarantine.
+    Q("m07_csv_roundtrip",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_m07_csv_")
+        val landing = tmp.resolve("landing")
+        t.events.select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true")
+          .csv(landing.toString)
+        java.nio.file.Files.writeString(landing.resolve("zz_bad.csv"),
+          "event_id,event_type,value\n12345,view\nnot-a-number,click,2.5\n")
+        val parsed = s.read
+          .schema("event_id BIGINT, event_type STRING, value DOUBLE, _bad STRING")
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(landing.toString)
+        parsed
+          .filter(col("_bad").isNull && col("event_id").isNotNull &&
+            col("value").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
+              |FROM events GROUP BY 1""".stripMargin)),
   )
 }
