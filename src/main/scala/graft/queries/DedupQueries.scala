@@ -276,13 +276,16 @@ object DedupQueries {
     // benchmark overlap itself, depth 1 = near-dup of a contaminated doc,
     // depth 2 = two hops — the transitive remove-within-k policy that
     // catches paraphrased copies of leaked benchmark text which the direct
-    // n-gram probe misses. Per-round cost is frontier x degree over the
-    // once-materialized edge relation, never the whole component.
+    // n-gram probe misses. The pair relation is the LSH one (d08's graph,
+    // linear bucketed build), NOT the guarded exact-quadratic d03 form —
+    // both the engine and the DuckDB replay stay tractable at scale.
+    // Per-round cost is frontier x degree over the once-materialized edge
+    // relation, never the whole component.
     Q("d24_contamination_radius",
       (s, dir) => {
         val t = Tables(s, dir)
-        val pairs = Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
-          N, JaccardThreshold)
+        val pairs = Dedup.minhashLshPairs(t.documents, "doc_id", "text",
+          N, NumHashes, RowsPerBand, LshThreshold)
         val seeds = graft.operators.Decontaminate.overlapFlags(
           t.documents.filter(col("doc_id") >= 50),
           t.documents.filter(col("doc_id") < 50),
@@ -292,8 +295,8 @@ object DedupQueries {
           seeds, "id", maxDepth = 2)
       },
       Some(graft.operators.GraphRank.bfsDepthsSql(
-        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
-          N, JaccardThreshold),
+        Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+          N, NumHashes, RowsPerBand, LshThreshold),
         "SELECT id FROM (" + graft.operators.Decontaminate.overlapFlagsSql(
           "documents", "doc_id", "text", n = 3, frac = 0.5, "doc_id < 50") +
           ") WHERE contaminated",
