@@ -74,6 +74,21 @@ object Multimodal {
           f.getField("sample_rate").cast("double")).as("duration_ms")))
   }
 
+  /** Typed MP3 metadata from a binary column: real frame-header decode
+    * past an optional ID3v2 tag (graft.plans.Mp3Meta; null for non-MP3) —
+    * version family, layer, bitrate, sample rate, channel count.
+    */
+  def withMp3Meta(df: DataFrame, binCol: String): DataFrame = {
+    val m = graft.plans.Mp3Meta(col(binCol))
+    df.withColumn("mp3_meta", struct(
+      m.getField("format").as("format"),
+      m.getField("version").as("version"),
+      m.getField("layer").as("layer"),
+      m.getField("bitrate_kbps").as("bitrate_kbps"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("channels").as("channels")))
+  }
+
   /** Typed video metadata from a binary column: real MP4/ISO-BMFF box walk
     * (mvhd timescale/duration; null for non-MP4) plus derived duration_ms.
     */

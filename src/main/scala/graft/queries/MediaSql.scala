@@ -213,6 +213,57 @@ object MediaSql {
        |  WHERE fmtpos IS NOT NULL
        |)""".stripMargin
 
+  /** The MP3 frame-header branch of `graft.plans.Mp3Headers` over
+    * `src(key, h, n)`: emits CTEs ending in `mp3meta(key, format, version,
+    * layer, bitrate_kbps, sample_rate, channels)`. The bitrate/sample-rate
+    * CASE chains are GENERATED from Mp3Headers' own arrays — one source of
+    * truth for both engines. No recursion: only the first frame header
+    * (past an optional syncsafe-sized ID3v2 tag) is read.
+    */
+  def mp3Ctes(src: String): String = {
+    import graft.plans.Mp3Headers._
+    def b(pos: String) = byteAt("h", pos)
+    val id3 = "substr(h,1,6) = '494433'"
+    val syncsafe =
+      s"${b("6")} < 128 AND ${b("7")} < 128 AND ${b("8")} < 128 AND ${b("9")} < 128"
+    val id3size =
+      s"(${b("6")}*2097152 + ${b("7")}*16384 + ${b("8")}*128 + ${b("9")})"
+    def brCase(tbl: Array[Int]) =
+      "CASE br " + (1 to 14).map(i => s"WHEN $i THEN ${tbl(i)}").mkString(" ") + " END"
+    def srCase(tbl: Array[Int]) =
+      s"CASE sr WHEN 0 THEN ${tbl(0)} WHEN 1 THEN ${tbl(1)} ELSE ${tbl(2)} END"
+    s"""mp30 AS (
+       |  SELECT key, h, n,
+       |    CASE WHEN n >= 10 AND $id3
+       |         THEN (CASE WHEN $syncsafe THEN 10 + $id3size END)
+       |         ELSE 0 END AS p
+       |  FROM $src),
+       |mp31 AS (
+       |  SELECT key, ${b("p+1")} AS h1, ${b("p+2")} AS h2, ${b("p+3")} AS h3
+       |  FROM mp30
+       |  WHERE p IS NOT NULL AND p + 4 <= n AND ${b("p")} = 255),
+       |mp32 AS (
+       |  SELECT key, (h1//8)%4 AS ver, (h1//2)%4 AS lay,
+       |    (h2//16)%16 AS br, (h2//4)%4 AS sr, (h3//64)%4 AS chm
+       |  FROM mp31 WHERE h1 >= 224),
+       |mp3meta AS (
+       |  SELECT key, 'mp3' AS format,
+       |    CASE ver WHEN 3 THEN 'mpeg1' WHEN 2 THEN 'mpeg2'
+       |      ELSE 'mpeg2.5' END AS version,
+       |    CAST(4 - lay AS INTEGER) AS layer,
+       |    CAST(CASE WHEN ver = 3 AND lay = 3 THEN ${brCase(BitrateV1L1)}
+       |         WHEN ver = 3 AND lay = 2 THEN ${brCase(BitrateV1L2)}
+       |         WHEN ver = 3 AND lay = 1 THEN ${brCase(BitrateV1L3)}
+       |         WHEN lay = 3 THEN ${brCase(BitrateV2L1)}
+       |         ELSE ${brCase(BitrateV2L23)} END AS INTEGER) AS bitrate_kbps,
+       |    CAST(CASE WHEN ver = 3 THEN ${srCase(SampleRateV1)}
+       |         WHEN ver = 2 THEN ${srCase(SampleRateV2)}
+       |         ELSE ${srCase(SampleRateV25)} END AS INTEGER) AS sample_rate,
+       |    CAST(CASE WHEN chm = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels
+       |  FROM mp32
+       |  WHERE ver <> 1 AND lay <> 0 AND br BETWEEN 1 AND 14 AND sr <> 3)""".stripMargin
+  }
+
   /** Unsigned big-endian int32 at byte expression `pos`. */
   def be32u(h: String, pos: String): String =
     s"(${byteAt(h, pos)}*16777216 + ${byteAt(h, s"($pos)+1")}*65536" +

@@ -47,6 +47,7 @@ object MultimodalQueries {
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
   lazy val videoFixturePath: String = fixturePath("video.parquet")
   lazy val flacFixturePath: String = fixturePath("flac.parquet")
+  lazy val mp3FixturePath: String = fixturePath("audio_mp3.parquet")
 
   val all: Seq[Q] = Seq(
     // Binary metadata extraction over arbitrary payloads: byte length,
@@ -155,6 +156,33 @@ object MultimodalQueries {
              |  md5(i.h) AS content_hash, d.format AS format,
              |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
              |FROM imgs i LEFT JOIN tiffdims d ON d.key = i.name""".stripMargin)),
+
+    // Real MP3 decode over committed hand-assembled frame headers: every
+    // version family (MPEG1/2/2.5) and layer (I/II/III), an ID3v2-prefixed
+    // file exercising the SYNCSAFE tag-size skip, mono vs stereo; free
+    // bitrate, reserved sample rate, bad sync, tag-past-EOF and noise must
+    // all be null in BOTH engines. The oracle's bitrate/sample-rate CASE
+    // chains are generated from the parser's own lookup tables.
+    Q("mm09_mp3_meta",
+      (s, _) => {
+        val mp3s = s.read.parquet(mp3FixturePath)
+        Multimodal.withMp3Meta(mp3s, "payload")
+          .select(col("name"),
+            col("mp3_meta.format").as("format"),
+            col("mp3_meta.version").as("version"),
+            col("mp3_meta.layer").as("layer"),
+            col("mp3_meta.bitrate_kbps").as("bitrate_kbps"),
+            col("mp3_meta.sample_rate").as("sample_rate"),
+            col("mp3_meta.channels").as("channels"))
+      },
+      Some(s"""WITH mp3s AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$mp3FixturePath')),
+             |src AS (SELECT name AS key, h, n FROM mp3s),
+             |${MediaSql.mp3Ctes("src")}
+             |SELECT m.name, d.format, d.version, d.layer, d.bitrate_kbps,
+             |  d.sample_rate, d.channels
+             |FROM mp3s m LEFT JOIN mp3meta d ON d.key = m.name""".stripMargin)),
 
     // Real audio decode over committed hand-built RIFF/WAVE bytes: the
     // chunk walk (LIST/junk chunks skipped, pad bytes honored) latches

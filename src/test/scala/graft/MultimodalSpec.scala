@@ -109,6 +109,31 @@ class MultimodalSpec extends SparkSpec {
       assert(java.util.Arrays.equals(committed(k), v), s"fixture $k drifted")
   }
 
+  test("Mp3Headers decodes every family; ID3 skip; negatives stay null") {
+    val got = graft.tools.GenMp3Fixtures.fixtures().map { case (name, bytes) =>
+      val r = graft.plans.Mp3Headers.parseRow(bytes)
+      name -> Option(r).map(x => (x.getUTF8String(1).toString, x.getInt(2),
+        x.getInt(3), x.getInt(4), x.getInt(5)))
+    }.toMap
+    assert(got("mp3_v1l3_128k_44100_stereo") == Some(("mpeg1", 3, 128, 44100, 2)))
+    assert(got("mp3_id3_v1l3_192k_48000") == Some(("mpeg1", 3, 192, 48000, 2)))
+    assert(got("mp3_v1l1_448k_32000") == Some(("mpeg1", 1, 448, 32000, 2)))
+    assert(got("mp3_v1l2_112k_44100") == Some(("mpeg1", 2, 112, 44100, 2)))
+    assert(got("mp3_v2l3_64k_22050_mono") == Some(("mpeg2", 3, 64, 22050, 1)))
+    assert(got("mp3_v25l3_16k_8000") == Some(("mpeg2.5", 3, 16, 8000, 2)))
+    assert(got("mp3_free_bitrate").isEmpty && got("mp3_reserved_samplerate").isEmpty
+      && got("mp3_bad_sync").isEmpty && got("mp3_id3_past_eof").isEmpty
+      && got("not_audio").isEmpty)
+    // committed fixture parquet byte-matches the generator
+    val committed = spark.read.parquet(
+      graft.queries.MultimodalQueries.mp3FixturePath)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val gen = graft.tools.GenMp3Fixtures.fixtures().toMap
+    assert(committed.keySet == gen.keySet)
+    for ((k, v) <- gen)
+      assert(java.util.Arrays.equals(committed(k), v), s"fixture $k drifted")
+  }
+
   test("extractFeatures runs batched and is deterministic") {
     val ds = media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
