@@ -88,16 +88,24 @@ object Profiler {
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     def d2(c: String) = col(c).cast("decimal(9,2)")
-    def splitSum(e: Column, name: String): Seq[Column] = Seq(
-      sum(floor(e).cast("long")).as(name + "i"),
-      sum(e - floor(e)).as(name + "f"))
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    // pre-project every decimal product ONCE: each split sum reads its
+    // term twice (floor(e) and e - floor(e)), and aggregate children are
+    // not CSE'd across functions — without this the decimal multiplies
+    // dominate the sf1 scan 2x
+    val terms =
+      cols.zipWithIndex.map { case (c, i) => d2(c).as(s"_t_s$i") } ++
+      cols.zipWithIndex.map { case (c, i) => (d2(c) * d2(c)).as(s"_t_q$i") } ++
+      pairs.map { case (i, j) => (d2(cols(i)) * d2(cols(j))).as(s"_t_x${i}_$j") }
+    val projected = df.select(terms: _*)
+    def splitSum(term: String, name: String): Seq[Column] = Seq(
+      sum(floor(col(term)).cast("long")).as(name + "i"),
+      sum(col(term) - floor(col(term))).as(name + "f"))
     val aggs = Seq(count(lit(1)).as("n")) ++
-      cols.zipWithIndex.flatMap { case (c, i) =>
-        splitSum(d2(c), s"s$i") ++ splitSum(d2(c) * d2(c), s"q$i") } ++
-      pairs.flatMap { case (i, j) =>
-        splitSum(d2(cols(i)) * d2(cols(j)), s"x${i}_$j") }
-    val sums = df.agg(aggs.head, aggs.tail: _*)
+      cols.indices.flatMap(i =>
+        splitSum(s"_t_s$i", s"s$i") ++ splitSum(s"_t_q$i", s"q$i")) ++
+      pairs.flatMap { case (i, j) => splitSum(s"_t_x${i}_$j", s"x${i}_$j") }
+    val sums = projected.agg(aggs.head, aggs.tail: _*)
     def big(name: String) =
       col(name + "i").cast("double") + col(name + "f").cast("double")
     val nd = col("n").cast("double")

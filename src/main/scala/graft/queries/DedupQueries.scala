@@ -172,13 +172,18 @@ object DedupQueries {
     // canonical target through per-doc tracking-param noise. One hash
     // shuffle on the canonical URL — linear, the same shape at any scale.
     // LSH tuning harness: band recall + verify precision of d04's detector
-    // vs exact Jaccard truth at the same 0.8 threshold — run on a sample
-    // (exact side is the guarded quadratic), the d-series twin of e14.
+    // vs exact Jaccard truth at the same 0.8 threshold — the d-series twin
+    // of e14. The exact side is the guarded quadratic, so the declared
+    // query follows the operator's own run-on-a-sample contract with a
+    // deterministic id window: the whole corpus at sf0.01 (ids < 500) and
+    // a bounded 2000-doc subcorpus at any larger scale — tuning numbers
+    // come from a sample by design, never a corpus-wide quadratic.
     Q("d20_lsh_eval",
-      (s, dir) => Dedup.lshEval(Tables(s, dir).documents,
+      (s, dir) => Dedup.lshEval(
+        Tables(s, dir).documents.filter(col("doc_id") < 2000),
         "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
-      Some(Dedup.lshEvalSql("documents", "doc_id", "text",
-        N, NumHashes, RowsPerBand, LshThreshold))),
+      Some(Dedup.lshEvalSql("(SELECT * FROM documents WHERE doc_id < 2000)",
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold))),
 
     // SOFT dedup — duplicate-count downweighting: weight = 1/|dup cluster|
     // so an m-times-duplicated passage contributes total mass 1 to the
