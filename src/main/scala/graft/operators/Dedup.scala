@@ -764,11 +764,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit"))
     val nEx = exact.agg(count(lit(1)).as("n_exact"))
     val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    // null, not an ANSI divide-by-zero: a harness run on a sample can
+    // legitimately find ZERO truth pairs — report the empty truth set
+    // (n_exact = 0, recall null = "sample too sparse, widen it")
     nEx.crossJoin(nLsh).crossJoin(nHit).select(
       col("n_exact"), col("n_lsh"), col("n_hit"),
-      (col("n_hit").cast("double") / col("n_exact").cast("double"))
+      when(col("n_exact") > 0,
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
         .as("recall"),
-      (col("n_hit").cast("double") / col("n_lsh").cast("double"))
+      when(col("n_lsh") > 0,
+        col("n_hit").cast("double") / col("n_lsh").cast("double"))
         .as("prec"))
   }
 
@@ -789,8 +794,10 @@ object Dedup {
        |ne AS (SELECT COUNT(*) AS n_exact FROM ex),
        |nl AS (SELECT COUNT(*) AS n_lsh FROM lsh)
        |SELECT ne.n_exact, nl.n_lsh, h.n_hit,
-       |  CAST(h.n_hit AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) AS recall,
-       |  CAST(h.n_hit AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE) AS prec
+       |  CASE WHEN ne.n_exact > 0
+       |    THEN CAST(h.n_hit AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) END AS recall,
+       |  CASE WHEN nl.n_lsh > 0
+       |    THEN CAST(h.n_hit AS DOUBLE) / CAST(nl.n_lsh AS DOUBLE) END AS prec
        |FROM ne, nl, h""".stripMargin
 
   /** SOFT dedup: instead of dropping near-duplicates, downweight them —
