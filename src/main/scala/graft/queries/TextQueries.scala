@@ -423,21 +423,26 @@ object TextQueries {
               |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin)),
 
     // Inverted index build: term -> sorted posting list of doc_ids, kept
-    // for mid-frequency terms (5 <= df <= 400 — stopwords and hapaxes are
-    // index noise). One explode + one aggregation; posting lists are
-    // array_sort(collect_set(...)) so the array content is deterministic.
-    // At 100 TB the posting list of a stopword would be corpus-sized —
-    // the df upper bound is what keeps per-group state bounded, stated
-    // here as part of the operator contract, not an optimization.
+    // for mid-frequency terms (5 <= df <= 80% of the corpus — stopwords
+    // and hapaxes are index noise). One explode + one aggregation; posting
+    // lists are array_sort(collect_set(...)) so the array content is
+    // deterministic. At 100 TB the posting list of a stopword would be
+    // corpus-sized — the df upper bound is what keeps per-group state
+    // bounded, stated here as part of the operator contract, not an
+    // optimization; it DERIVES from the corpus count (a fixed 400 is 80%
+    // of sf0.01 but silently empties the index at sf1).
     Q("t23_inverted_index",
       (s, dir) => {
         val t = Tables(s, dir)
+        val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
         t.documents
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
           .groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df"),
             array_sort(collect_set(col("doc_id"))).as("postings"))
-          .filter(col("df").between(5, 400))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") >= 5 && col("df") <= expr("(n_docs * 8) DIV 10"))
+          .drop("n_docs")
       },
       Some(s"""WITH t AS (
               |  SELECT doc_id, unnest(${TextFns.tokensSql("text")}) AS term
@@ -445,7 +450,8 @@ object TextQueries {
               |SELECT term, COUNT(DISTINCT doc_id) AS df,
               |  list(DISTINCT doc_id ORDER BY doc_id) AS postings
               |FROM t GROUP BY 1
-              |HAVING COUNT(DISTINCT doc_id) BETWEEN 5 AND 400""".stripMargin)),
+              |HAVING COUNT(DISTINCT doc_id) BETWEEN 5 AND
+              |  (SELECT COUNT(*) * 8 // 10 FROM documents)""".stripMargin)),
 
     // RAG-prep sliding chunks (Chunker.slidingChunks): 32-token windows
     // every 24 tokens — overlapping retrieval-context chunks, tail windows
