@@ -33,6 +33,9 @@ object AsOfJoin {
       col(rightKey).as("_k"), col(rightTime).as("_t"),
       lit(0).as("_side"), col(rightTiebreak).cast("long").as("_tb"),
       struct(payloadCols.map(col): _*).as("_payload"))
+      // A NULL right time compares NULL to every left time → never a match;
+      // unfiltered it would sort nulls-first and leak into every window.
+      .where(col("_t").isNotNull)
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)).withColumn("_tb", lit(0L))
@@ -42,8 +45,10 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_match",
       last(col("_payload"), ignoreNulls = true).over(w))
+    // A NULL left time likewise matches nothing (right.time <= NULL is NULL).
     val outCols = left.columns.map(col) ++
-      payloadCols.map(p => col("_match").getField(p).as(p))
+      payloadCols.map(p =>
+        when(col("_t").isNotNull, col("_match").getField(p)).as(p))
     carried.filter(col("_side") === 1).select(outCols.toIndexedSeq: _*)
   }
 
@@ -64,6 +69,7 @@ object AsOfJoin {
       col(rightKey).as("_k"), col(rightTime).as("_t"),
       lit(1).as("_side"), col(rightTiebreak).cast("long").as("_tb"),
       struct(payloadCols.map(col): _*).as("_payload"))
+      .where(col("_t").isNotNull) // NULL right time never matches (see backward)
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_side", lit(0)).withColumn("_tb", lit(0L))
@@ -73,8 +79,11 @@ object AsOfJoin {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val carried = unioned.withColumn("_match",
       first(col("_payload"), ignoreNulls = true).over(w))
+    // A NULL left time sorts nulls-first and would otherwise "see" the whole
+    // key history ahead of it; right.time >= NULL is NULL → no match.
     val outCols = left.columns.map(col) ++
-      payloadCols.map(p => col("_match").getField(p).as(p))
+      payloadCols.map(p =>
+        when(col("_t").isNotNull, col("_match").getField(p)).as(p))
     carried.filter(col("_side") === 0).select(outCols.toIndexedSeq: _*)
   }
 }

@@ -98,8 +98,14 @@ object Profiler {
       cols.zipWithIndex.map { case (c, i) => (d2(c) * d2(c)).as(s"_t_q$i") } ++
       pairs.map { case (i, j) => (d2(cols(i)) * d2(cols(j))).as(s"_t_x${i}_$j") }
     val projected = df.select(terms: _*)
+    // The integer part sums as DECIMAL(38,0), not LONG: per-row floors of
+    // price products reach ~1e10, so a long sum would wrap silently around
+    // 1e9 rows while the DuckDB mirror's SUM(BIGINT) promotes to HUGEINT.
+    // A decimal sum stays exact to 38 digits (overflow → null, never
+    // garbage), and the downstream recombination casts to double either
+    // way, so results are bit-identical where both are in range.
     def splitSum(term: String, name: String): Seq[Column] = Seq(
-      sum(floor(col(term)).cast("long")).as(name + "i"),
+      sum(floor(col(term)).cast("decimal(38,0)")).as(name + "i"),
       sum(col(term) - floor(col(term))).as(name + "f"))
     val aggs = Seq(count(lit(1)).as("n")) ++
       cols.indices.flatMap(i =>
@@ -144,7 +150,9 @@ object Profiler {
          |    (sqrt($nd * $sx2 - $sx * $sx) * sqrt($nd * $sy2 - $sy * $sy)) AS corr,
          |  n FROM sums""".stripMargin
     }
-    s"""WITH sums AS (SELECT ${aggs.mkString(", ")} FROM $table)
+    // MATERIALIZED: every UNION ALL arm references the CTE; inlined it
+    // would rescan+reaggregate the table once per pair arm
+    s"""WITH sums AS MATERIALIZED (SELECT ${aggs.mkString(", ")} FROM $table)
        |${arms.mkString("\nUNION ALL ")}""".stripMargin
   }
 

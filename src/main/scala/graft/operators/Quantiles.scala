@@ -28,31 +28,13 @@ object Quantiles {
     * v[floor(h)] * (1-f) + v[ceil(h)] * f. (The algebraically-equal
     * v_lo + (v_hi - v_lo) * f rounds differently — an ulp off both engines.)
     */
-  def exactQuantile(df: DataFrame, c: String, p: Double): Double = {
-    require(p >= 0.0 && p <= 1.0, s"quantile p=$p out of [0,1]")
-    val vals = df.select(col(c).cast("double")).na.drop
-      .rdd.map(_.getDouble(0))
-    val n = vals.count()
-    require(n > 0, s"exactQuantile($c): no non-null values")
-    val h = (n - 1) * p
-    val lo = math.floor(h).toLong
-    val hi = math.ceil(h).toLong
-    // Range-partitioned distributed sort; zipWithIndex assigns global ranks
-    // with one extra count pass. No executor holds more than a partition.
-    val ranked = vals.sortBy(identity).zipWithIndex()
-    val picked = ranked
-      .filter { case (_, i) => i == lo || i == hi }
-      .map { case (v, i) => (i, v) }
-      .collect().toMap
-    val vLo = picked(lo)
-    val vHi = picked(hi)
-    val f = h - lo
-    vLo * (1 - f) + vHi * f
-  }
+  def exactQuantile(df: DataFrame, c: String, p: Double): Double =
+    exactQuantiles(df, c, Seq(p)).head
 
-  /** All of `ps` in ONE distributed sort pass (exactQuantile runs the
-    * sort-and-rank job per quantile; boundary sets want B-1 of them).
-    * Same bit-exact interpolation; returns values in `ps` order.
+  /** All of `ps` in ONE distributed sort pass. Same bit-exact interpolation;
+    * returns values in `ps` order. Range-partitioned distributed sort;
+    * zipWithIndex assigns global ranks with one extra count pass — no
+    * executor holds more than a partition.
     */
   def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
     ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile p=$p out of [0,1]"))

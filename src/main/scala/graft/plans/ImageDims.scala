@@ -131,7 +131,12 @@ object ImageHeaders {
               case 4 => u32(e + 8) // LONG
               case _ => -1L
             }
-            if (tag == 256) w = v else if (tag == 257) hh = v
+            // Duplicate/odd-typed entries: fold with max, mirroring the
+            // oracle's MAX(CASE WHEN tag=...) — an unknown-type entry (-1)
+            // can't erase a valid one, and on duplicates the largest wins
+            // in both engines.
+            if (tag == 256) w = math.max(w, v)
+            else if (tag == 257) hh = math.max(hh, v)
             i += 1
           }
           if (w >= 0 && hh >= 0) row("tiff", w, hh) else null

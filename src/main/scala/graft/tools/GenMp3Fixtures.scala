@@ -26,7 +26,7 @@ object GenMp3Fixtures {
 
   /** ID3v2 header + `pad` tag bytes, syncsafe-encoded size. */
   def id3(pad: Int): Array[Byte] = {
-    require(pad < (1 << 21), "keep test sizes in two syncsafe bytes")
+    require(pad < (1 << 14), "keep test sizes in two syncsafe bytes")
     Array[Byte]('I', 'D', '3', 3, 0, 0,
       0, 0, ((pad >> 7) & 0x7f).toByte, (pad & 0x7f).toByte) ++
       Array.tabulate[Byte](pad)(i => (i * 7 % 127).toByte)
