@@ -612,6 +612,29 @@ class OperatorsSpec extends SparkSpec {
     assert(keys.toSeq == Seq(Some(11L), Some(11L), None, Some(13L), None))
   }
 
+  test("asof joins: NULL event times on either side never match") {
+    // NULL left time: comparison is NULL in SQL → no match, even though
+    // nulls-first sort order would otherwise hand forward() the whole key
+    // history. NULL right time: must not leak into any window.
+    val lNull = Seq((9L, 100L, null.asInstanceOf[String]))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rNull = Seq((99L, 100L, null.asInstanceOf[String], 42.0))
+      .toDF("o_orderkey", "o_custkey", "o_ts", "o_price")
+      .withColumn("o_ts", col("o_ts").cast("timestamp"))
+    for (dir <- Seq("backward", "forward")) {
+      val join = if (dir == "backward") AsOfJoin.backward _ else AsOfJoin.forward _
+      val out = join(eventsT.union(lNull), ordersT.union(rNull),
+        "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey", "o_price"),
+        "o_orderkey").collect()
+      val nullTs = out.filter(_.isNullAt(2))
+      assert(nullTs.length == 1 && nullTs.head.isNullAt(3),
+        s"$dir: NULL-time left row must stay unmatched")
+      assert(!out.exists(r => !r.isNullAt(3) && r.getLong(3) == 99L),
+        s"$dir: NULL-time right row must never be a match")
+    }
+  }
+
   test("BottomKSketch matches sort-based rank-k over distinct values") {
     import graft.operators.BottomKSketch
     val rnd = new scala.util.Random(42)
