@@ -372,5 +372,40 @@ object MarketQueries {
       },
       Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value
               |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ORC round-trip with SCHEMA DRIFT: the third landing format Spark
+    // bundles (columnar like parquet — the long-retention archive shape),
+    // exercised the way drift actually happens: batch 1 lands the core
+    // columns, batch 2 lands an extra derived column, and ONE mergeSchema
+    // read unifies both (batch-1 rows surface the new column as null —
+    // the same union-with-drift semantics as q09/m04, but resolved by the
+    // source's schema merge instead of unionByName). The oracle rebuilds
+    // the drifted column from the batch predicate; the hash proves the
+    // columnar round trip is lossless and the merge fills exactly the
+    // missing cells.
+    Q("m08_orc_roundtrip",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tmp = landingDir(s"m08_orc_$dir") { tmp =>
+          val landing = tmp.resolve("landing")
+          t.events.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .write.mode("overwrite").orc(landing.resolve("b1").toString)
+          t.events.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("event_type"), col("value"),
+              (col("value") * 2).as("value_x2"))
+            .write.mode("overwrite").orc(landing.resolve("b2").toString)
+        }
+        val landing = tmp.resolve("landing")
+        s.read.option("mergeSchema", "true")
+          .orc(landing.resolve("b1").toString, landing.resolve("b2").toString)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"),
+            sumd(coalesce(col("value_x2"), lit(0.0))).as("sum_x2"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlSumd("value")} AS sum_value,
+              |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN ${sqlDec("value")} * 2
+              |           ELSE 0 END) AS DOUBLE) AS sum_x2
+              |FROM events GROUP BY 1""".stripMargin)),
   )
 }
