@@ -4,6 +4,25 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
+/** The ONE KMV estimator expression every consumer shares (batch profiler
+  * summaries, q24, p12's sketch algebra, the streaming s18 twin — the
+  * streaming/batch agreement specs assume they use the same formula).
+  */
+object Kmv {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, when}
+
+  /** `(k-1)/h_k` bottom-k distinct estimate over the 32-bit hash space;
+    * exact `cnt` while the sketch is unsaturated (`kth` null — callers
+    * using a hash ARRAY get this for free: `element_at(arr, k)` is null
+    * below k elements).
+    */
+  def estimate(k: Int, cnt: Column, kth: Column): Column =
+    when(kth.isNull, cnt.cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (kth.cast("double") / lit(4294967296.0)))
+}
+
 /** Mutable bounded bottom-k buffer: a binary MAX-heap of the k smallest
   * values seen, plus a total element count. `heap(0)` is the largest of the
   * kept values, i.e. the k-th smallest overall once `size == k`.

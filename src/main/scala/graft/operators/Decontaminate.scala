@@ -61,12 +61,14 @@ object Decontaminate {
       .groupBy(col("id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .groupBy(col("id"))
-      // composite argmax packed into one BIGINT (ids are bounded far below
-      // the 10^6 packing base): max n_shared, min eval_id on ties
-      .agg(
-        max_by(col("eval_id"), col("n_shared") * 1000000L - col("eval_id"))
-          .as("best_eval_id"),
-        max(col("n_shared")).as("n_shared"))
+      // composite argmax as a lexicographic struct max (max n_shared, min
+      // eval_id on ties) — both engines order structs field-by-field, and
+      // unlike an arithmetic packing there is no id-range assumption to
+      // silently overflow
+      .agg(max(struct(col("n_shared").as("ns"),
+        (-col("eval_id")).as("e"))).as("m"))
+      .select(col("id"), (-col("m.e")).as("best_eval_id"),
+        col("m.ns").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -84,10 +86,9 @@ object Decontaminate {
        |  FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
        |  GROUP BY 1, 2),
        |best AS (
-       |  SELECT id,
-       |    arg_max(eval_id, n_shared * 1000000 - eval_id) AS best_eval_id,
-       |    MAX(n_shared) AS n_shared
-       |  FROM pairs GROUP BY 1)
+       |  SELECT id, -(m.e) AS best_eval_id, m.ns AS n_shared FROM (
+       |    SELECT id, max({'ns': n_shared, 'e': -eval_id}) AS m
+       |    FROM pairs GROUP BY 1))
        |SELECT id, best_eval_id, CAST(n_shared AS BIGINT) AS n_shared
        |FROM best WHERE n_shared >= $minShared""".stripMargin
 

@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object GapFill {
 
+  /** The dense (key × calendar-day) frame both fill variants share: every
+    * key crossed with every day of the GLOBAL [min, max] span — one place
+    * so the densification semantics can't drift between LOCF and interp.
+    */
+  private def denseCalendar(daily: DataFrame, keyCol: String,
+      dayCol: String): DataFrame = {
+    val span = daily.agg(min(col(dayCol)).as("_dmin"), max(col(dayCol)).as("_dmax"))
+    daily.select(col(keyCol)).distinct()
+      .join(broadcast(span)) // 1-row span onto every key: broadcast, no shuffle
+      .select(col(keyCol),
+        explode(sequence(col("_dmin"), col("_dmax"), expr("INTERVAL 1 DAY")))
+          .as(dayCol))
+  }
+
   /** Densify `daily` — one row per (`keyCol`, `dayCol`) — to every calendar
     * day in the GLOBAL [min, max] span of `dayCol`, then:
     *   - `countCol` is 0 on introduced rows (a flow: nothing happened);
@@ -35,12 +49,7 @@ object GapFill {
     */
   def denseLocf(daily: DataFrame, keyCol: String, dayCol: String,
       countCol: String, valueCol: String): DataFrame = {
-    val span = daily.agg(min(col(dayCol)).as("_dmin"), max(col(dayCol)).as("_dmax"))
-    val cal = daily.select(col(keyCol)).distinct()
-      .join(broadcast(span)) // 1-row span onto every key: broadcast, no shuffle
-      .select(col(keyCol),
-        explode(sequence(col("_dmin"), col("_dmax"), expr("INTERVAL 1 DAY")))
-          .as(dayCol))
+    val cal = denseCalendar(daily, keyCol, dayCol)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cal.join(daily, Seq(keyCol, dayCol), "left")
@@ -66,12 +75,7 @@ object GapFill {
     */
   def denseInterp(daily: DataFrame, keyCol: String, dayCol: String,
       countCol: String, valueCol: String): DataFrame = {
-    val span = daily.agg(min(col(dayCol)).as("_dmin"), max(col(dayCol)).as("_dmax"))
-    val cal = daily.select(col(keyCol)).distinct()
-      .join(broadcast(span))
-      .select(col(keyCol),
-        explode(sequence(col("_dmin"), col("_dmax"), expr("INTERVAL 1 DAY")))
-          .as(dayCol))
+    val cal = denseCalendar(daily, keyCol, dayCol)
     val back = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))

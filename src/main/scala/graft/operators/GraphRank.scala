@@ -170,8 +170,13 @@ object GraphRank {
     * Scale notes: one self-equi-join per round on the ancestor key (same
     * exchange-per-round shape as d08's connected components), per-round
     * `localCheckpoint` to cut lineage, loud failure after `maxRounds`
-    * (2^maxRounds depth) instead of a silent wrong answer. Cycles would
-    * never converge — they trip the same guard.
+    * (2^maxRounds depth) instead of a silent wrong answer. Cycles whose
+    * length is not a power of two never converge and trip that guard; a
+    * 2^k-cycle SELF-converges under doubling (2^rounds mod len = 0 makes
+    * every member its own fixed ancestor), so convergence alone is not
+    * proof of a forest — the post-convergence check below additionally
+    * requires every resolved ancestor to be a true root (no outgoing
+    * parent edge), which any cycle member fails.
     */
   def flattenHierarchy(edges: DataFrame, childCol: String, parentCol: String,
       maxRounds: Int = 20): DataFrame = {
@@ -201,6 +206,13 @@ object GraphRank {
     }
     require(converged, s"hierarchy did not flatten in $maxRounds doubling " +
       "rounds (depth > 2^rounds, or the parent relation has a cycle)")
+    // Forest proof: a converged ancestor must be a ROOT. Power-of-two
+    // cycles converge with every member as its own "ancestor" — still a
+    // child in the edge relation, so this one semi-join catches them.
+    val cyclic = state.join(e.select(col("c")),
+      state("anc") === col("c"), "left_semi")
+    require(cyclic.isEmpty,
+      "parent relation has a cycle: some resolved ancestors are not roots")
     state.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 

@@ -278,10 +278,7 @@ object Profiler {
       .select(col("_1").as("cnt"), col("_2").as("kth"))
     base.crossJoin(merged).select(
       col("n_rows"), col("n_parts"), col("min_v"), col("max_v"),
-      when(col("kth").isNull, col("cnt").cast("double"))
-        .otherwise(lit((k - 1).toDouble) /
-          (col("kth").cast("double") / lit(4294967296.0)))
-        .as("est_distinct"))
+      Kmv.estimate(k, col("cnt"), col("kth")).as("est_distinct"))
   }
 
   /** DuckDB mirror of incrementalSummaries+mergeSummaries: the merged

@@ -109,7 +109,13 @@ object Sampling {
       .agg(sum(col("n_tokens")).as("src_tokens"))
     val totals = bySrc.agg(sum(col("src_tokens")).as("total_tokens"))
     val targets = targetsBp.toSeq.map { case (s, bp) => (s, bp.toLong) }
-    val targetCol = targets.foldLeft(lit(null).cast("long")) {
+    // A source present in the data but absent from targetsBp must fail
+    // LOUDLY: a silent NULL share would drop the whole source from the
+    // realized mixture (CASE branches evaluate lazily, so the error fires
+    // only when an unlisted source actually appears).
+    val targetCol = targets.foldLeft(
+      raise_error(concat(lit("sourceMixture: source missing from targets: "),
+        col("source"))).cast("long")) {
       case (els, (s, bp)) => when(col("source") === s, lit(bp)).otherwise(els)
     }
     docs
@@ -131,7 +137,9 @@ object Sampling {
     val tok = graft.functions.TextFns.tokenCountSql(textCol)
     val targetCase = targetsBp.toSeq.sortBy(_._1)
       .map { case (s, bp) => s"WHEN d.source = '$s' THEN CAST($bp AS BIGINT)" }
-      .mkString("CASE ", " ", " ELSE NULL END")
+      .mkString("CASE ",
+        " ", " ELSE CAST(error('sourceMixture: source missing from targets: '"
+          + " || d.source) AS BIGINT) END")
     s"""WITH docs AS (
        |  SELECT $idCol AS id, $srcCol AS source, $tok AS n_tokens FROM $table),
        |by_src AS (

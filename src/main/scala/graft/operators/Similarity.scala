@@ -459,14 +459,7 @@ object Similarity {
       .orderBy(col("qscore").desc, col("neighbor_id").asc)
     val cands = scored.withColumn("_qrank", row_number().over(wq))
       .filter(col("_qrank") <= rerank)
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("cos_sim", VectorFns.cosineFromNorms(
-        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    rerankExactCosine(cands, dim, k)
   }
 
   /** `quantizedTopK` oracle: quantize each side once per row
@@ -565,14 +558,7 @@ object Similarity {
       .orderBy(col("qscore").desc, col("neighbor_id").asc)
     val cands = scored.withColumn("_qrank", row_number().over(wq))
       .filter(col("_qrank") <= rerank)
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("cos_sim", VectorFns.cosineFromNorms(
-        VectorFns.dot(col("qvec"), col("cvec"), dim), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    rerankExactCosine(cands, dim, k)
   }
 
   /** `jlTopK` oracle: the same ±1 literals, the same left-associated

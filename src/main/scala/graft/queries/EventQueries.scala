@@ -499,7 +499,7 @@ object EventQueries {
           .filter(col("to_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("to_type"))
           .agg(count(lit(1)).as("n"))
-        val wf = Window.partitionBy(col("from_type"))
+        // integer-bp share needs SQL DIV, so the window lives in the expr
         cells
           .withColumn("share_bp",
             expr("n * 10000 DIV sum(n) OVER (PARTITION BY from_type)"))

@@ -359,9 +359,7 @@ object MiscQueries {
           .agg(new graft.operators.BottomKSketch(k).toColumn.name("kmv"))
           .toDF("l_returnflag", "kmv")
         kmv.select(col("l_returnflag"),
-            when(col("kmv._2").isNull, col("kmv._1").cast("double"))
-              .otherwise(lit((k - 1).toDouble) /
-                (col("kmv._2").cast("double") / lit(4294967296.0)))
+            graft.operators.Kmv.estimate(k, col("kmv._1"), col("kmv._2"))
               .as("est_parts"),
             col("kmv._1").as("n_distinct_hashes"))
       },
@@ -1272,10 +1270,10 @@ object MiscQueries {
           .agg(new graft.operators.BottomKSummary(k).toColumn.name("s"))
           .toDF("source", "s")
           .select(col("source"), col("s._1").as("cnt"), col("s._2").as("sk"))
+        // element_at(skc, k) is null below k elements, which is exactly
+        // the shared estimator's unsaturated guard
         def est(cnt: Column, skc: Column): Column =
-          when(cnt < k, cnt.cast("double"))
-            .otherwise(lit((k - 1).toDouble) /
-              (element_at(skc, k).cast("double") / lit(4294967296.0)))
+          graft.operators.Kmv.estimate(k, cnt, element_at(skc, k))
         val pairs = sk.select(col("source").as("source_a"),
             col("cnt").as("cnt_a"), col("sk").as("sk_a"))
           .join(sk.select(col("source").as("source_b"),
@@ -1288,8 +1286,7 @@ object MiscQueries {
           .withColumn("est_b", est(col("cnt_b"), col("sk_b")))
           .withColumn("est_union",
             when(complete, size(col("u")).cast("double"))
-              .otherwise(lit((k - 1).toDouble) /
-                (element_at(col("u"), k).cast("double") / lit(4294967296.0))))
+              .otherwise(est(size(col("u")).cast("long"), col("u"))))
           .withColumn("est_inter",
             when(complete,
               size(array_intersect(col("sk_a"), col("sk_b"))).cast("double"))

@@ -132,9 +132,7 @@ object EventStreams {
       .agg(kmv(graft.functions.TextFns.md5Hash32(
         col("user_id").cast("string"))).as("kmv"))
       .select(col("w.start").as("window_start"),
-        when(col("kmv._2").isNull, col("kmv._1").cast("double"))
-          .otherwise(lit((k - 1).toDouble) /
-            (col("kmv._2").cast("double") / lit(4294967296.0)))
+        graft.operators.Kmv.estimate(k, col("kmv._1"), col("kmv._2"))
           .as("est_users"),
         col("kmv._1").as("n_distinct_hashes"))
   }

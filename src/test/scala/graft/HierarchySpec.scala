@@ -30,6 +30,27 @@ class HierarchySpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("flattenHierarchy trips on power-of-two cycles that self-converge") {
+    // 2- and 4-cycles become fixed points under pointer doubling (every
+    // member ends as its own ancestor), so the non-convergence guard never
+    // fires — the post-convergence root check must catch them instead.
+    for (cycle <- Seq(Seq((1L, 2L), (2L, 1L)),
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))) {
+      val e = intercept[IllegalArgumentException] {
+        GraphRank.flattenHierarchy(
+          cycle.toDF("child", "parent"), "child", "parent")
+      }
+      assert(e.getMessage.contains("cycle"), s"len-${cycle.size} cycle")
+    }
+    // and a cycle hanging off a healthy forest is still caught
+    val mixed = (Seq((1L, 2L), (2L, 1L)) ++ Seq((11L, 10L), (12L, 11L)))
+      .toDF("child", "parent")
+    val e2 = intercept[IllegalArgumentException] {
+      GraphRank.flattenHierarchy(mixed, "child", "parent")
+    }
+    assert(e2.getMessage.contains("cycle"))
+  }
+
   test("provenance picks the most-overlapping eval doc, min id on ties") {
     val eval = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -41,6 +41,18 @@ class MixtureSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("a source missing from the targets fails loudly, not as NULL share") {
+    val docs = Seq((1L, "w", "a"), (2L, "w", "web")).toDF("id", "text", "src")
+    // typo'd key passes the sum check; the unlisted source must raise at
+    // execution instead of silently dropping every 'web' doc
+    val e = intercept[Exception] {
+      Sampling.sourceMixture(docs, "id", "text", "src",
+        Map("a" -> 5000, "web_" -> 5000)).collect()
+    }
+    assert(e.getMessage.contains("missing from targets") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing from targets")))
+  }
+
   test("targets must sum to 10000 bp") {
     val docs = Seq((1L, "w", "a")).toDF("id", "text", "src")
     intercept[IllegalArgumentException] {
