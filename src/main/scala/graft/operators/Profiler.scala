@@ -308,6 +308,107 @@ object Profiler {
        |  END AS est_distinct
        |FROM base CROSS JOIN cnt LEFT JOIN kth ON TRUE""".stripMargin
 
+  /** MERGEABLE quantile summaries — the piece p11's incremental profile
+    * can't get from count/min/max/KMV: per-partition fixed-bin histograms
+    * over exact cent buckets (p05/p09's bucket idiom). Bin counts merge by
+    * addition, so a stats refresh folds new partition summaries in without
+    * rescanning history, and [[histQuantiles]] reads any percentile off
+    * the merged counts with error bounded by one bin width. The honest
+    * trade vs p13's exact equi-depth sort: resolution is pinned by `bins`,
+    * in exchange for O(bins)-sized mergeable state instead of a global
+    * re-sort per refresh — the t-digest role, exact-arithmetic portable.
+    *
+    * Bounds are the GLOBAL [min, max] cents of `valCol` in `df` (1-row
+    * broadcast, like distDrift); all partitions share them, which is what
+    * makes the bins align for merging. Output: (part, bin, minc, maxc, n).
+    *
+    * Scale notes: one narrow bucket projection + one (part, bin) hash agg
+    * — map-side combined, |parts|×bins summary rows, nothing collected.
+    */
+  def histSummaries(df: DataFrame, partCol: Column, valCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val cents = df.filter(col(valCol).isNotNull)
+      .select(partCol.cast("string").as("part"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val bounds = cents.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"))
+    cents.crossJoin(broadcast(bounds))
+      // (c-minc)*bins DIV (span+1) lands every in-bounds value in
+      // [0, bins-1] exactly — no clamp needed for same-frame bounds
+      .select(col("part"),
+        expr(s"((c - minc) * $bins) DIV (maxc - minc + 1)").as("bin"),
+        col("minc"), col("maxc"))
+      .groupBy(col("part"), col("bin"), col("minc"), col("maxc"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Percentiles from merged [[histSummaries]] rows: for each requested
+    * basis-point rank (5000 = P50), the bucket containing ceil(p·N) and a
+    * within-bucket linear interpolation — a deterministic function of the
+    * exact integer bin counts, identical in both engines. Output:
+    * (p_bp, est), `psBp` order not guaranteed (sort on p_bp).
+    */
+  def histQuantiles(summ: DataFrame, bins: Int, psBp: Seq[Int]): DataFrame = {
+    require(psBp.nonEmpty && psBp.forall(p => p >= 1 && p <= 10000),
+      "quantile ranks are basis points in [1, 10000]")
+    val merged = summ.groupBy(col("bin"), col("minc"), col("maxc"))
+      .agg(sum(col("n")).as("n"))
+    // summary-sized relation (<= bins rows): the unpartitioned windows are
+    // deliberate and cheap
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cumn", sum(col("n")).over(wcum))
+      .withColumn("ntot", sum(col("n")).over(Window.partitionBy()))
+    val pRel = summ.sparkSession.range(1)
+      .select(explode(array(psBp.map(p => lit(p)): _*)).as("p_bp"))
+    cum.crossJoin(broadcast(pRel))
+      .withColumn("rank", expr("(p_bp * ntot + 9999) DIV 10000")) // ceil
+      .filter(col("cumn") >= col("rank") &&
+        (col("cumn") - col("n")) < col("rank"))
+      .select(col("p_bp"),
+        ((col("minc").cast("double") +
+          (col("bin").cast("double") +
+            (col("rank") - (col("cumn") - col("n"))).cast("double") /
+              col("n").cast("double")) *
+            ((col("maxc") - col("minc") + lit(1L)).cast("double") /
+              lit(bins.toDouble))) / lit(100.0)).as("est"))
+  }
+
+  /** DuckDB mirror of histSummaries → merge → histQuantiles over `table`
+    * (same bucket integers, same interpolation expression tree).
+    */
+  def histQuantilesSql(table: String, partExpr: String, valCol: String,
+      bins: Int, psBp: Seq[Int]): String =
+    s"""WITH cents AS (
+       |  SELECT $partExpr AS part,
+       |    CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM $table WHERE $valCol IS NOT NULL),
+       |bounds AS (SELECT MIN(c) AS minc, MAX(c) AS maxc FROM cents),
+       |summ AS (
+       |  SELECT part, ((c - minc) * $bins) // (maxc - minc + 1) AS bin,
+       |    minc, maxc, COUNT(*) AS n
+       |  FROM cents CROSS JOIN bounds GROUP BY 1, 2, 3, 4),
+       |merged AS (
+       |  SELECT bin, minc, maxc, SUM(n) AS n FROM summ GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT bin, minc, maxc, n,
+       |    SUM(n) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+       |    SUM(n) OVER () AS ntot
+       |  FROM merged),
+       |ps AS (SELECT unnest([${psBp.mkString(", ")}]) AS p_bp),
+       |ranked AS (
+       |  SELECT *, (p_bp * ntot + 9999) // 10000 AS rank
+       |  FROM cum CROSS JOIN ps)
+       |SELECT p_bp,
+       |  (CAST(minc AS DOUBLE) +
+       |    (CAST(bin AS DOUBLE) +
+       |      CAST(rank - (cumn - n) AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |    (CAST(maxc - minc + 1 AS DOUBLE) / ${bins}.0)) / 100.0 AS est
+       |FROM ranked
+       |WHERE cumn >= rank AND (cumn - n) < rank""".stripMargin
+
   def profileSql(table: String, numericCols: Seq[String],
       stringCols: Seq[String]): String = {
     val selects = numericCols.map { c =>

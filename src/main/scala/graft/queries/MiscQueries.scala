@@ -661,6 +661,27 @@ object MiscQueries {
       Some(graft.operators.Quantiles.equiDepthHistogramSql(
         "orders", "o_totalprice", bins = 8))),
 
+    // MERGEABLE percentile summaries (the t-digest role with exact
+    // arithmetic): per-month fixed-bin histograms of order totals whose
+    // counts merge by addition, then P50/P90/P99 read off the merged
+    // counts with one-bin-width error — p11's incremental-stats shape
+    // extended to quantiles (p13's exact equi-depth re-sorts the world
+    // per refresh; this folds new partition summaries in). Mergeability
+    // itself (per-part summaries == whole-table summary) is spec-proven;
+    // the oracle replays the same bucket integers and interpolation.
+    Q("p16_mergeable_percentiles",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val summ = graft.operators.Profiler.histSummaries(
+          t.orders, date_format(col("o_orderdate"), "yyyy-MM"),
+          "o_totalprice", bins = 20)
+        graft.operators.Profiler.histQuantiles(
+          summ, bins = 20, psBp = Seq(5000, 9000, 9900))
+      },
+      Some(graft.operators.Profiler.histQuantilesSql(
+        "orders", "strftime(o_orderdate, '%Y-%m')", "o_totalprice",
+        bins = 20, psBp = Seq(5000, 9000, 9900)))),
+
     // Pairwise correlation MATRIX across the lineitem measures in ONE
     // aggregation pass (q33 computes one grouped pair; this is the
     // profiler's all-pairs ANALYZE form): per-column and cross sums all

@@ -104,4 +104,31 @@ class ProfilerSpec extends SparkSpec {
       Profiler.incrementalSummaries(df, col("part"), "v", "key", k), k).head()
     assert(merged.getDouble(4) == 10.0)
   }
+
+  test("histogram quantile summaries are mergeable and one-bin accurate") {
+    import org.apache.spark.sql.functions._
+    val bins = 16
+    val ps = Seq(2500, 5000, 9000)
+    // skewed values so bins are unevenly filled, split across 4 parts
+    val df = (1 to 400).map(i => (s"p${i % 4}", (i * i).toDouble / 100.0))
+      .toDF("part", "v")
+    def quants(partCol: org.apache.spark.sql.Column): Map[Int, Double] =
+      Profiler.histQuantiles(
+        Profiler.histSummaries(df, partCol, "v", bins), bins, ps)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // mergeability: per-part summaries folded together answer exactly
+    // what a single whole-table summary answers
+    val perPart = quants(col("part"))
+    val whole = quants(lit("all"))
+    assert(perPart == whole)
+    // accuracy: within one bin width of the exact quantile
+    val binW = df.agg((max(col("v")) - min(col("v"))).cast("double")).head()
+      .getDouble(0) / bins
+    val exact = graft.operators.Quantiles.exactQuantiles(
+      df, "v", ps.map(_ / 10000.0))
+    ps.zip(exact).foreach { case (p, ex) =>
+      assert(math.abs(perPart(p) - ex) <= binW + 0.01,
+        s"P$p: est ${perPart(p)} vs exact $ex (bin width $binW)")
+    }
+  }
 }
