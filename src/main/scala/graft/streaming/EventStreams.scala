@@ -137,6 +137,32 @@ object EventStreams {
         col("kmv._1").as("n_distinct_hashes"))
   }
 
+  /** Streaming per-window VALUE histogram — p16's mergeable quantile
+    * summaries run ON THE STREAM: per-(window, bin) counts over the same
+    * exact cent buckets, merging across micro-batches by addition like any
+    * declarative count. Bounds are CALLER-FIXED (a stream cannot derive
+    * global min/max — the operator's contract, like CountMin's width);
+    * out-of-range values clamp into the edge bins so no event is dropped.
+    * Feed the result to `Profiler.histQuantiles`-style extraction for live
+    * percentiles; StreamingHistSpec asserts stream ≡ the batch bucketing.
+    */
+  def valueHistogram(events: DataFrame, width: String, watermark: String,
+      loCents: Long, hiCents: Long, bins: Int): DataFrame = {
+    require(bins >= 2 && hiCents >= loCents, "need bins >= 2 and hi >= lo")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .select(col("ts"), least(greatest(
+        expr(s"((c - ${loCents}L) * $bins) DIV (${hiCents}L - ${loCents}L + 1)"),
+        lit(0L)), lit((bins - 1).toLong)).as("bin"))
+      // group on the window() expression itself — grouping on an extracted
+      // start column severs the watermark linkage
+      .groupBy(window(col("ts"), width).as("w"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("bin"), col("n"))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a SMALL static
     * dimension relation. The broadcast is forced (the dim must fit in
     * memory — that is this operator's contract; drop the hint for a large
