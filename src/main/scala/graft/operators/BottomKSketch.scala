@@ -14,8 +14,9 @@ object Kmv {
 
   /** `(k-1)/h_k` bottom-k distinct estimate over the 32-bit hash space;
     * exact `cnt` while the sketch is unsaturated (`kth` null — callers
-    * using a hash ARRAY get this for free: `element_at(arr, k)` is null
-    * below k elements).
+    * using a hash ARRAY get this via `try_element_at(arr, k)`, which is
+    * null below k elements; plain element_at THROWS there under ANSI
+    * mode, Spark 4's default).
     */
   def estimate(k: Int, cnt: Column, kth: Column): Column =
     when(kth.isNull, cnt.cast("double"))

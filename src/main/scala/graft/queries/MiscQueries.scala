@@ -1291,10 +1291,11 @@ object MiscQueries {
           .agg(new graft.operators.BottomKSummary(k).toColumn.name("s"))
           .toDF("source", "s")
           .select(col("source"), col("s._1").as("cnt"), col("s._2").as("sk"))
-        // element_at(skc, k) is null below k elements, which is exactly
-        // the shared estimator's unsaturated guard
+        // try_element_at (NOT element_at: ANSI mode is Spark 4's default
+        // and plain element_at throws out-of-bounds) is null below k
+        // elements — exactly the shared estimator's unsaturated guard
         def est(cnt: Column, skc: Column): Column =
-          graft.operators.Kmv.estimate(k, cnt, element_at(skc, k))
+          graft.operators.Kmv.estimate(k, cnt, try_element_at(skc, lit(k)))
         val pairs = sk.select(col("source").as("source_a"),
             col("cnt").as("cnt_a"), col("sk").as("sk_a"))
           .join(sk.select(col("source").as("source_b"),

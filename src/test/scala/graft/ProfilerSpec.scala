@@ -105,6 +105,17 @@ class ProfilerSpec extends SparkSpec {
     assert(merged.getDouble(4) == 10.0)
   }
 
+  test("KMV estimate over an unsaturated hash ARRAY is ANSI-safe and exact") {
+    import org.apache.spark.sql.functions._
+    // ANSI mode (Spark 4's default) makes element_at throw out of bounds;
+    // the array-backed estimator path must use try_element_at and fall
+    // back to the exact count below k elements
+    val df = Seq((2L, Seq(10L, 20L))).toDF("cnt", "sk")
+    val est = df.select(graft.operators.Kmv.estimate(8, col("cnt"),
+      try_element_at(col("sk"), lit(8))).as("e")).head().getDouble(0)
+    assert(est == 2.0)
+  }
+
   test("histogram quantile summaries are mergeable and one-bin accurate") {
     import org.apache.spark.sql.functions._
     val bins = 16
