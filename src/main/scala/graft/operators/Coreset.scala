@@ -113,8 +113,13 @@ object Coreset {
          |      SELECT cx.id,
          |        MAX((${VectorFns.dotSql("cx.v", "cs.v", dim)})
          |            / (cx.nrm * cs.nrm)) AS maxsim
-         |      FROM c cx JOIN c cs
-         |        ON cs.id IN (SELECT center_id FROM sel${t - 1})
+         |      -- centers first via an equi-join (<= k rows), THEN the
+         |      -- cross with the corpus: an IN-predicate in the ON clause
+         |      -- planned as full n x n before filtering blows DuckDB's
+         |      -- temp disk at scale
+         |      FROM c cx CROSS JOIN (
+         |        SELECT cc.id, cc.v, cc.nrm
+         |        FROM c cc JOIN sel${t - 1} s ON cc.id = s.center_id) cs
          |      WHERE cx.id NOT IN (SELECT center_id FROM sel${t - 1})
          |      GROUP BY cx.id) mx)
          |  WHERE rn = 1),

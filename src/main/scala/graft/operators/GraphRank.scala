@@ -76,12 +76,12 @@ object GraphRank {
          |  FROM ed e JOIN r${t - 1} r ON e.src = r.node CROSS JOIN nn
          |  GROUP BY e.dst, nn.nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS ($pairsRel),
+    s"""WITH pairs AS MATERIALIZED ($pairsRel),
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
-       |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |nn AS (SELECT COUNT(*) AS nn FROM nodes),
        |r0 AS (
@@ -136,7 +136,7 @@ object GraphRank {
 
   /** DuckDB mirror of [[triangles]] over `pairsRel(id_a, id_b)`. */
   def trianglesSql(pairsRel: String): String =
-    s"""WITH pairs AS ($pairsRel),
+    s"""WITH pairs AS MATERIALIZED ($pairsRel),
        |e AS (
        |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
        |  FROM pairs),
@@ -313,7 +313,7 @@ object GraphRank {
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     val chain = if (maxDepth == 0) "" else s",\n$steps"
-    s"""WITH pairs AS ($pairsRel),
+    s"""WITH pairs AS MATERIALIZED ($pairsRel),
        |ed AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -335,7 +335,7 @@ object GraphRank {
          |      ORDER BY cnt DESC, label ASC) AS rn
          |    FROM s$t) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS ($pairsRel),
+    s"""WITH pairs AS MATERIALIZED ($pairsRel),
        |ed AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),

@@ -135,19 +135,22 @@ object DedupQueries {
         N, NumHashes, RowsPerBand, LshThreshold))),
 
     // Structural canonical-selection signal (operators/GraphRank): exact
-    // integer PageRank over the d03 near-dup pair graph — the doc most
-    // densely connected to its variants (the hub they derive from) ranks
-    // highest. d15 canonicalizes by a quality COLUMN; this is the
-    // no-metadata alternative. Scaled-BIGINT truncating arithmetic makes
-    // every rank bit-identical to the oracle's unrolled-CTE replay.
+    // integer PageRank over the LSH near-dup pair graph (d08's relation —
+    // the linear bucketed build, like d24; the guarded exact-quadratic
+    // d03 form would trip its maxRows guard past 100k docs and its
+    // inverted-index oracle replay exceeds DuckDB temp disk at sf1) — the
+    // doc most densely connected to its variants (the hub they derive
+    // from) ranks highest. d15 canonicalizes by a quality COLUMN; this is
+    // the no-metadata alternative. Scaled-BIGINT truncating arithmetic
+    // makes every rank bit-identical to the oracle's unrolled-CTE replay.
     Q("d16_pagerank_centrality",
       (s, dir) => graft.operators.GraphRank.pagerank(
-        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
-          "doc_id", "text", N, JaccardThreshold),
+        Dedup.minhashLshPairs(Tables(s, dir).documents,
+          "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
         "id_a", "id_b", iters = 3),
       Some(graft.operators.GraphRank.pagerankSql(
-        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
-          N, JaccardThreshold), iters = 3))),
+        Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+          N, NumHashes, RowsPerBand, LshThreshold), iters = 3))),
 
     // Neighborhood SHAPE over the same near-dup graph: per-node triangle
     // count and integer-exact local clustering coefficient. Template
@@ -155,14 +158,16 @@ object DedupQueries {
     // (lcc_bp→10000); chained drift (A~B~C, A!~C) scores 0 — tells
     // "one doc, many edits" apart from "gradual mutation chain", which
     // rank (d16) and cluster size (d08) both conflate.
+    // (Rides the LSH pair relation like d16/d24 — linear build, DuckDB-
+    // tractable replay.)
     Q("d17_triangle_lcc",
       (s, dir) => graft.operators.GraphRank.triangles(
-        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
-          "doc_id", "text", N, JaccardThreshold),
+        Dedup.minhashLshPairs(Tables(s, dir).documents,
+          "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
         "id_a", "id_b"),
       Some(graft.operators.GraphRank.trianglesSql(
-        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
-          N, JaccardThreshold)))),
+        Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+          N, NumHashes, RowsPerBand, LshThreshold)))),
 
     // URL-level dedup — the FIRST pass of a web-corpus pipeline (cheaper
     // than any content hash): canonicalize each doc's URL (t17's
@@ -243,14 +248,15 @@ object DedupQueries {
     // dense cores are joined by a single bridge doc — template families
     // sharing one hybrid document stay separate families. 3 rounds,
     // Pregel-shaped (linear per round), argmax via packed struct max.
+    // (Rides the LSH pair relation like d16/d24.)
     Q("d22_label_communities",
       (s, dir) => graft.operators.GraphRank.labelProp(
-        Dedup.ngramJaccardPairs(Tables(s, dir).documents,
-          "doc_id", "text", N, JaccardThreshold),
+        Dedup.minhashLshPairs(Tables(s, dir).documents,
+          "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold),
         "id_a", "id_b", iters = 3),
       Some(graft.operators.GraphRank.labelPropSql(
-        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text",
-          N, JaccardThreshold), iters = 3))),
+        Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+          N, NumHashes, RowsPerBand, LshThreshold), iters = 3))),
 
     // Content-defined chunking (Chunker.cdcDupStats): Rabin-style
     // boundaries (rolling hash of the last 4 tokens ≡ 0 mod 8) make chunk
