@@ -34,10 +34,10 @@ import graft.functions.VectorFns
   * aggregation (k × dim longs, map-side combined) — whose k-row result is
   * collected to the driver (k × dim doubles, the same tiny driver round-trip
   * MLlib's Lloyd iteration makes) and embedded as constants in a
-  * fully-codegen'd narrow arg-min projection (QuantizedDistConst loop per
-  * cluster — the unrolled k × dim literal chain would blow Janino's method
-  * limits). No n×k row blowup, no window; assignment cost is n·k·dim
-  * multiply-adds inside whole-stage codegen.
+  * fully-codegen'd narrow arg-min projection (one NearestClusterConst loop
+  * over the compiled-in centroid table — an unrolled k × dim literal chain
+  * would blow Janino's method limits). No n×k row blowup, no window;
+  * assignment cost is n·k·dim multiply-adds inside whole-stage codegen.
   */
 object KMeans {
 
@@ -49,7 +49,7 @@ object KMeans {
     s"list_transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
 
   /** The oracle's parenthesis tree — (((0.0 + t1) + t2) + ...) — which
-    * QuantizedDistConst's codegen loop reproduces bit-for-bit.
+    * NearestClusterConst's per-centroid codegen loop reproduces bit-for-bit.
     */
   private[operators] def distSqSql(q: String, cent: String, dim: Int): String =
     (1 to dim).foldLeft("0.0") { (acc, i) =>
@@ -58,29 +58,21 @@ object KMeans {
     }
 
   /** Append `outCol` = nearest-centroid cluster id to `df` (which carries a
-    * quantized array<long> column `qCol`): distances are STAGED as real
-    * columns (each QuantizedDistConst loop compiles and evaluates once),
-    * then a first-min scan in ascending cluster order picks the label
-    * (≡ ROW_NUMBER ORDER BY dist ASC NULLS LAST, cluster ASC — the default
-    * arm lands an all-NULL-distance row, i.e. a null/short vector, on the
-    * LOWEST cluster id, exactly where the oracle's rank puts it). A pure
-    * narrow codegen projection — zero shuffle, no row blowup. `cents` must
-    * be (clusterId, centroid) sorted by clusterId.
+    * quantized array<long> column `qCol`): the whole k-way argmin is ONE
+    * codegen'd loop over the compiled-in centroid table
+    * (NearestClusterConst — ≡ ROW_NUMBER ORDER BY dist ASC NULLS LAST,
+    * cluster ASC; a null/short vector lands on the LOWEST cluster id,
+    * exactly where the oracle's rank puts it). A pure narrow codegen
+    * projection — zero shuffle, no row blowup, and the generated code stays
+    * tiny at any k (the earlier staged per-centroid distance columns +
+    * k-arm when-chain blew Janino's 64 KB method limit at PQ's 8×16
+    * centroids and grew unboundedly with auto-k). `cents` must be
+    * (clusterId, centroid) sorted by clusterId.
     */
   private[operators] def withNearestCluster(df: DataFrame, qCol: String,
-      cents: Seq[(Long, Array[Double])], outCol: String): DataFrame = {
-    val carried = df.columns.toIndexedSeq
-    val staged = df.select(col("*") +:
-      cents.zipWithIndex.map { case ((_, c), i) =>
-        graft.plans.QuantizedDistConst(col(qCol), c).as(s"_d$i")
-      }: _*)
-    val dists = cents.indices.map(i => col(s"_d$i"))
-    val mn = if (dists.size == 1) dists.head else least(dists: _*)
-    val cluster = cents.map(_._1).zip(dists).foldRight(lit(cents.head._1)) {
-      case ((cid, d), els) => when(d === mn, lit(cid)).otherwise(els)
-    }.cast("long")
-    staged.select(carried.map(col) :+ cluster.as(outCol): _*)
-  }
+      cents: Seq[(Long, Array[Double])], outCol: String): DataFrame =
+    df.withColumn(outCol, graft.plans.NearestClusterConst(col(qCol),
+      cents.map(_._1).toArray, cents.map(_._2).toArray))
 
   private def assignNearest(base: DataFrame,
       cents: Seq[(Long, Array[Double])]): DataFrame =
@@ -94,7 +86,7 @@ object KMeans {
     * sums, map-side combined) whose k-row result is collected to the driver
     * (k × dim doubles — the MLlib iteration shape), then a fully-codegen'd
     * narrow arg-min projection with the centroids embedded as constants
-    * (QuantizedDistConst loops). Nothing but k rows ever leaves executors.
+    * (NearestClusterConst). Nothing but k rows ever leaves executors.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): DataFrame =

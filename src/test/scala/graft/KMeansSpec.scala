@@ -89,4 +89,50 @@ class KMeansSpec extends SparkSpec {
       k = 2, iters = 2, threshold = 0.9).collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(1L, 3L))
   }
+
+  // --- NearestClusterConst: the single-loop argmin the assignment rides on ---
+
+  private val ncSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("q", ArrayType(LongType))))
+
+  private def ncDf(rows: Seq[Row]) = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows, 2), ncSchema)
+
+  private def nearest(rows: Seq[Row], ids: Array[Long],
+      cents: Array[Array[Double]]): Map[Long, Long] =
+    ncDf(rows).select(col("id"),
+        graft.plans.NearestClusterConst(col("q"), ids, cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("NearestClusterConst: argmin, tie→lowest id, short/null→lowest id") {
+    val ids = Array(3L, 7L, 9L)
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(5.0, 5.0))
+    val rows = Seq(
+      Row(1L, Seq(9L, 1L)),          // nearest (10,0) → 7
+      Row(2L, Seq(5L, 0L)),          // equidistant to (0,0) and (10,0) → tie → 3
+      Row(3L, Seq(1L)),              // shorter than every centroid → lowest id 3
+      Row(4L, null),                 // null vector → lowest id 3
+      Row(5L, Seq(4L, 6L, 99L)))     // longer is fine; nearest (5,5) → 9
+    val got = nearest(rows, ids, cents)
+    assert(got == Map(1L -> 7L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 9L))
+    // interpreted eval path agrees with the codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(nearest(rows, ids, cents) == got)
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("NearestClusterConst: vector shorter than SOME centroids skips only those") {
+    // centroid 1 is 3-dim: a 2-dim vector has a NULL distance to it and must
+    // be assigned among the 2-dim centroids even when centroid 1 would be
+    // closer if padded
+    val ids = Array(1L, 2L)
+    val cents = Array(Array(9.0, 9.0, 9.0), Array(0.0, 0.0))
+    val got = nearest(Seq(Row(1L, Seq(9L, 9L))), ids, cents)
+    assert(got == Map(1L -> 2L))
+  }
 }
