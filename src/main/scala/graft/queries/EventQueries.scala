@@ -715,5 +715,56 @@ object EventQueries {
              |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
              |UNION ALL SELECT '2_click', COUNT(*) FROM s2
              |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3""".stripMargin)),
+
+    // Trailing 7-day volatility of daily value per event type, from EXACT
+    // integer second moments (BIGINT cents inside the frame — a double
+    // stddev's accumulation order differs per engine and can't hash-match).
+    // One exchange on the series key; only full windows are emitted.
+    Q("s23_rolling_volatility",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.events
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+        graft.operators.TimeSeries
+          .rollingVol(daily, "event_type", "day", "cents", win = 7)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("vol").as("vol_7d"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    CAST(SUM(${sqlDec("value")}) * 100 AS BIGINT) AS cents
+              |  FROM events GROUP BY 1, 2),
+              |${graft.operators.TimeSeries.rollingVolSql("daily", "event_type", "day", 7)}
+              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, vol AS vol_7d
+              |FROM vol_out""".stripMargin),
+    ),
+
+    // EWMA smoothing (alpha = 0.25) of the same daily series: the
+    // order-DEPENDENT recursion window functions can't express, computed
+    // as a declarative sorted fold per key (collect_list → array_sort →
+    // aggregate lambda). The oracle replays the identical IEEE op sequence
+    // with a recursive CTE, so doubles hash-match bit-for-bit.
+    Q("s24_ewma_smoothing",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val daily = t.events
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sumd(col("value")).as("x"))
+        graft.operators.TimeSeries
+          .ewma(daily, "event_type", "day", "x", alpha = 0.25)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("x").as("sum_value"), col("ewma"))
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+              |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+              |    ${sqlSumd("value")} AS x
+              |  FROM events GROUP BY 1, 2),
+              |${graft.operators.TimeSeries.ewmaSql("daily", "event_type", "day", 0.25)}
+              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+              |  x AS sum_value, ewma FROM ew""".stripMargin),
+    ),
   )
 }
