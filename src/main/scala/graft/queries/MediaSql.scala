@@ -370,4 +370,69 @@ object MediaSql {
          |)""".stripMargin
     else s"alldims AS (\n  $fixed\n)"
   }
+
+  /** The EXIF orientation walk of `graft.plans.ExifHeaders` over
+    * `src(key, h, n)`: the JPEG marker scan latching the first APP1 whose
+    * body opens "Exif\0\0" fully readable (eb = TIFF base, ee = segment
+    * end), then the TIFF IFD0 walk of `tiffCtes` on the SLICED hex with
+    * tag 274 restricted to SHORT entries, folded with MAX exactly like the
+    * parser's fold (an odd-typed duplicate becomes -1 and can't erase a
+    * valid value). Emits CTEs ending in `exifori(key, orientation)` —
+    * absent/undecodable keys simply have no row.
+    */
+  def exifCtes(src: String): String = {
+    val b = (p: String) => byteAt("h", p)
+    def u16(pos: String) =
+      s"(CASE WHEN le THEN ${le16("h", pos)} ELSE ${be16("h", pos)} END)"
+    def u32(pos: String) =
+      s"(CASE WHEN le THEN ${le32u("h", pos)} ELSE ${be32u("h", pos)} END)"
+    s"""escan AS (
+       |  SELECT key, h, n, 2 AS pos, CAST(NULL AS BIGINT) AS eb,
+       |    CAST(NULL AS BIGINT) AS ee
+       |  FROM $src WHERE n >= 4 AND substr(h,1,6) = 'FFD8FF'
+       |  UNION ALL
+       |  SELECT key, h, n,
+       |    CASE WHEN found THEN pos
+       |         WHEN marker = 255 THEN pos + 1
+       |         WHEN marker = 1 OR (marker BETWEEN 208 AND 216) THEN pos + 2
+       |         ELSE pos + 2 + seglen END AS pos,
+       |    CASE WHEN found THEN pos + 10 END AS eb,
+       |    CASE WHEN found THEN pos + 2 + seglen END AS ee
+       |  FROM (
+       |    SELECT key, h, n, pos, marker, seglen,
+       |      marker = 225 AND seglen >= 16 AND pos + 2 + seglen <= n
+       |        AND substr(h, 2*(pos+4)+1, 12) = '457869660000' AS found
+       |    FROM (
+       |      SELECT key, h, n, pos, ${b("pos+1")} AS marker,
+       |        ${be16("h", "pos+2")} AS seglen
+       |      FROM escan
+       |      WHERE eb IS NULL AND pos + 3 < n AND ${b("pos")} = 255))
+       |  WHERE marker = 255 OR marker = 1 OR (marker BETWEEN 208 AND 216)
+       |     OR (marker NOT IN (217, 218) AND seglen >= 2)
+       |),
+       |exifsrc AS (
+       |  SELECT key, substr(h, 2*eb+1, 2*(ee-eb)) AS h, ee - eb AS n
+       |  FROM escan WHERE eb IS NOT NULL),
+       |etiff0 AS (
+       |  SELECT key, h, n, substr(h,1,8) = '49492A00' AS le,
+       |    CASE WHEN substr(h,1,8) = '49492A00' THEN ${le32u("h", "4")}
+       |         ELSE ${be32u("h", "4")} END AS ifd
+       |  FROM exifsrc
+       |  WHERE n >= 8 AND substr(h,1,8) IN ('49492A00','4D4D002A')),
+       |etiff1 AS (
+       |  SELECT key, h, n, le, ifd, ${u16("ifd")} AS cnt
+       |  FROM etiff0 WHERE ifd >= 8 AND ifd + 2 <= n),
+       |etiffent AS (
+       |  SELECT key, h, le, ifd + 2 + 12*i AS e
+       |  FROM (SELECT key, h, le, ifd, unnest(range(cnt)) AS i
+       |        FROM etiff1 WHERE ifd + 2 + 12*cnt <= n)),
+       |exifori AS (
+       |  SELECT key, CAST(orientation AS INTEGER) AS orientation FROM (
+       |    SELECT key,
+       |      MAX(CASE WHEN ${u16("e")} = 274 THEN
+       |        (CASE WHEN ${u16("e+2")} = 3 THEN ${u16("e+8")} ELSE -1 END)
+       |      END) AS orientation
+       |    FROM etiffent GROUP BY key)
+       |  WHERE orientation >= 0)""".stripMargin
+  }
 }

@@ -48,6 +48,7 @@ object MultimodalQueries {
   lazy val videoFixturePath: String = fixturePath("video.parquet")
   lazy val flacFixturePath: String = fixturePath("flac.parquet")
   lazy val mp3FixturePath: String = fixturePath("audio_mp3.parquet")
+  lazy val exifFixturePath: String = fixturePath("images_exif.parquet")
 
   val all: Seq[Q] = Seq(
     // Binary metadata extraction over arbitrary payloads: byte length,
@@ -183,6 +184,28 @@ object MultimodalQueries {
              |SELECT m.name, d.format, d.version, d.layer, d.bitrate_kbps,
              |  d.sample_rate, d.channels
              |FROM mp3s m LEFT JOIN mp3meta d ON d.key = m.name""".stripMargin)),
+
+    // EXIF orientation (tag 0x0112) from committed hand-assembled JPEGs:
+    // the marker walk latches the first APP1 opening "Exif\0\0", then the
+    // embedded TIFF IFD0 is walked in ITS OWN byte order for the SHORT
+    // orientation value — the rotation-normalize signal an image pipeline
+    // reads before any pixel work. Negatives (non-Exif APP1 only, wrong
+    // value type, truncated segment/IFD, missing tag) are null in BOTH
+    // engines.
+    Q("mm10_jpeg_exif",
+      (s, _) => {
+        val imgs = s.read.parquet(exifFixturePath)
+        imgs.select(col("name"),
+          md5(hex(col("payload"))).as("content_hash"),
+          graft.plans.ExifOrientation(col("payload")).as("orientation"))
+      },
+      Some(s"""WITH RECURSIVE imgs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$exifFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${MediaSql.exifCtes("src")}
+             |SELECT i.name, md5(i.h) AS content_hash, o.orientation
+             |FROM imgs i LEFT JOIN exifori o ON o.key = i.name""".stripMargin)),
 
     // Real audio decode over committed hand-built RIFF/WAVE bytes: the
     // chunk walk (LIST/junk chunks skipped, pad bytes honored) latches

@@ -200,4 +200,25 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.plans.FlacHeaders.parseRow(Array.emptyByteArray) == null)
     assert(graft.plans.FlacHeaders.parseRow("fLaC".getBytes("US-ASCII")) == null)
   }
+
+  test("ExifHeaders reads orientation through APP0/XMP noise; negatives stay null") {
+    import graft.plans.ExifHeaders.orientation
+    import graft.tools.GenExifFixtures._
+    // every committed fixture decodes to its planted value (or -1)
+    val expected = Map(
+      "exif_le_ori6" -> 6, "exif_be_ori8" -> 8, "exif_le_ori1_moretags" -> 1,
+      "exif_after_app0_ori3" -> 3, "exif_after_xmp_ori2" -> 2,
+      "exif_displaced_ifd_ori7" -> 7, "exif_dup_ori_3_then_5" -> 5,
+      "exif_wrong_type_long" -> -1, "exif_no_ori_tag" -> -1,
+      "exif_truncated_app1" -> -1, "exif_truncated_ifd" -> -1,
+      "plain_jpeg_no_exif" -> -1, "not_a_jpeg" -> -1)
+    fixtures().foreach { case (name, bytes) =>
+      assert(orientation(bytes) == expected(name), name)
+    }
+    // the EXIF JPEGs still decode image dims through the same marker walk
+    val dims = graft.plans.ImageHeaders.parse(
+      jpeg(exifApp1(le = true, Seq((274, 3, 6L)))))
+    assert(dims.contains(("jpeg", 8, 6)))
+    assert(orientation(Array.emptyByteArray) == -1)
+  }
 }
