@@ -566,5 +566,17 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", steps = 10),
       Some(graft.operators.Bpe.encodeCountsSql(
         "documents", "doc_id", "text", steps = 10))),
+
+    // BM25 ranked retrieval — the keyword-relevance scorer for quality
+    // retrieval / soft decontamination. Exact-integer inputs, pinned op
+    // order, fixed-order per-doc term fold, TakeOrdered top-k (per-
+    // partition heap, never a global sort).
+    Q("t32_bm25_search",
+      (s, dir) => graft.operators.Bm25.search(
+        Tables(s, dir).documents, "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "vector"), topK = 25),
+      Some(graft.operators.Bm25.searchSql(
+        "documents", "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "vector"), topK = 25))),
   )
 }
