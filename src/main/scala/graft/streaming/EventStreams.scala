@@ -163,6 +163,33 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("bin"), col("n"))
   }
 
+  /** Streaming per-window volatility moments — s23's exact integer second
+    * moments run ON THE STREAM: per-(window, event_type) `n`, Σcents and
+    * Σcents² are plain declarative sums, so micro-batches merge by
+    * addition with no custom state, and the final sqrt/divide runs on the
+    * emitted exact integers. The batch twin (TimeSeries.rollingVol) slides
+    * a trailing frame; the stream emits per-window sample volatility —
+    * same estimator over tumbling partitions of time. A double `stddev`
+    * aggregate would NOT merge deterministically across batches; the
+    * integer moments do, bit-for-bit (StreamingVolSpec asserts stream ≡
+    * the batch moments).
+    */
+  def volatilityAgg(events: DataFrame, width: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sx"), col("sxx"),
+        when(col("n") >= 2, sqrt(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / 100.0)
+          .as("vol"))
+
   /** Stream-static enrichment: join each micro-batch against a SMALL static
     * dimension relation. The broadcast is forced (the dim must fit in
     * memory — that is this operator's contract; drop the hint for a large
