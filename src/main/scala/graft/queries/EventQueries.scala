@@ -766,5 +766,32 @@ object EventQueries {
               |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
               |  x AS sum_value, ewma FROM ew""".stripMargin),
     ),
+
+    // UNKEYED time-proximity join: clicks within ±1 minute of each
+    // purchase, ANY user — no equality predicate exists, so the naive plan
+    // is a cartesian BNLJ. The operator turns it into an equi-join by
+    // bucketing both sides on floor(epoch_us / tolerance) (right row: 1
+    // bucket; left row: its 3 reachable buckets), carrying the true time
+    // predicate as a post-filter — per-bucket cost tracks TRUE near pairs,
+    // not n·m. The oracle runs the naive range join.
+    Q("s25_binned_time_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("ts").as("pts"))
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select(col("ts").as("cts"), col("value"))
+        graft.operators.IntervalJoin
+          .binnedTimePairs(purchases, "pts", clicks, "cts", 60000000L)
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_nearby"), sumd(col("value")).as("click_value"))
+          .select(col("pid").as("event_id"), col("n_nearby"), col("click_value"))
+      },
+      Some(s"""SELECT p.event_id, COUNT(*) AS n_nearby,
+              |  ${sqlSumd("c.value")} AS click_value
+              |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+              |JOIN (SELECT ts, value FROM events WHERE event_type = 'click') c
+              |  ON abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 60000000
+              |GROUP BY 1""".stripMargin)),
   )
 }
