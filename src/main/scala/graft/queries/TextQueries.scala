@@ -578,5 +578,26 @@ object TextQueries {
       Some(graft.operators.Bm25.searchSql(
         "documents", "doc_id", "text",
         queryTerms = Seq("spark", "merge", "vector"), topK = 25))),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the t32 BM25 lexical
+    // list and an e01-style cosine list against one query vector
+    // (doc_id ≡ vec_id in the corpus). Rank-only fusion — no score
+    // calibration across retrievers; fusion touches only the two top-n
+    // lists, so the cost lives in the retrievers (each with its own
+    // scale path: term-filtered explode / IVF-PQ).
+    Q("t33_hybrid_rrf_search",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.operators.Hybrid.rrfSearch(
+          docs = t.documents, embeddings = t.embeddings,
+          docIdCol = "doc_id", textCol = "text",
+          vecIdCol = "vec_id", vecCol = "embedding", dim = 64,
+          queryTerms = Seq("spark", "merge", "vector"),
+          queryVecId = 0L, n = 50, topK = 20)
+      },
+      Some(graft.operators.Hybrid.rrfSearchSql(
+        "documents", "embeddings", "doc_id", "text", "vec_id", "embedding",
+        dim = 64, queryTerms = Seq("spark", "merge", "vector"),
+        queryVecId = 0L, n = 50, topK = 20))),
   )
 }
