@@ -599,5 +599,15 @@ object TextQueries {
         "documents", "embeddings", "doc_id", "text", "vec_id", "embedding",
         dim = 64, queryTerms = Seq("spark", "merge", "vector"),
         queryVecId = 0L, n = 50, topK = 20))),
+
+    // Zipf-fit vocabulary diagnostic: per-source OLS slope/intercept of
+    // ln(freq) on ln(rank) over each source's top-200 terms — natural
+    // language tracks slope ≈ −1; boilerplate runs steeper, spam flatter.
+    // Exact-decimal normal equations (the q44 split-sum discipline applied
+    // to 6dp-quantized logs); the corpus is touched once.
+    Q("t34_zipf_fit",
+      (s, dir) => graft.operators.Zipf.fit(
+        Tables(s, dir).documents, "text", "source", topR = 200),
+      Some(graft.operators.Zipf.fitSql("documents", "text", "source", topR = 200))),
   )
 }
