@@ -271,7 +271,7 @@ object Similarity {
     * it. A zero-shuffle narrow codegen projection; every other column of
     * `df` is carried through.
     */
-  private def withCoarseList(df: DataFrame, vec: String, nrm: String,
+  private[operators] def withCoarseList(df: DataFrame, vec: String, nrm: String,
       cents: Seq[(Long, Array[Double], Double)], outCol: String): DataFrame = {
     val carried = df.columns.toIndexedSeq
     val staged = stagedSims(df, vec, nrm, cents)
@@ -287,7 +287,7 @@ object Similarity {
     * extra columns, all carried through) into its `nprobe` nearest coarse
     * lists as `probe_list`.
     */
-  private def probeLists(q: DataFrame,
+  private[operators] def probeLists(q: DataFrame,
       cents: Seq[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
     val carried = q.columns.toIndexedSeq
     val probeStructs = cents.zipWithIndex.map { case ((cid, _, _), i) =>
@@ -670,27 +670,34 @@ object Similarity {
     * simply have no id to match) to `df`, which carries the quantized
     * vector as `cq`. All narrow, all constants, zero shuffle.
     */
-  private def pqEncode(df: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+  private[operators] def pqEncode(df: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
       dsub: Int): DataFrame = {
     var enc = df
     for (j <- books.indices) {
       enc = KMeans.withNearestCluster(
         enc.withColumn(s"_sub$j", slice(col("cq"), j * dsub + 1, dsub)),
         s"_sub$j", books(j), s"code$j")
-      val reconJ = books(j).foldRight(lit(null).cast("array<double>")) {
-        case ((cid, cent), els) =>
-          when(col(s"code$j") === cid, typedlit(cent.toSeq)).otherwise(els)
-      }
-      enc = enc.withColumn(s"_recon$j", reconJ)
+      enc = enc.withColumn(s"_recon$j", reconCol(books(j), s"code$j"))
     }
     enc
   }
+
+  /** The ksub-arm constant decode of one subspace's code column back to
+    * its codeword (arms are mutually exclusive, so arm order is free;
+    * empty clusters simply have no id to match).
+    */
+  private[operators] def reconCol(book: Seq[(Long, Array[Double])],
+      codeCol: String): Column =
+    book.foldRight(lit(null).cast("array<double>")) {
+      case ((cid, cent), els) =>
+        when(col(codeCol) === cid, typedlit(cent.toSeq)).otherwise(els)
+    }
 
   /** The asymmetric PQ score: quantized query (`qq`) ⋅ reconstructed
     * corpus vector (`_recon*`), one global left fold in (subspace, dim)
     * order — the oracle emits the identical parenthesis tree.
     */
-  private def pqScore(m: Int, dsub: Int): Column =
+  private[operators] def pqScore(m: Int, dsub: Int): Column =
     (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
       .foldLeft(lit(0.0)) { case (acc, (j, i)) =>
         acc + element_at(col("qq"), j * dsub + i).cast("double") *
@@ -700,7 +707,7 @@ object Similarity {
   /** Exact-cosine rerank of a candidate relation carrying (query_id,
     * neighbor_id, qvec, cvec, qnorm, cnorm): top `k` per query.
     */
-  private def rerankExactCosine(cands: DataFrame, dim: Int, k: Int): DataFrame = {
+  private[operators] def rerankExactCosine(cands: DataFrame, dim: Int, k: Int): DataFrame = {
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cands

@@ -21,6 +21,20 @@ object EmbeddingQueries {
   /** Probe set: the first 10 vectors. */
   private val QueryPredSql = "vec_id < 10"
 
+  /** e18's per-JVM index-build guard (the LayoutQueries discipline:
+    * `computeIfAbsent` blocks concurrent callers until the write lands;
+    * keying by the derived root makes sf dirs independent).
+    */
+  private val annIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def annIndexRoot(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_annindex_$tag")
+      .getAbsolutePath
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_knn_bruteforce",
       (s, dir) => {
@@ -140,6 +154,31 @@ object EmbeddingQueries {
           idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
           nlist = 16, itersCoarse = 2, nprobe = 4, m = 8, ksub = 16,
           itersPq = 2, rerank = 20)
+      },
+      Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 16, 2, 4, 8, 16, 2, 20, QueryPredSql))),
+
+    // The PERSISTED-index serving path: e12's exact parameters, but the
+    // coarse quantizer + codebooks + codes are trained and written ONCE
+    // per JVM (AnnIndex.buildIvfPq, parquet under tmpdir) and the declared
+    // query runs ONLY the load+probe+rerank serving path — byte-identical
+    // to the inline operator (same tie-break folds over the cid-sorted
+    // reload), so it rides e12's oracle. The guard always rebuilds in a
+    // fresh JVM (never trusts a stale on-disk index for changed data).
+    Q("e18_ann_index_query",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = annIndexRoot(dir)
+        annIndexBuilt.computeIfAbsent(root, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings, "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2, root)
+          java.lang.Boolean.TRUE
+        })
+        graft.operators.AnnIndex.queryIvfPq(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nprobe = 4, rerank = 20, dir = root)
       },
       Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, 16, 2, 4, 8, 16, 2, 20, QueryPredSql))),

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.{AnnIndex, Similarity}
+
+class AnnIndexSpec extends SparkSpec {
+
+  private val dim = 8
+
+  /** 80 deterministic vectors with 4 loose directional clusters. */
+  private def corpus = {
+    val rows = (0 until 80).map { i =>
+      val base = i % 4
+      val v = (0 until dim).map { d =>
+        val anchor = if (d == base * 2) 1.0 else 0.0
+        (anchor + 0.1 * math.sin(i * 37.0 + d * 11.0)).toFloat
+      }
+      Row(i.toLong, v)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  private def tmpRoot(name: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(name).toFile
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  test("persisted-index query is byte-identical to the inline operator") {
+    val c = corpus
+    val q = c.filter(org.apache.spark.sql.functions.col("vec_id") < 6)
+    val root = tmpRoot("annindex_parity")
+    AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    val loaded = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+      k = 3, nprobe = 2, rerank = 8, dir = root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val inline = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", dim,
+      k = 3, nlist = 4, itersCoarse = 2, nprobe = 2, m = 4, ksub = 4,
+      itersPq = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(loaded == inline, s"loaded $loaded\nvs inline $inline")
+    assert(loaded.nonEmpty && loaded.groupBy(_._1).size == 6)
+  }
+
+  test("the codes table stores m codes per row, never the vectors") {
+    val root = tmpRoot("annindex_codes")
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 1, m = 4, ksub = 4, itersPq = 1, root)
+    val codes = spark.read.parquet(s"$root/codes")
+    val names = codes.schema.fieldNames.toSet
+    assert(names == Set("neighbor_id", "list_id", "cnorm",
+      "code0", "code1", "code2", "code3"))
+    assert(!codes.schema.exists(_.dataType.isInstanceOf[ArrayType]),
+      "index codes must not duplicate the float vectors")
+    assert(codes.count() == 80)
+    val cents = spark.read.parquet(s"$root/centroids")
+    assert(cents.count() == 4)
+    assert(spark.read.parquet(s"$root/codebooks").count() == 16)
+  }
+
+  test("streaming query batches served from the persisted index match batch answers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val c = corpus
+    val root = tmpRoot("annindex_stream")
+    AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    def vecOf(i: Int): Seq[Float] = (0 until dim).map { d =>
+      val anchor = if (d == (i % 4) * 2) 1.0 else 0.0
+      (anchor + 0.1 * math.sin(i * 37.0 + d * 11.0)).toFloat
+    }
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val out = AnnIndex.queryIvfPq(c, b, "vec_id", "embedding", dim,
+            k = 3, nprobe = 2, rerank = 8, dir = root)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        got.synchronized { got ++= out }
+        ()
+      }.start()
+    in.addData((0L, vecOf(0)), (1L, vecOf(1)))
+    q.processAllAvailable()
+    in.addData((2L, vecOf(2)))
+    q.processAllAvailable()
+    q.stop()
+    val expected = Similarity.ivfPqTopK(c,
+        c.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        "vec_id", "embedding", dim, k = 3, nlist = 4, itersCoarse = 2,
+        nprobe = 2, m = 4, ksub = 4, itersPq = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got.toSet == expected, s"stream ${got.toSet}\nvs batch $expected")
+  }
+
+  test("querying an index built for another dim fails loudly") {
+    val root = tmpRoot("annindex_dim")
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,
+      nlist = 2, itersCoarse = 1, m = 2, ksub = 2, itersPq = 1, root)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.queryIvfPq(corpus, corpus.limit(1), "vec_id", "embedding",
+        dim = 16, k = 1, nprobe = 1, rerank = 1, dir = root)
+    }
+    assert(ex.getMessage.contains("built for dim"))
+  }
+}
