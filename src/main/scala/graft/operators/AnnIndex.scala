@@ -73,6 +73,32 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** INCREMENTAL maintenance: encode `newRows` with the index's STORED
+    * centroids and codebooks (no retraining — the standard IVF contract:
+    * fresh vectors ride stale codebooks until the next rebuild, which is
+    * scheduled on corpus drift, not on every append) and append their
+    * codes to the codes table. One narrow encode pass over the new rows;
+    * nothing existing is rewritten. Delivery is caller-owned: appending
+    * the same rows twice duplicates them (pair with a ledger/anti-join
+    * upstream, the SNK-idempotency pattern, for exactly-once).
+    */
+  def appendIvfPq(newRows: DataFrame, idCol: String, vecCol: String,
+      dim: Int, dir: String): Unit = {
+    val spark = newRows.sparkSession
+    val (cents, books) = loadConstants(spark, dir, dim)
+    val m = books.size
+    val dsub = books.head.head._2.length
+    val c0 = newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
+      .withColumn("cq", KMeans.quantize(col("cvec")))
+    val enc = Similarity.pqEncode(
+      Similarity.withCoarseList(c0, "cvec", "cnorm", cents, "list_id"),
+      books, dsub)
+    enc.select(col("neighbor_id") +: col("list_id") +: col("cnorm") +:
+        (0 until m).map(j => col(s"code$j")): _*)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Top-`k` per query against the index at `dir`. `corpus` supplies ONLY
     * the candidate vectors for the exact rerank (id-joined, small side
     * broadcast) — no training, no encoding, no corpus shuffle.
@@ -84,19 +110,9 @@ object AnnIndex {
     Similarity.guardSmallSide(queries, "AnnIndex.queryIvfPq",
       "sharded query batches", maxQueryRows)
     val spark = corpus.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toIndexedSeq
-      .map { case (cid, w) => (cid, w, l2(w)) }
-    val books = spark.read.parquet(s"$dir/codebooks").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_._2).toIndexedSeq.map { case (_, cid, cw) => (cid, cw) } }
+    val (cents, books) = loadConstants(spark, dir, dim)
     val m = books.size
     val dsub = books.head.head._2.length
-    require(m * dsub == dim,
-      s"index at $dir was built for dim ${m * dsub}, queried with $dim")
     var codes = spark.read.parquet(s"$dir/codes")
     for (j <- books.indices)
       codes = codes.withColumn(s"_recon$j", Similarity.reconCol(books(j), s"code$j"))
@@ -120,6 +136,25 @@ object AnnIndex {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .join(broadcast(cands), Seq("neighbor_id"))
     Similarity.rerankExactCosine(fetched, dim, k)
+  }
+
+  /** Driver-side reload of the two small constant tables, cid-sorted so
+    * every tie-break fold replays in the exact order training emitted.
+    */
+  private def loadConstants(spark: SparkSession, dir: String, dim: Int)
+      : (Seq[(Long, Array[Double], Double)], Seq[Seq[(Long, Array[Double])]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+      .map { case (cid, w) => (cid, w, l2(w)) }
+    val books = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_._2).toIndexedSeq.map { case (_, cid, cw) => (cid, cw) } }
+    val got = books.size * books.head.head._2.length
+    require(got == dim, s"index at $dir was built for dim $got, used with $dim")
+    (cents, books)
   }
 
   private def l2(w: Array[Double]): Double = {

@@ -102,6 +102,56 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.toSet == expected, s"stream ${got.toSet}\nvs batch $expected")
   }
 
+  test("append encodes with the stored codebooks and appended docs are retrievable") {
+    import org.apache.spark.sql.functions.col
+    val c = corpus
+    val seed = c.filter(col("vec_id") < 60)
+    val extra = c.filter(col("vec_id") >= 60)
+    val root = tmpRoot("annindex_append")
+    AnnIndex.buildIvfPq(seed, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    assert(spark.read.parquet(s"$root/codes").count() == 60)
+    AnnIndex.appendIvfPq(extra, "vec_id", "embedding", dim, root)
+    assert(spark.read.parquet(s"$root/codes").count() == 80)
+    // a query identical to an appended vector must retrieve it at rank 1
+    // once the rerank window covers its PQ-code tie group (identical codes
+    // tie on the reconstruction score and break by id, so a small rerank
+    // can drop a high-id doc — the standard PQ ties effect; the exact
+    // rerank then puts the true cosine-1.0 match first)
+    val q = extra.filter(col("vec_id") === 72)
+      .select(col("vec_id").as("qid2"), col("embedding"))
+      .select(org.apache.spark.sql.functions.lit(9901L).as("vec_id"), col("embedding"))
+    val top = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+        k = 1, nprobe = 2, rerank = 40, dir = root)
+      .collect().head
+    assert(top.getLong(1) == 72L, s"expected appended doc 72, got $top")
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("append order does not change query answers") {
+    import org.apache.spark.sql.functions.col
+    val c = corpus
+    def buildWith(order: Seq[(Long, Long)], name: String): String = {
+      val root = tmpRoot(name)
+      AnnIndex.buildIvfPq(c.filter(col("vec_id") < 60), "vec_id", "embedding",
+        dim, nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+      order.foreach { case (lo, hi) =>
+        AnnIndex.appendIvfPq(
+          c.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", dim, root)
+      }
+      root
+    }
+    val r1 = buildWith(Seq((60L, 70L), (70L, 80L)), "annindex_ord1")
+    val r2 = buildWith(Seq((70L, 80L), (60L, 70L)), "annindex_ord2")
+    val q = c.filter(col("vec_id") < 4)
+    def ans(root: String) = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding",
+        dim, k = 3, nprobe = 2, rerank = 8, dir = root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(ans(r1) == ans(r2))
+  }
+
   test("querying an index built for another dim fails loudly") {
     val root = tmpRoot("annindex_dim")
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,
