@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING event-time as-of join — the operator Structured Streaming
+  * lacks natively (stream-stream joins support equality + interval
+  * conditions, not "latest right row at-or-before each left row"). The
+  * classic instance: enrich every trade with the prevailing quote.
+  *
+  * Semantics (event time, watermark-aligned): a trade at event time T is
+  * held in state until the watermark passes T — at which point every
+  * quote with ts <= T has arrived, by the watermark contract — and is
+  * then emitted EXACTLY ONCE, matched to the latest quote with
+  * quote.ts <= T (unmatched trades emit matched=false). This is the
+  * batch backward as-of (s04/s07) lifted to streams: the batch-agreement
+  * spec replays the same events through both paths.
+  *
+  * Correct under arbitrary cross-batch reordering WITHIN the watermark
+  * delay: a quote arriving batches later but with an earlier event time
+  * still wins, because no trade it could affect has been emitted yet.
+  * Same-timestamp quotes keep the max value (arrival order must not
+  * matter); re-delivered trade ids are dropped both while pending (by id)
+  * and after emission (a bounded recently-emitted set, the StreamingDedup
+  * discipline — loud `capped` marker when a bound could have cost the
+  * true answer).
+  *
+  * Scale: state is per KEY (symbol): the quote buffer is pruned to
+  * quotes at-or-after the latest one still matchable by any future or
+  * pending trade, and pending trades drain as the watermark advances —
+  * steady-state size tracks (event rate × watermark delay) per key, the
+  * same bound as Spark's own stream-stream interval join. Hot keys are
+  * ordinary group skew (AQE/state-store partitioning).
+  */
+object StreamingAsOf {
+
+  /** One merged input stream: side = "quote" carries `value`; side =
+    * "trade" carries `id` (unique per trade) and `value` (trade qty/px,
+    * passed through).
+    */
+  final case class AsOfEvent(key: String, side: String, ts: Timestamp,
+      id: Long, value: Double)
+
+  /** quotes: (tsMillis, value) ascending, pruned; pending: (tsMillis, id,
+    * value) ascending trades not yet past the watermark; emitted: most
+    * recent trade ids already emitted (re-delivery guard).
+    */
+  final case class AsOfState(quotes: List[(Long, Double)],
+      pending: List[(Long, Long, Double)], emitted: List[Long],
+      capped: Boolean)
+
+  final case class AsOfMatch(key: String, trade_id: Long, trade_ts: Long,
+      trade_value: Double, matched: Boolean, quote_ts: Long,
+      quote_value: Double, capped: Boolean)
+
+  /** `delay` is the watermark (late-data bound) on `ts`. `maxKept` bounds
+    * each of the three per-key lists; exceeding it sets `capped` on every
+    * subsequent emission for that key (loud, never silent).
+    */
+  def asOfJoinStream(spark: SparkSession, events: Dataset[AsOfEvent],
+      delay: String, maxKept: Int = 1024): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, batch, state: GroupState[AsOfState]) =>
+          var st = state.getOption.getOrElse(
+            AsOfState(Nil, Nil, Nil, capped = false))
+          // fold the batch in (idempotent: quotes dedupe by (ts -> max
+          // value), trades dedupe by id against pending AND emitted)
+          batch.foreach { e =>
+            val t = e.ts.getTime
+            if (e.side == "quote") {
+              val existing = st.quotes.find(_._1 == t)
+              val merged = existing match {
+                case Some((_, v)) if v >= e.value => st.quotes
+                case Some((_, _)) =>
+                  (t, e.value) :: st.quotes.filterNot(_._1 == t)
+                case None => (t, e.value) :: st.quotes
+              }
+              val sorted = merged.sortBy(_._1)
+              if (sorted.size > maxKept)
+                st = st.copy(quotes = sorted.takeRight(maxKept), capped = true)
+              else st = st.copy(quotes = sorted)
+            } else {
+              val dup = st.pending.exists(_._2 == e.id) ||
+                st.emitted.contains(e.id)
+              if (!dup) {
+                val merged = ((t, e.id, e.value) :: st.pending).sortBy(p => (p._1, p._2))
+                if (merged.size > maxKept)
+                  st = st.copy(pending = merged.take(maxKept), capped = true)
+                else st = st.copy(pending = merged)
+              }
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // emit every pending trade the watermark has passed, matched to
+          // the latest quote at-or-before its event time
+          val (ready, stillPending) = st.pending.partition(_._1 <= wm)
+          val out = ready.map { case (tts, id, tv) =>
+            st.quotes.filter(_._1 <= tts).lastOption match {
+              case Some((qts, qv)) =>
+                AsOfMatch(key, id, tts, tv, matched = true, qts, qv, st.capped)
+              case None =>
+                AsOfMatch(key, id, tts, tv, matched = false, -1L, 0.0, st.capped)
+            }
+          }
+          val emitted =
+            (ready.map(_._2).reverse ::: st.emitted).take(maxKept)
+          // prune quotes: any future need is at event time >= floor, so
+          // only the latest quote at-or-before floor and everything after
+          // it can ever be the answer
+          val floor = (stillPending.headOption.map(_._1).toList :+ (wm + 1)).min
+          val keepFrom = st.quotes.filter(_._1 <= floor).lastOption.map(_._1)
+          val quotes = keepFrom match {
+            case Some(k0) => st.quotes.dropWhile(_._1 < k0)
+            case None => st.quotes
+          }
+          st = st.copy(quotes = quotes, pending = stillPending, emitted = emitted)
+          state.update(st)
+          // wake this key up when the watermark can next release a trade
+          stillPending.headOption.foreach { case (tts, _, _) =>
+            state.setTimeoutTimestamp(math.max(tts, wm + 1))
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.AsOfJoin
+import graft.streaming.StreamingAsOf
+import graft.streaming.StreamingAsOf.AsOfEvent
+
+class StreamingAsOfSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private def quote(key: String, sec: Long, v: Double) =
+    AsOfEvent(key, "quote", ts(sec), 0L, v)
+  private def trade(key: String, sec: Long, id: Long, v: Double) =
+    AsOfEvent(key, "trade", ts(sec), id, v)
+
+  /** Run the stream over `batches`, then push the watermark far past every
+    * trade with two flush batches, and collect the emitted matches.
+    */
+  private def run(batches: Seq[Seq[AsOfEvent]]): Set[(String, Long, Long, Boolean, Long, Double)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[AsOfEvent]
+    val name = s"asof_out_${System.nanoTime()}"
+    // the delay must cover the test's largest cross-batch reorder (Spark
+    // itself drops rows older than the watermark before the operator sees
+    // them — reorderings BEYOND the declared lateness are out of contract)
+    val q = StreamingAsOf.asOfJoinStream(spark, in.toDS(), delay = "200 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    // two flush batches: the first advances the watermark, the second
+    // gives the event-time timeouts a trigger to fire in
+    in.addData(quote("zzz_flush", 100000L, 0.0)); q.processAllAvailable()
+    in.addData(quote("zzz_flush", 100001L, 0.0)); q.processAllAvailable()
+    val rows = spark.table(name)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4), r.getLong(5), r.getDouble(6))).toSet
+    q.stop()
+    rows.filterNot(_._1 == "zzz_flush")
+  }
+
+  test("stream matches the batch backward as-of under cross-batch reordering") {
+    import spark.implicits._
+    val quotes = Seq(("A", 10L, 1.0), ("A", 50L, 2.0), ("A", 90L, 3.0),
+      ("B", 40L, 9.0))
+    val trades = Seq(("A", 45L, 1L, 100.0), ("A", 95L, 2L, 200.0),
+      ("B", 30L, 3L, 300.0), ("B", 60L, 4L, 400.0))
+    // out of order: A's 50s quote arrives AFTER the 95s trade; B's only
+    // quote arrives last
+    val batches = Seq(
+      Seq(quote("A", 10, 1.0), trade("A", 45, 1L, 100.0)),
+      Seq(trade("A", 95, 2L, 200.0), quote("A", 90, 3.0), trade("B", 30, 3L, 300.0)),
+      Seq(quote("A", 50, 2.0), trade("B", 60, 4L, 400.0), quote("B", 40, 9.0)))
+    val got = run(batches)
+    val batchExpected = AsOfJoin.backward(
+        trades.toDF("key", "sec", "id", "tv")
+          .selectExpr("key", "timestamp_seconds(sec) AS tts", "id", "tv"),
+        quotes.toDF("key", "sec", "qv")
+          .selectExpr("key", "timestamp_seconds(sec) AS qts", "qv"),
+        "key", "key", "tts", "qts", payloadCols = Seq("qts", "qv"),
+        rightTiebreak = "qv")
+      .selectExpr("key", "id", "CAST(unix_millis(tts) AS BIGINT)",
+        "qts IS NOT NULL",
+        "COALESCE(CAST(unix_millis(qts) AS BIGINT), -1)",
+        "COALESCE(qv, 0.0)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == batchExpected, s"stream $got\nvs batch $batchExpected")
+    // and the reordered quote really is the one that matched trade 4
+    assert(got.exists(m => m._2 == 4L && m._4 && m._5 == 40000L && m._6 == 9.0))
+  }
+
+  test("a quote arriving late (within the watermark) still wins its trade") {
+    val got = run(Seq(
+      Seq(trade("K", 100, 7L, 1.0)),          // trade first, no quote yet
+      Seq(quote("K", 90, 42.0))))             // its quote arrives a batch later
+    assert(got == Set(("K", 7L, 100000L, true, 90000L, 42.0)))
+  }
+
+  test("re-delivered trade ids emit exactly once") {
+    val got = run(Seq(
+      Seq(quote("K", 10, 5.0), trade("K", 20, 11L, 1.0)),
+      Seq(trade("K", 20, 11L, 1.0)),          // duplicate while pending
+      Seq(quote("K", 99990, 6.0)),            // watermark passes, emits
+      Seq(trade("K", 20, 11L, 1.0))))         // duplicate after emission
+    assert(got == Set(("K", 11L, 20000L, true, 10000L, 5.0)))
+  }
+}
