@@ -70,33 +70,40 @@ object StreamingAsOf {
         case (key, batch, state: GroupState[AsOfState]) =>
           var st = state.getOption.getOrElse(
             AsOfState(Nil, Nil, Nil, capped = false))
-          // fold the batch in (idempotent: quotes dedupe by (ts -> max
-          // value), trades dedupe by id against pending AND emitted)
-          batch.foreach { e =>
-            val t = e.ts.getTime
-            if (e.side == "quote") {
-              val existing = st.quotes.find(_._1 == t)
-              val merged = existing match {
-                case Some((_, v)) if v >= e.value => st.quotes
-                case Some((_, _)) =>
-                  (t, e.value) :: st.quotes.filterNot(_._1 == t)
-                case None => (t, e.value) :: st.quotes
-              }
-              val sorted = merged.sortBy(_._1)
-              if (sorted.size > maxKept)
-                st = st.copy(quotes = sorted.takeRight(maxKept), capped = true)
-              else st = st.copy(quotes = sorted)
-            } else {
-              val dup = st.pending.exists(_._2 == e.id) ||
-                st.emitted.contains(e.id)
-              if (!dup) {
-                val merged = ((t, e.id, e.value) :: st.pending).sortBy(p => (p._1, p._2))
-                if (merged.size > maxKept)
-                  st = st.copy(pending = merged.take(maxKept), capped = true)
-                else st = st.copy(pending = merged)
-              }
+          // fold the batch in — ONE merge + sort per invocation, Set
+          // membership for the id guards (state stays encoder-friendly
+          // Lists; the per-event work is O(1) map/set ops). Idempotent:
+          // quotes dedupe by (ts -> max value), trades dedupe by id
+          // against pending AND emitted.
+          val (qEvs, tEvs) = batch.toSeq.partition(_.side == "quote")
+          var capped = st.capped
+          if (qEvs.nonEmpty) {
+            val qmap = scala.collection.mutable.LongMap[Double]()
+            st.quotes.foreach { case (t, v) => qmap(t) = v }
+            qEvs.foreach { e =>
+              val t = e.ts.getTime
+              if (!qmap.contains(t) || qmap(t) < e.value) qmap(t) = e.value
             }
+            var quotes = qmap.toList.sortBy(_._1)
+            if (quotes.size > maxKept) {
+              quotes = quotes.takeRight(maxKept); capped = true
+            }
+            st = st.copy(quotes = quotes)
           }
+          if (tEvs.nonEmpty) {
+            val seen = scala.collection.mutable.Set[Long]()
+            st.pending.foreach(p => seen += p._2)
+            st.emitted.foreach(seen += _)
+            val fresh = tEvs.flatMap { e =>
+              if (seen.add(e.id)) Some((e.ts.getTime, e.id, e.value)) else None
+            }
+            var pending = (fresh.toList ::: st.pending).sortBy(p => (p._1, p._2))
+            if (pending.size > maxKept) {
+              pending = pending.take(maxKept); capped = true
+            }
+            st = st.copy(pending = pending)
+          }
+          st = st.copy(capped = capped)
           val wm = state.getCurrentWatermarkMs()
           // emit every pending trade the watermark has passed, matched to
           // the latest quote at-or-before its event time
