@@ -50,7 +50,7 @@ object TimeSeries {
     daily
       .withColumn("_sx", sum(x).over(w))
       .withColumn("_sxx", sum(x * x).over(w))
-      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_n", count(x).over(w))
       .filter(col("_n") === win)
       .select(col(keyCol), col(dayCol),
         (sqrt((lit(win.toLong) * col("_sxx") - col("_sx") * col("_sx"))

@@ -116,8 +116,11 @@ object StreamingAsOf {
                 AsOfMatch(key, id, tts, tv, matched = false, -1L, 0.0, st.capped)
             }
           }
-          val emitted =
-            (ready.map(_._2).reverse ::: st.emitted).take(maxKept)
+          val emittedAll = ready.map(_._2).reverse ::: st.emitted
+          val emitted = emittedAll.take(maxKept)
+          // dropping re-delivery guards is as loud as dropping data: a
+          // truncated id could be re-admitted and emitted twice
+          if (emittedAll.sizeIs > maxKept) capped = true
           // prune quotes: any future need is at event time >= floor, so
           // only the latest quote at-or-before floor and everything after
           // it can ever be the answer
@@ -127,7 +130,8 @@ object StreamingAsOf {
             case Some(k0) => st.quotes.dropWhile(_._1 < k0)
             case None => st.quotes
           }
-          st = st.copy(quotes = quotes, pending = stillPending, emitted = emitted)
+          st = st.copy(quotes = quotes, pending = stillPending,
+            emitted = emitted, capped = capped)
           state.update(st)
           // wake this key up when the watermark can next release a trade
           stillPending.headOption.foreach { case (tts, _, _) =>
