@@ -73,10 +73,29 @@ object Bench {
     }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    // the complete per-query record, printed first and optionally filed
+    // (SPARK_GRAFT_BENCH_OUT=path) — this is what bench/*.json commits
+    println(full)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (full + "\n").getBytes("UTF-8"))
+    }
+    // FINAL stdout line, sized for the driver's 2000-char tail window (the
+    // full 190+-query line is ~5 KB and arrived truncated → "parsed": null
+    // in rounds 4-5): total + per-family subtotals + the 40 slowest
+    // queries, which is the slice a scale review reads first. Nothing is
+    // printed after this line.
+    val families = results.groupBy(_._1.takeWhile(!_.isDigit))
+      .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
+    val top = results.sortBy(-_._2).take(40)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"queries_truncated_to_top":${top.size},"families":${jmap(families)},"queries":${jmap(top)},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

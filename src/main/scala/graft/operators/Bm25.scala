@@ -71,9 +71,13 @@ object Bm25 {
   def searchSql(table: String, idCol: String, textCol: String,
       queryTerms: Seq[String], topK: Int, k1: Double = 1.2,
       b: Double = 0.75): String = {
-    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    // SQL-escape interpolated terms (' -> ''): the DataFrame twin accepts
+    // a quote in a term fine, so an unescaped oracle would silently
+    // diverge (or inject) on exactly those inputs
+    def q(t: String) = "'" + t.replace("'", "''") + "'"
+    val inList = queryTerms.map(q).mkString(", ")
     val sums = queryTerms.zipWithIndex.map { case (t, i) =>
-      s"SUM(CASE WHEN term = '$t' THEN s END) AS s$i"
+      s"SUM(CASE WHEN term = ${q(t)} THEN s END) AS s$i"
     }.mkString(",\n    ")
     val total = queryTerms.indices
       .map(i => s"COALESCE(s$i, 0.0)").reduceLeft((a, c) => s"($a + $c)")

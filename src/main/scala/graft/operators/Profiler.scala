@@ -351,8 +351,24 @@ object Profiler {
   def histQuantiles(summ: DataFrame, bins: Int, psBp: Seq[Int]): DataFrame = {
     require(psBp.nonEmpty && psBp.forall(p => p >= 1 && p <= 10000),
       "quantile ranks are basis points in [1, 10000]")
-    val merged = summ.groupBy(col("bin"), col("minc"), col("maxc"))
+    val mergedRaw = summ.groupBy(col("bin"), col("minc"), col("maxc"))
       .agg(sum(col("n")).as("n"))
+    // bins are only addable when every summary was built against the SAME
+    // global (minc, maxc): summaries from frames with different bounds
+    // would silently coexist as distinct (bin, minc, maxc) rows and the
+    // bin-ordered cumulative sum below would interleave them into a wrong
+    // quantile. Fail LOUDLY instead: assert_true raises mid-plan when more
+    // than one bounds pair survives the merge (min/max over the whole
+    // summary-sized relation — cheap). Rescale to common bounds upstream
+    // before merging summaries from different eras.
+    val bPair = struct(col("minc"), col("maxc"))
+    val wAll = Window.partitionBy()
+    val merged = mergedRaw
+      .withColumn("_bounds_ok", min(bPair).over(wAll) === max(bPair).over(wAll))
+      .filter(assert_true(col("_bounds_ok"),
+        lit("histQuantiles: merged summaries carry mixed (minc, maxc) " +
+          "bounds — rescale to common bounds before merging")).isNull)
+      .drop("_bounds_ok")
     // summary-sized relation (<= bins rows): the unpartitioned windows are
     // deliberate and cheap
     val wcum = Window.orderBy(col("bin"))
@@ -428,4 +444,37 @@ object Profiler {
     }
     selects.mkString("\nUNION ALL\n")
   }
+
+  /** Certification twin of `profile(approx = true)`: joins the HLL profile
+    * against the exact profile on column name and emits the EXACT stats
+    * plus within_tol = "the HLL n_distinct landed within max(2, 10%) of
+    * exact" (3.4M-register HLL++ at the default 5% rsd stays well inside
+    * 10% at any SF, so the flag is deterministic in practice). This is
+    * VERIFICATION mode — it pays the exact count-distinct Expand on
+    * purpose so the sketch has something to be certified against;
+    * production ANALYZE at 100 TB stays `profile(approx = true)`. The
+    * point of the boolean: the sketch estimate itself is engine-specific
+    * and can never hash-match an oracle, but "estimate within stated
+    * tolerance of exact" is a deterministic, hash-checkable claim.
+    */
+  def profileCertified(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val exact = profile(df, numericCols, stringCols)
+    val approx = profile(df, numericCols, stringCols, approx = true)
+      .select(col("column").as("_c"), col("n_distinct").as("_nd_hll"))
+    exact.join(broadcast(approx), col("column") === col("_c"))
+      .withColumn("within_tol",
+        abs(col("_nd_hll") - col("n_distinct")).cast("double") <=
+          greatest(lit(2.0), col("n_distinct").cast("double") * lit(0.1)))
+      .drop("_c", "_nd_hll")
+  }
+
+  /** Oracle mirror of `profileCertified`: the exact profile plus the
+    * literal TRUE the engine must reproduce for the hash to match.
+    */
+  def profileCertifiedSql(table: String, numericCols: Seq[String],
+      stringCols: Seq[String]): String =
+    s"""SELECT *, TRUE AS within_tol FROM (
+       |${profileSql(table, numericCols, stringCols)}
+       |)""".stripMargin
 }

@@ -127,12 +127,39 @@ object EmbeddingQueries {
       Some(Similarity.jlTopKSql("embeddings", "vec_id", "embedding",
         Dim, 16, K, 20, QueryPredSql))),
 
-    // PRODUCT quantization + exact rerank: m=8 subspace codebooks (ksub=16,
-    // trained by the engine-exact Lloyd chain per subspace) store each
-    // corpus vector as 8 codes — a 32x-smaller scan than float32; ADC-style
-    // reconstruction dots pick candidates, exact cosine reranks. With e09
-    // (trained coarse quantizer) this is the IVF-PQ architecture piecewise.
+    // PRODUCT quantization, DECLARED as the serving path (the PQ-family
+    // primary, VERDICT r5 task 4): codebooks + codes are trained and
+    // persisted ONCE per JVM (AnnIndex.buildIvfPq with nlist=1 — a single
+    // coarse list IS pure PQ: every probe scans all codes, only the m
+    // byte-codes bound the scan), and the declared query runs load +
+    // ADC-score + exact rerank with NO Lloyd iteration. At 100 TB,
+    // retraining per query is the scale-killer; the serve shape here is
+    // what a production batch costs. The retrain twin (e11v) keeps the
+    // inline-training oracle parity proof.
     Q("e11_knn_pq",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = annIndexRoot(dir) + "_pq1"
+        annIndexBuilt.computeIfAbsent(root, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings, "vec_id", "embedding", Dim,
+            nlist = 1, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2, root)
+          java.lang.Boolean.TRUE
+        })
+        graft.operators.AnnIndex.queryIvfPq(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nprobe = 1, rerank = 20, dir = root)
+      },
+      Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 1, 2, 1, 8, 16, 2, 20, QueryPredSql))),
+
+    // e11's RETRAIN twin, verification-only: the whole PQ chain (m=8
+    // subspace codebooks, ksub=16, engine-exact Lloyd) folded into one
+    // query so the DuckDB oracle can replay the training — the bit-parity
+    // proof behind the serve path's codebooks. Not the shape to run per
+    // query at scale; that is exactly why e11 declares the serve cost.
+    Q("e11v_knn_pq_retrain",
       (s, dir) => {
         val t = Tables(s, dir)
         Similarity.pqTopK(
@@ -143,10 +170,35 @@ object EmbeddingQueries {
       Some(Similarity.pqTopKSql("embeddings", "vec_id", "embedding",
         Dim, 8, 16, 2, K, 20, QueryPredSql))),
 
-    // IVF-PQ — the two scale levers composed: e09's trained coarse lists
-    // bound WHAT is scanned (nprobe/nlist of the corpus per query), e11's
-    // product codes bound the BYTES per scanned row; exact rerank on top.
+    // IVF-PQ, DECLARED as the serving path (the scale-primary): e18's
+    // persisted index (same root — built once per JVM, shared), probed at
+    // nprobe=8 — the per-query recall knob turned on the SAME immutable
+    // index, no retraining in the query. The two scale levers both come
+    // from the index: coarse lists bound WHAT is scanned, product codes
+    // bound the BYTES per scanned row; exact rerank on top. Retrain twin:
+    // e12v.
     Q("e12_knn_ivf_pq",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = annIndexRoot(dir)
+        annIndexBuilt.computeIfAbsent(root, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings, "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2, root)
+          java.lang.Boolean.TRUE
+        })
+        graft.operators.AnnIndex.queryIvfPq(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nprobe = 8, rerank = 20, dir = root)
+      },
+      Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 16, 2, 8, 8, 16, 2, 20, QueryPredSql))),
+
+    // e12's RETRAIN twin, verification-only: coarse quantizer + codebooks
+    // trained inline (e09 + e11v composed) so the oracle replays the whole
+    // IVF-PQ build — the parity anchor for the persisted index.
+    Q("e12v_knn_ivf_pq_retrain",
       (s, dir) => {
         val t = Tables(s, dir)
         Similarity.ivfPqTopK(

@@ -407,5 +407,55 @@ object MarketQueries {
               |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN ${sqlDec("value")} * 2
               |           ELSE 0 END) AS DOUBLE) AS sum_x2
               |FROM events GROUP BY 1""".stripMargin)),
+
+    // F5 (completeness subset predicate) as an oracle row: per part, the
+    // set of observed return flags and MarketPipeline.isComplete — the
+    // exact "expected ⊆ scraped" array_except predicate the ingest gate
+    // runs (reference div_link_handler.py:94-102) — against the full
+    // {A, N, R} flag universe. The oracle mirrors subset containment as a
+    // distinct-count over the expected members. One groupBy; the predicate
+    // is a scalar expression over the collected set, codegen-friendly.
+    Q("m09_completeness_predicate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem.groupBy(col("l_partkey"))
+          .agg(collect_set(col("l_returnflag")).as("flags"))
+          .select(col("l_partkey"),
+            MarketPipeline.isComplete(col("flags"), Seq("A", "N", "R"))
+              .as("complete"))
+      },
+      Some("""SELECT l_partkey,
+             |  COUNT(DISTINCT CASE WHEN l_returnflag IN ('A','N','R')
+             |        THEN l_returnflag END) = 3 AS complete
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // SNK3 (completed-ledger upsert) as an oracle row: completion records
+    // land APPEND-ONLY (recordCompleted's shape), the same batch written
+    // twice — a retried run — and readLedger's set-dedup read proves the
+    // upsert is idempotent: the oracle computes the single-write answer
+    // directly from orders, so the hash match IS the "re-run is a no-op"
+    // claim. At 100 TB the ledger read stays one groupBy over a
+    // date-filtered slice of a small control table.
+    Q("m10_ledger_idempotent_upsert",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val entries = t.orders.select(
+          concat(lit("c"), expr("o_custkey % 50")).as("commodity"),
+          col("o_orderpriority").as("link_type"),
+          lit("2026-01-01").as("scrape_date"))
+        val tmp = landingDir(s"m10_ledger_$dir") { tmp =>
+          val led = tmp.resolve("ledger").toString
+          entries.write.mode("append").parquet(led)
+          entries.write.mode("append").parquet(led) // the retried run
+        }
+        MarketPipeline.readLedger(s, tmp.resolve("ledger").toString, "2026-01-01")
+          .select(col("commodity"),
+            array_join(sort_array(col("link_types")), ",").as("link_types"),
+            size(col("link_types")).cast("long").as("n_types"))
+      },
+      Some("""SELECT 'c' || CAST(o_custkey % 50 AS VARCHAR) AS commodity,
+             |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS link_types,
+             |  COUNT(DISTINCT o_orderpriority) AS n_types
+             |FROM orders GROUP BY 1""".stripMargin)),
   )
 }

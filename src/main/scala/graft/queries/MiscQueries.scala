@@ -395,16 +395,19 @@ object MiscQueries {
         Seq("o_orderstatus", "o_orderpriority")))),
 
     // The 100 TB ANALYZE mode of p01: HLL++ distinct counts — no Expand,
-    // one map-side-combined pass. Sketch estimates are engine-specific, so
-    // there is no DuckDB oracle (rows-only gate); ProfilerSpec checks the
-    // estimates against the exact twin within HLL tolerance and asserts
-    // the Expand-free single-pass plan.
+    // one map-side-combined pass (ProfilerSpec asserts the Expand-free
+    // single-scan plan of the production approx mode). The DECLARED query
+    // is the certified twin: exact stats + within_tol = "HLL estimate
+    // within max(2, 10%) of exact" — fully hash-checkable (the oracle
+    // emits the TRUE literal), so sketch drift fails loudly instead of
+    // hiding behind a rows-only gate.
     Q("p02_profile_orders_approx",
-      (s, dir) => graft.operators.Profiler.profile(Tables(s, dir).orders,
+      (s, dir) => graft.operators.Profiler.profileCertified(Tables(s, dir).orders,
         numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
-        stringCols = Seq("o_orderstatus", "o_orderpriority"),
-        approx = true),
-      None),
+        stringCols = Seq("o_orderstatus", "o_orderpriority")),
+      Some(graft.operators.Profiler.profileCertifiedSql("orders",
+        Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_orderstatus", "o_orderpriority")))),
 
     // Trailing-window anomaly detection with a RANGE frame: daily revenue
     // per order priority, spike = day revenue more than 2x the trailing
@@ -608,18 +611,38 @@ object MiscQueries {
     // The 100 TB percentile path (companion to q15's exact distributed
     // sort): approx_percentile is Spark's mergeable quantile-summary
     // aggregate — one pass, map-side combined, no global sort. Sketch
-    // outputs are engine-specific, so this is a rows-only gate; the
-    // tolerance spec in OperatorsSpec pins it against the exact twin.
+    // values are engine-specific, so the DECLARED output is the fully
+    // hash-checkable form: the exact p50/p90/p99 (groupedQuantileCont,
+    // bit-identical to DuckDB quantile_cont — the q15 proof) plus
+    // within_tol = "the sketch landed within 1% of exact on all three
+    // ranks". accuracy=10000 bounds rank error at n/10000 (relative, so
+    // the 1% value tolerance holds at every SF); the oracle asserts
+    // within_tol IS true by emitting the literal — a sketch drift becomes
+    // a loud hash mismatch, not an unverifiable number.
     Q("p06_approx_percentiles",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.lineitem.groupBy(col("l_returnflag"))
-          .agg(
-            expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-              .as("approx_p"),
-            count(lit(1)).as("n"))
+        val exact = graft.operators.Quantiles.groupedQuantileCont(
+          t.lineitem, "l_returnflag", "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        val approx = t.lineitem.groupBy(col("l_returnflag").as("_flag"))
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .as("_ap"))
+        exact.join(broadcast(approx), col("l_returnflag") === col("_flag"))
+          .withColumn("within_tol",
+            abs(expr("_ap[0]") - col("p50")) <= col("p50") * lit(0.01) &&
+            abs(expr("_ap[1]") - col("p90")) <= col("p90") * lit(0.01) &&
+            abs(expr("_ap[2]") - col("p99")) <= col("p99") * lit(0.01))
+          .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+            col("n"), col("within_tol"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50,
+             |  quantile_cont(l_extendedprice, 0.9) AS p90,
+             |  quantile_cont(l_extendedprice, 0.99) AS p99,
+             |  COUNT(*) AS n, TRUE AS within_tol
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // Equi-width value histogram (the ANALYZE-histogram companion to p01):
     // 10 buckets over o_totalprice with data-derived bounds. All bucket

@@ -425,12 +425,14 @@ object TextQueries {
     // Inverted index build: term -> sorted posting list of doc_ids, kept
     // for mid-frequency terms (5 <= df <= 80% of the corpus — stopwords
     // and hapaxes are index noise). One explode + one aggregation; posting
-    // lists are array_sort(collect_set(...)) so the array content is
-    // deterministic. At 100 TB the posting list of a stopword would be
-    // corpus-sized — the df upper bound is what keeps per-group state
-    // bounded, stated here as part of the operator contract, not an
-    // optimization; it DERIVES from the corpus count (a fixed 400 is 80%
-    // of sf0.01 but silently empties the index at sf1).
+    // lists are array_sort(collect_set(...)) so the content is
+    // deterministic, emitted as a comma-joined scalar (the driver's pandas
+    // compare cannot sort array cells — the q17 convention). At 100 TB the
+    // posting list of a stopword would be corpus-sized — the df upper bound
+    // is what keeps per-group state bounded, stated here as part of the
+    // operator contract, not an optimization; it DERIVES from the corpus
+    // count (a fixed 400 is 80% of sf0.01 but silently empties the index
+    // at sf1).
     Q("t23_inverted_index",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -439,7 +441,8 @@ object TextQueries {
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
           .groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df"),
-            array_sort(collect_set(col("doc_id"))).as("postings"))
+            expr("array_join(cast(array_sort(collect_set(doc_id)) as array<string>), ',')")
+              .as("postings"))
           .crossJoin(broadcast(nDocs))
           .filter(col("df") >= 5 && col("df") <= expr("(n_docs * 8) DIV 10"))
           .drop("n_docs")
@@ -448,7 +451,7 @@ object TextQueries {
               |  SELECT doc_id, unnest(${TextFns.tokensSql("text")}) AS term
               |  FROM documents)
               |SELECT term, COUNT(DISTINCT doc_id) AS df,
-              |  list(DISTINCT doc_id ORDER BY doc_id) AS postings
+              |  array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS postings
               |FROM t GROUP BY 1
               |HAVING COUNT(DISTINCT doc_id) BETWEEN 5 AND
               |  (SELECT COUNT(*) * 8 // 10 FROM documents)""".stripMargin)),

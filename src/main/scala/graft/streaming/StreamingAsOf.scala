@@ -58,10 +58,22 @@ object StreamingAsOf {
   /** `delay` is the watermark (late-data bound) on `ts`. `maxKept` bounds
     * each of the three per-key lists; exceeding it sets `capped` on every
     * subsequent emission for that key (loud, never silent).
+    *
+    * `idleRetention` bounds state in KEY CARDINALITY, not just per key: a
+    * key whose last quote is `idleRetention` older than the watermark and
+    * that has no pending trades is EVICTED (state.remove via event-time
+    * timeout) — without it, every symbol ever seen would pin its pruned
+    * quote list forever, and "steady-state size tracks event rate ×
+    * watermark delay" would silently exclude dead keys. The traded-away
+    * semantics are explicit: a trade arriving after its key idled out
+    * emits matched=false (the ordinary as-of miss), never a wrong quote.
     */
   def asOfJoinStream(spark: SparkSession, events: Dataset[AsOfEvent],
-      delay: String, maxKept: Int = 1024): Dataset[AsOfMatch] = {
+      delay: String, maxKept: Int = 1024,
+      idleRetention: String = "1 hour"): Dataset[AsOfMatch] = {
     import spark.implicits._
+    val ttlMs = intervalMs(idleRetention)
+    require(ttlMs > 0, s"idleRetention must be positive: $idleRetention")
     events
       .withWatermark("ts", delay)
       .groupByKey(_.key)
@@ -105,9 +117,14 @@ object StreamingAsOf {
           }
           st = st.copy(capped = capped)
           val wm = state.getCurrentWatermarkMs()
-          // emit every pending trade the watermark has passed, matched to
-          // the latest quote at-or-before its event time
-          val (ready, stillPending) = st.pending.partition(_._1 <= wm)
+          // emit every pending trade the watermark has STRICTLY passed,
+          // matched to the latest quote at-or-before its event time.
+          // Strict (<, not <=) on purpose: Spark's late-row filter admits
+          // rows with event time == the current watermark, so a quote at
+          // exactly wm can still legally arrive after this batch — a trade
+          // at wm released now could miss it. It drains one watermark tick
+          // later instead (the timeout below guarantees the tick fires).
+          val (ready, stillPending) = st.pending.partition(_._1 < wm)
           val out = ready.map { case (tts, id, tv) =>
             st.quotes.filter(_._1 <= tts).lastOption match {
               case Some((qts, qv)) =>
@@ -123,21 +140,46 @@ object StreamingAsOf {
           if (emittedAll.sizeIs > maxKept) capped = true
           // prune quotes: any future need is at event time >= floor, so
           // only the latest quote at-or-before floor and everything after
-          // it can ever be the answer
-          val floor = (stillPending.headOption.map(_._1).toList :+ (wm + 1)).min
+          // it can ever be the answer. Floor is min(pending, wm) — wm
+          // itself, not wm+1, because a future trade can carry event time
+          // exactly wm (the same boundary rule as the strict release).
+          val floor = (stillPending.headOption.map(_._1).toList :+ wm).min
           val keepFrom = st.quotes.filter(_._1 <= floor).lastOption.map(_._1)
           val quotes = keepFrom match {
             case Some(k0) => st.quotes.dropWhile(_._1 < k0)
             case None => st.quotes
           }
-          st = st.copy(quotes = quotes, pending = stillPending,
-            emitted = emitted, capped = capped)
-          state.update(st)
-          // wake this key up when the watermark can next release a trade
-          stillPending.headOption.foreach { case (tts, _, _) =>
-            state.setTimeoutTimestamp(math.max(tts, wm + 1))
+          if (stillPending.isEmpty && out.isEmpty && qEvs.isEmpty &&
+              quotes.forall(_._1 + ttlMs <= wm)) {
+            // idle eviction: nothing pending, nothing new this batch, and
+            // every retained quote is idleRetention past the watermark —
+            // drop the key's state entirely (bounded key cardinality)
+            state.remove()
+          } else {
+            st = st.copy(quotes = quotes, pending = stillPending,
+              emitted = emitted, capped = capped)
+            state.update(st)
+            // wake this key up when the watermark can next release a trade
+            // (strict release ⇒ wm must EXCEED the trade ts), or — idle —
+            // when its quotes become evictable
+            val wake = stillPending.headOption match {
+              case Some((tts, _, _)) => math.max(tts + 1, wm + 1)
+              case None => math.max(
+                quotes.lastOption.map(_._1 + ttlMs).getOrElse(wm + 1), wm + 1)
+            }
+            state.setTimeoutTimestamp(wake)
           }
           out.iterator
       }
+  }
+
+  /** "N unit" interval string → milliseconds (day-time units only — the
+    * watermark-delay grammar; months would be calendar-dependent).
+    */
+  private[streaming] def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar months not supported: $s")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 }

@@ -74,6 +74,24 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("profileCertified: exact stats + within_tol true, TRUE-literal oracle form") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cols = (Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"))
+    val cert = Profiler.profileCertified(df, cols._1, cols._2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profiler.profile(df, cols._1, cols._2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(cert.keySet == exact.keySet)
+    for ((c, r) <- cert) {
+      val e = exact(c)
+      // certified rows carry the EXACT stats (cols 1..7), plus the flag
+      assert((1 to 7).forall(i =>
+        (r.isNullAt(i) && e.isNullAt(i)) || r.get(i) == e.get(i)), c)
+      assert(r.getBoolean(r.fieldIndex("within_tol")), s"$c HLL outside tolerance")
+    }
+  }
+
   test("incremental summaries merge to the direct whole-table profile") {
     import org.apache.spark.sql.functions._
     val k = 8

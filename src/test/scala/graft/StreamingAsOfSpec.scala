@@ -79,6 +79,87 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(got == Set(("K", 7L, 100000L, true, 90000L, 42.0)))
   }
 
+  test("kill-and-restart from checkpoint resumes exactly-once at sf0.1 volume (ST1)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic trade/quote stream derived from the sf0.1 events table
+    // (100k events, 8 keys): even event_ids are quotes, odd are trades
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(
+        concat(lit("K"), (col("user_id") % 8).cast("string")).as("key"),
+        when(col("event_id") % 2 === 0, "quote").otherwise("trade").as("side"),
+        col("ts").cast("timestamp").as("ts"), // parquet ntz → session-tz ts
+        col("event_id").as("id"),
+        col("value"))
+    val src = tmpDir("asof_src")
+    val ckpt = tmpDir("asof_ckpt")
+    val out = tmpDir("asof_out")
+    // 8 time-range files written sequentially (distinct mtimes) so the
+    // file source replays them in event-time order, one per micro-batch
+    val ordered = ev.orderBy("ts").cache()
+    val n = ordered.count()
+    val cuts = ordered.select("ts").collect().map(_.getTimestamp(0))
+    val bounds = (1 until 8).map(i => cuts((n * i / 8).toInt - 1))
+    val slices = (lit(null).cast("timestamp") +: bounds.map(lit))
+      .zip(bounds.map(lit) :+ lit(null).cast("timestamp"))
+    slices.foreach { case (lo, hi) =>
+      ordered.filter(
+        (isnull(lo) || col("ts") > lo) && (isnull(hi) || col("ts") <= hi))
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct file mtimes → deterministic source order
+    }
+    def start() = {
+      val in = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src).as[AsOfEvent]
+      StreamingAsOf.asOfJoinStream(spark, in, delay = "10 minutes",
+          maxKept = 2048)
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out).start()
+    }
+    // run ~3 micro-batches, then kill; the interrupted batch replays on
+    // restart against the checkpointed state (exactly-once via the file
+    // sink's batch-id log + the operator's pending/emitted id guards)
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.length < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    q1.stop(); q1.awaitTermination()
+    val q2 = start()
+    q2.processAllAvailable()
+    // two sentinel files: advance the watermark past every trade, then
+    // give the event-time timeouts a trigger to drain the last pending
+    val maxTs = cuts.last.getTime
+    for (k <- 0 to 1) {
+      Seq(("zzz", "quote", new Timestamp(maxTs + 86400000L * (k + 1)), 0L, 0.0))
+        .toDF("key", "side", "ts", "id", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      q2.processAllAvailable()
+    }
+    q2.stop(); q2.awaitTermination()
+    val got = spark.read.parquet(out).filter(col("key") =!= "zzz")
+      .select("key", "trade_id", "trade_ts", "matched", "quote_ts", "quote_value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val expected = graft.operators.AsOfJoin.backward(
+        ev.filter(col("side") === "trade")
+          .select(col("key"), col("ts").as("tts"), col("id"), col("value")),
+        ev.filter(col("side") === "quote")
+          .select(col("key"), col("ts").as("qts"), col("value").as("qv")),
+        "key", "key", "tts", "qts", payloadCols = Seq("qts", "qv"),
+        rightTiebreak = "qv")
+      .selectExpr("key", "id", "CAST(unix_millis(tts) AS BIGINT)",
+        "qts IS NOT NULL",
+        "COALESCE(CAST(unix_millis(qts) AS BIGINT), -1)",
+        "COALESCE(qv, 0.0)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getDouble(5))).toSet
+    ordered.unpersist()
+    assert(got.size == expected.size,
+      s"stream emitted ${got.size} vs batch ${expected.size}")
+    assert(got == expected)
+  }
+
   test("re-delivered trade ids emit exactly once") {
     val got = run(Seq(
       Seq(quote("K", 10, 5.0), trade("K", 20, 11L, 1.0)),
