@@ -113,7 +113,13 @@ object GenScaleData {
     val nDocs = (50000 * sf).toLong
     val nVecs = (20000 * sf).toLong
 
-    def write[T](name: String, ds: Dataset[T]): Unit = {
+    // optional arg 3: comma-separated table subset (e.g. "documents,
+    // embeddings" for a pair-count-driven scale point — sf10 lineitem is
+    // ~60M rows nobody benches)
+    val onlyTables = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def write[T](name: String, dsThunk: => Dataset[T]): Unit =
+      if (onlyTables.forall(_.contains(name))) writeAll(name, dsThunk)
+    def writeAll[T](name: String, ds: Dataset[T]): Unit = {
       val tmp = s"$outDir/_tmp_$name"
       ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))

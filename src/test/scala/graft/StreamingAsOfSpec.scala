@@ -160,6 +160,52 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("idle keys are evicted after idleRetention; active keys keep state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[AsOfEvent]
+    val name = s"asof_evict_${System.nanoTime()}"
+    val q = StreamingAsOf.asOfJoinStream(spark, in.toDS(),
+        delay = "10 seconds", idleRetention = "60 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null) -1L else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    // two keys get quotes; DEAD never sees another event, LIVE stays active
+    in.addData(quote("DEAD", 10, 1.0), quote("LIVE", 10, 2.0))
+    q.processAllAvailable()
+    // advance the watermark ~50s past DEAD's quote — inside the 60s
+    // retention, both keys must still hold state
+    in.addData(quote("LIVE", 70, 3.0))
+    q.processAllAvailable()
+    in.addData(quote("LIVE", 71, 3.5)) // extra tick so timeouts fire
+    q.processAllAvailable()
+    assert(stateRows >= 2, s"expected both keys resident, state=$stateRows")
+    // push the watermark past DEAD's quote + 60s retention; LIVE keeps
+    // producing so it stays. A further tick lets DEAD's timeout fire.
+    in.addData(quote("LIVE", 100, 4.0))
+    q.processAllAvailable()
+    in.addData(quote("LIVE", 101, 4.5))
+    q.processAllAvailable()
+    in.addData(quote("LIVE", 102, 5.0))
+    q.processAllAvailable()
+    assert(stateRows == 1, s"expected only LIVE resident, state=$stateRows")
+    // and a trade on the evicted key arriving later is an ordinary as-of
+    // miss (matched=false), never a wrong quote
+    in.addData(trade("DEAD", 105, 99L, 7.0))
+    q.processAllAvailable()
+    in.addData(quote("LIVE", 130, 6.0))
+    q.processAllAvailable()
+    in.addData(quote("LIVE", 131, 6.5))
+    q.processAllAvailable()
+    val dead = spark.table(name)
+      .filter(org.apache.spark.sql.functions.col("key") === "DEAD").collect()
+    assert(dead.length == 1 && !dead.head.getAs[Boolean]("matched"),
+      dead.mkString(", "))
+    q.stop()
+  }
+
   test("re-delivered trade ids emit exactly once") {
     val got = run(Seq(
       Seq(quote("K", 10, 5.0), trade("K", 20, 11L, 1.0)),
