@@ -111,8 +111,13 @@ class StreamingAsOfSpec extends SparkSpec {
     def start() = {
       val in = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(src).as[AsOfEvent]
+      // maxKept must cover the WORST-case pending per key: a restart can
+      // coalesce several source files into one micro-batch (observed in
+      // full-suite runs), so bound = all trades of one key (~6250) with
+      // margin. Undersizing is not a silent bug — the operator drops with
+      // capped=true — but this test asserts zero caps below.
       StreamingAsOf.asOfJoinStream(spark, in, delay = "10 minutes",
-          maxKept = 2048)
+          maxKept = 16384)
         .writeStream.outputMode("append").format("parquet")
         .option("checkpointLocation", ckpt).option("path", out).start()
     }
@@ -136,7 +141,14 @@ class StreamingAsOfSpec extends SparkSpec {
       q2.processAllAvailable()
     }
     q2.stop(); q2.awaitTermination()
-    val got = spark.read.parquet(out).filter(col("key") =!= "zzz")
+    val outDf = spark.read.parquet(out).filter(col("key") =!= "zzz")
+    // a capped row means the state bound truncated data — that is the
+    // operator being LOUD about a too-small maxKept, and it must fail
+    // here with a diagnosis rather than as an opaque set diff
+    val nCapped = outDf.filter(col("capped")).count()
+    assert(nCapped == 0, s"$nCapped capped emissions: maxKept too small " +
+      "for this volume (a restart batch can coalesce several files)")
+    val got = outDf
       .select("key", "trade_id", "trade_ts", "matched", "quote_ts", "quote_value")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
