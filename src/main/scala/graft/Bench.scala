@@ -31,6 +31,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence FileStreamSink's stack-trace WARN on plain-directory reads
+    // (the _spark_metadata probe) — driver-log noise, not a failure
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
 
     // warm-up: JVM + whole-stage-codegen + parquet footer caches
     try {

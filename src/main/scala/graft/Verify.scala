@@ -18,6 +18,15 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reading a plain directory with DataFrameReader probes for a
+    // _spark_metadata dir and logs a WARN WITH A FULL STACK TRACE when
+    // absent (FileStreamSink.hasMetadata) — pure noise in driver logs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q24,mm (comma-separated name prefixes) restricts the
     // dump — a local iteration aid; the driver leaves it unset (full sweep).
