@@ -50,6 +50,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(loaded.nonEmpty && loaded.groupBy(_._1).size == 6)
   }
 
+  test("an nlist=1 index IS pure PQ: serve path equals pqTopK at equal params") {
+    // e11's round-6 claim: one coarse list means every probe scans all
+    // codes, so the persisted-index serve path must reproduce the inline
+    // PRODUCT-quantization operator exactly (same codebook training
+    // params, same ADC candidate ranking, same exact rerank)
+    val c = corpus
+    val q = c.filter(org.apache.spark.sql.functions.col("vec_id") < 6)
+    val root = tmpRoot("annindex_pq1")
+    AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+      nlist = 1, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    val serve = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+      k = 3, nprobe = 1, rerank = 8, dir = root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val purePq = Similarity.pqTopK(c, q, "vec_id", "embedding", dim,
+      m = 4, ksub = 4, iters = 2, k = 3, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(serve == purePq, s"serve $serve\nvs pure PQ $purePq")
+  }
+
+  test("recall@k does not drop when nprobe widens to all lists") {
+    // the per-query recall knob e12 turns on ONE immutable index: at
+    // nprobe = nlist every list is scanned (pure-PQ behavior), which on
+    // this fixture must recall at least as much of the brute-force truth
+    // as the nprobe=2 partial probe
+    import org.apache.spark.sql.functions.col
+    val c = corpus
+    val q = c.filter(col("vec_id") < 6)
+    val root = tmpRoot("annindex_recall")
+    AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    val truth = Similarity.cosineTopK(c, q, "vec_id", "embedding", dim, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerank=40 (half the corpus): the test isolates the nprobe knob —
+    // a 4-codeword/subspace PQ on an 8-dim fixture ties heavily, so a
+    // narrow rerank window would measure code-collision luck, not probing
+    def recall(nprobe: Int): Double = {
+      val got = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+        k = 3, nprobe = nprobe, rerank = 40, dir = root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r2 = recall(2)
+    val r4 = recall(4)
+    assert(r4 >= r2, s"recall fell as nprobe widened: $r2 -> $r4")
+    assert(r4 >= 0.5, s"full-scan recall@3 too low on the fixture: $r4")
+  }
+
   test("the codes table stores m codes per row, never the vectors") {
     val root = tmpRoot("annindex_codes")
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,
