@@ -103,6 +103,82 @@ object Multimodal {
           mp4.getField("timescale").cast("double")).as("duration_ms")))
   }
 
+  /** Aspect-preserving resize PLAN: the target geometry every image
+    * pipeline computes before touching a pixel, from the REAL decoded
+    * dims (withMediaMeta) in exact integer arithmetic so both engines
+    * agree bit-for-bit. Fit-within-(maxW, maxH), never upscale:
+    * width-bound iff w·maxH >= h·maxW (cross-multiplied — no float
+    * ratios), scaled edge = (other · max) DIV this, floored to >= 1.
+    * Unrecognized bytes (null dims) pass through with null targets —
+    * the quarantine-not-crash discipline. Adds out_w / out_h / scaled;
+    * the pixel resampling itself is [[resizeStubBytes]]' batched stub.
+    */
+  def resizeFit(df: DataFrame, binCol: String, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"bad fit box ${maxW}x$maxH")
+    val meta = withMediaMeta(df, binCol)
+    val w = col("media_meta.width").cast("long")
+    val h = col("media_meta.height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    val widthBound = w * maxH >= h * maxW
+    val outW = when(w.isNull || h.isNull, lit(null))
+      .when(fits, w)
+      .when(widthBound, lit(maxW.toLong))
+      .otherwise(greatest(expr(s"(media_meta.width * ${maxH}L) DIV media_meta.height"), lit(1L)))
+    val outH = when(w.isNull || h.isNull, lit(null))
+      .when(fits, h)
+      .when(widthBound,
+        greatest(expr(s"(media_meta.height * ${maxW}L) DIV media_meta.width"), lit(1L)))
+      .otherwise(lit(maxH.toLong))
+    meta
+      .withColumn("out_w", outW.cast("int"))
+      .withColumn("out_h", outH.cast("int"))
+      .withColumn("scaled", when(w.isNull || h.isNull, lit(null)).otherwise(!fits))
+  }
+
+  /** Oracle mirror of [[resizeFit]]'s geometry: integer CASE chain over
+    * (w, h) SQL expressions — `//` division, cross-multiplied bound test.
+    */
+  def resizeFitSql(wExpr: String, hExpr: String, maxW: Int, maxH: Int)
+      : (String, String, String) = {
+    val fits = s"($wExpr <= $maxW AND $hExpr <= $maxH)"
+    val wb = s"($wExpr * $maxH >= $hExpr * $maxW)"
+    val ow = s"""CASE WHEN $wExpr IS NULL OR $hExpr IS NULL THEN NULL
+                | WHEN $fits THEN $wExpr
+                | WHEN $wb THEN $maxW
+                | ELSE GREATEST(($wExpr * $maxH) // $hExpr, 1) END""".stripMargin
+    val oh = s"""CASE WHEN $wExpr IS NULL OR $hExpr IS NULL THEN NULL
+                | WHEN $fits THEN $hExpr
+                | WHEN $wb THEN GREATEST(($hExpr * $maxW) // $wExpr, 1)
+                | ELSE $maxH END""".stripMargin
+    val scaled = s"""CASE WHEN $wExpr IS NULL OR $hExpr IS NULL THEN NULL
+                    | ELSE NOT $fits END""".stripMargin
+    (ow, oh, scaled)
+  }
+
+  /** The pixel-production half of the resize, batched like
+    * [[extractFeatures]]: (id, bytes, out_w, out_h) stream through
+    * mapPartitions in fixed batches; the per-batch "resampler" is a STUB
+    * (no imaging libs in this container) producing a deterministic
+    * hash-derived payload of the REAL output size out_w·out_h·3 bytes —
+    * schema, batch shape, and size accounting are the production
+    * plumbing a real decoder drops into.
+    */
+  def resizeStubBytes(ds: Dataset[(Long, Array[Byte], Int, Int)],
+      batchSize: Int): Dataset[(Long, Array[Byte])] = {
+    implicit val enc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "resampler call" per batch — the real inference boundary
+        batch.map { case (id, bytes, ow, oh) =>
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val out = Array.tabulate[Byte](ow * oh * 3)(i => md(i % md.length))
+          id -> out
+        }
+      }
+    }
+  }
+
   /** Batched feature extraction over (id, bytes) pairs — the inference-UDF
     * shape: rows stream through mapPartitions in fixed-size batches and the
     * per-batch "model" (STUB: hash-derived float vector) runs once per batch.

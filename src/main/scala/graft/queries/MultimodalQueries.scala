@@ -105,6 +105,36 @@ object MultimodalQueries {
              |  CAST(d.w AS INTEGER) AS width, CAST(d.h_px AS INTEGER) AS height
              |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin)),
 
+    // Aspect-preserving resize PLAN over the real decoded dims (the
+    // geometry half of image resize — the pixel half is the batched
+    // resizeStubBytes path, spec-proven): fit-within-64x48, never
+    // upscale, cross-multiplied integer bound test and DIV-floored
+    // scaled edges so both engines agree exactly; unrecognized bytes
+    // pass through with null targets. Oracle reuses mm03's dims CTEs.
+    Q("mm11_resize_plan",
+      (s, _) => {
+        val imgs = s.read.parquet(imageFixturePath)
+        Multimodal.resizeFit(imgs, "payload", maxW = 64, maxH = 48)
+          .select(col("name"),
+            col("media_meta.width").as("width"),
+            col("media_meta.height").as("height"),
+            col("out_w"), col("out_h"), col("scaled"))
+      },
+      Some {
+        val (ow, oh, sc) = graft.operators.Multimodal
+          .resizeFitSql("d.w", "d.h_px", 64, 48)
+        s"""WITH RECURSIVE imgs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('$imageFixturePath')),
+           |src AS (SELECT name AS key, h, n FROM imgs),
+           |${MediaSql.dimsCtes("src")}
+           |SELECT i.name, CAST(d.w AS INTEGER) AS width,
+           |  CAST(d.h_px AS INTEGER) AS height,
+           |  CAST($ow AS INTEGER) AS out_w, CAST($oh AS INTEGER) AS out_h,
+           |  $sc AS scaled
+           |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin
+      }),
+
     // WebP coverage for the same Expression: all three bitstream flavors
     // (VP8X extended 24-bit canvas, "VP8 " lossy 14-bit + sync check, VP8L
     // lossless packed 14-bit fields) over committed hand-built RIFF bytes,

@@ -134,6 +134,45 @@ class MultimodalSpec extends SparkSpec {
       assert(java.util.Arrays.equals(committed(k), v), s"fixture $k drifted")
   }
 
+  test("resizeFit: both fit branches, never-upscale, exact DIV edges, null quarantine") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.tools.GenImageFixtures.{encode, render}
+    def png(w: Int, h: Int) =
+      encode(render(w, h, w + h, java.awt.image.BufferedImage.TYPE_INT_RGB), "png")
+    val rows = Seq(
+      (1L, png(640, 480)),  // width-bound: exact 64x48
+      (2L, png(20, 300)),   // HEIGHT-bound (tall — the branch the committed
+                            // fixture lacks): out_h=48, out_w=(20*48)DIV300=3
+      (3L, png(1, 2000)),   // extreme aspect: DIV floors to 0 -> clamped to 1
+      (4L, png(31, 17)),    // fits: untouched, scaled=false
+      (5L, "junk".getBytes) // unrecognized: null targets
+    ).toDF("id", "payload")
+    val got = Multimodal.resizeFit(rows, "payload", maxW = 64, maxH = 48)
+      .select("id", "out_w", "out_h", "scaled")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getBoolean(3)))))
+      .toMap
+    assert(got(1L) == Some((64, 48, true)))
+    assert(got(2L) == Some((3, 48, true)))
+    assert(got(3L) == Some((1, 48, true)))
+    assert(got(4L) == Some((31, 17, false)))
+    assert(got(5L).isEmpty)
+  }
+
+  test("resizeStubBytes: batched, deterministic, real output-size accounting") {
+    val plan = Multimodal.resizeFit(media, "payload", 64, 48)
+      .select(col("id"), col("payload"), coalesce(col("out_w"), lit(4)).as("ow"),
+        coalesce(col("out_h"), lit(2)).as("oh"))
+      .as[(Long, Array[Byte], Int, Int)]
+    val b1 = Multimodal.resizeStubBytes(plan, batchSize = 1).collect().toMap
+    val b2 = Multimodal.resizeStubBytes(plan, batchSize = 16).collect().toMap
+    assert(b1.keySet == Set(1L, 2L))
+    // the stub produces the REAL resized payload size: out_w * out_h * 3
+    assert(b1(1L).length == 4 * 2 * 3)
+    // batch size must not change bytes
+    assert(b1.forall { case (k, v) => v.toSeq == b2(k).toSeq })
+  }
+
   test("extractFeatures runs batched and is deterministic") {
     val ds = media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
