@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's trailing "[success] Total time: …" chrome printed after the
+// forked JVM exits broke that parse for three rounds — suppress it, and drop
+// run-task [info] chrome ("running graft.Bench …") to warnings-only so the
+// bench's own JSON is the genuinely final line.
+ThisBuild / showSuccess := false
+// Route the forked JVM's stdio straight through (no "[info] " logger
+// prefix on every line): the JSON must be byte-identical on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -94,12 +94,14 @@ object Bench {
     // full 190+-query line is ~5 KB and arrived truncated → "parsed": null
     // in rounds 4-5): total + per-family subtotals + the 40 slowest
     // queries, which is the slice a scale review reads first. Nothing is
-    // printed after this line.
+    // printed after this line. Distinct metric name ("total_summary", not
+    // "total") so a key-based consumer can never mistake this truncated
+    // record for the full per-query one printed above.
     val families = results.groupBy(_._1.takeWhile(!_.isDigit))
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
     val top = results.sortBy(-_._2).take(40)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"queries_truncated_to_top":${top.size},"families":${jmap(families)},"queries":${jmap(top)},"sf":"$sfDir"}""")
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"queries_truncated_to_top":${top.size},"families":${jmap(families)},"queries":${jmap(top)},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

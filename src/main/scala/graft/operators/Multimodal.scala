@@ -162,6 +162,12 @@ object Multimodal {
     * hash-derived payload of the REAL output size out_w·out_h·3 bytes —
     * schema, batch shape, and size accounting are the production
     * plumbing a real decoder drops into.
+    *
+    * Callers must drop or coalesce [[resizeFit]]'s null-quarantine rows
+    * (null out_w/out_h) BEFORE this call — the input encoder's Int fields
+    * would otherwise fail at encode time; the per-row require below makes
+    * the remaining contract (positive dims, payload fits a JVM array)
+    * loud instead of a NegativeArraySizeException deep in codegen.
     */
   def resizeStubBytes(ds: Dataset[(Long, Array[Byte], Int, Int)],
       batchSize: Int): Dataset[(Long, Array[Byte])] = {
@@ -171,6 +177,9 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // one "resampler call" per batch — the real inference boundary
         batch.map { case (id, bytes, ow, oh) =>
+          require(ow > 0 && oh > 0 && ow.toLong * oh * 3L <= Int.MaxValue,
+            s"resize target ${ow}x$oh for id=$id must be positive and " +
+              "fit a byte array (w*h*3 <= Int.MaxValue)")
           val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
           val out = Array.tabulate[Byte](ow * oh * 3)(i => md(i % md.length))
           id -> out

@@ -59,21 +59,35 @@ object StreamingAsOf {
     * each of the three per-key lists; exceeding it sets `capped` on every
     * subsequent emission for that key (loud, never silent).
     *
-    * `idleRetention` bounds state in KEY CARDINALITY, not just per key: a
-    * key whose last quote is `idleRetention` older than the watermark and
-    * that has no pending trades is EVICTED (state.remove via event-time
-    * timeout) — without it, every symbol ever seen would pin its pruned
-    * quote list forever, and "steady-state size tracks event rate ×
-    * watermark delay" would silently exclude dead keys. The traded-away
-    * semantics are explicit: a trade arriving after its key idled out
-    * emits matched=false (the ordinary as-of miss), never a wrong quote.
+    * `idleRetention` (OPT-IN, default None = retain forever) bounds state
+    * in KEY CARDINALITY, not just per key: a key whose last quote is
+    * `idleRetention` older than the watermark and that has no pending
+    * trades is EVICTED (state.remove via event-time timeout) — without
+    * it, every symbol ever seen pins its pruned quote list forever, so
+    * long-running deployments over unbounded key spaces should set it.
+    * It is opt-in because eviction DIVERGES from the batch as-of oracle:
+    * a trade arriving for an idled-out key emits matched=false where the
+    * batch backward join would still match the old quote — and that miss
+    * is indistinguishable from a genuine as-of miss (no loud marker is
+    * possible once state is gone). Default-off keeps stream≡batch parity
+    * exact; enabling it is an explicit state-size-for-semantics trade.
+    *
+    * Exactly-once caveat under eviction: the per-key emitted-id digest is
+    * dropped with the rest of the state, so after an eviction a
+    * re-delivered trade id is guarded only by Spark's late-row filter —
+    * exactly-once then additionally assumes re-deliveries carry their
+    * ORIGINAL event time (a duplicate re-stamped with a fresher event
+    * time would emit the same trade_id twice). With idleRetention unset
+    * the digest outlives every quote and the stronger id-based guarantee
+    * holds (up to the loud `capped` bound).
     */
   def asOfJoinStream(spark: SparkSession, events: Dataset[AsOfEvent],
       delay: String, maxKept: Int = 1024,
-      idleRetention: String = "1 hour"): Dataset[AsOfMatch] = {
+      idleRetention: Option[String] = None): Dataset[AsOfMatch] = {
     import spark.implicits._
-    val ttlMs = intervalMs(idleRetention)
-    require(ttlMs > 0, s"idleRetention must be positive: $idleRetention")
+    val ttlMs: Option[Long] = idleRetention.map(intervalMs)
+    ttlMs.foreach(t =>
+      require(t > 0, s"idleRetention must be positive: $idleRetention"))
     events
       .withWatermark("ts", delay)
       .groupByKey(_.key)
@@ -150,24 +164,28 @@ object StreamingAsOf {
             case None => st.quotes
           }
           if (stillPending.isEmpty && out.isEmpty && qEvs.isEmpty &&
-              quotes.forall(_._1 + ttlMs <= wm)) {
-            // idle eviction: nothing pending, nothing new this batch, and
-            // every retained quote is idleRetention past the watermark —
-            // drop the key's state entirely (bounded key cardinality)
+              ttlMs.exists(t => quotes.forall(_._1 + t <= wm))) {
+            // idle eviction (opt-in): nothing pending, nothing new this
+            // batch, and every retained quote is idleRetention past the
+            // watermark — drop the key's state entirely (bounded key
+            // cardinality). Never taken when idleRetention is unset.
             state.remove()
           } else {
             st = st.copy(quotes = quotes, pending = stillPending,
               emitted = emitted, capped = capped)
             state.update(st)
             // wake this key up when the watermark can next release a trade
-            // (strict release ⇒ wm must EXCEED the trade ts), or — idle —
-            // when its quotes become evictable
-            val wake = stillPending.headOption match {
-              case Some((tts, _, _)) => math.max(tts + 1, wm + 1)
-              case None => math.max(
-                quotes.lastOption.map(_._1 + ttlMs).getOrElse(wm + 1), wm + 1)
+            // (strict release ⇒ wm must EXCEED the trade ts), or — idle
+            // with eviction enabled — when its quotes become evictable.
+            // Idle keys without a TTL set no timeout: there is nothing a
+            // wake could do for them, and skipping it avoids re-invoking
+            // every dormant key on every watermark advance.
+            val wake: Option[Long] = stillPending.headOption match {
+              case Some((tts, _, _)) => Some(math.max(tts + 1, wm + 1))
+              case None => ttlMs.map(t => math.max(
+                quotes.lastOption.map(_._1 + t).getOrElse(wm + 1), wm + 1))
             }
-            state.setTimeoutTimestamp(wake)
+            wake.foreach(state.setTimeoutTimestamp)
           }
           out.iterator
       }

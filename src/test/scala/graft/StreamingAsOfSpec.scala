@@ -178,7 +178,7 @@ class StreamingAsOfSpec extends SparkSpec {
     val in = MemoryStream[AsOfEvent]
     val name = s"asof_evict_${System.nanoTime()}"
     val q = StreamingAsOf.asOfJoinStream(spark, in.toDS(),
-        delay = "10 seconds", idleRetention = "60 seconds")
+        delay = "10 seconds", idleRetention = Some("60 seconds"))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     def stateRows: Long = {
       val p = q.lastProgress
@@ -216,6 +216,18 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(dead.length == 1 && !dead.head.getAs[Boolean]("matched"),
       dead.mkString(", "))
     q.stop()
+  }
+
+  test("default retention is infinite: a long-idle key still matches its old quote") {
+    // ~25h of event time passes with no activity on IDLE — far beyond any
+    // plausible TTL. With idleRetention unset (the default) the quote MUST
+    // survive and the late trade matches it, preserving exact stream≡batch
+    // parity; an eviction default would silently emit matched=false here.
+    val got = run(Seq(
+      Seq(quote("IDLE", 10, 5.0)),
+      Seq(quote("W", 90000, 1.0)),             // watermark → ~89800s
+      Seq(trade("IDLE", 95000, 7L, 1.0))))
+    assert(got.contains(("IDLE", 7L, 95000000L, true, 10000L, 5.0)), got)
   }
 
   test("re-delivered trade ids emit exactly once") {
