@@ -73,78 +73,115 @@ object Profiler {
     * the weekly snapshot-vs-snapshot data-quality gate at any corpus size.
     */
   /** Pairwise Pearson correlation MATRIX over `cols` in ONE aggregation
-    * pass: every per-column sum/sum-of-squares and every pairwise cross
-    * sum ride the same global aggregate (map-side combined — the scan cost
-    * is one pass regardless of how many pairs), then the 1-row result
-    * explodes into (col_a, col_b, corr, n) rows. Numerics use q33's
-    * split-sum trick — exact DECIMAL co-moments carried as BIGINT integer
-    * part + exact fractional part, recombined in double — so the result is
-    * a deterministic function of exact sums in BOTH engines (built-in
-    * `corr` is summation-order-dependent and engine-specific).
-    * Inputs are 2-dp-exact domain values (prices/quantities/rates), hence
-    * the DECIMAL(9,2) cast; generalize the scale before reusing on data
-    * with more fractional digits.
+    * pass: every per-column sum and every pairwise cross sum ride the same
+    * global aggregate (map-side combined — the scan cost is one pass
+    * regardless of how many pairs), then the 1-row result explodes into
+    * (col_a, col_b, corr, n) rows.
+    *
+    * Numerics: values are 2-dp-exact domain quantities (prices/rates), so
+    * each is carried as integer CENTS (decimal(9,2)·100 → long) and every
+    * co-moment is an exact LONG sum — the primitive codegen fast path.
+    * Products of two cent values reach ~1e18, so each product sum is
+    * SPLIT (hi = p div 1e9, lo = p mod 1e9, mathematical mod) into two
+    * long sums recombined in double; both engines evaluate the identical
+    * expression tree, so results are bit-identical (built-in `corr` is
+    * summation-order-dependent and engine-specific).
+    *
+    * This replaced the round-6 DECIMAL(38,0) split sums: 28 wide-decimal
+    * aggregation buffers allocate a BigDecimal per row per term, and the
+    * resulting GC pressure made p14 super-linear (sf1 7.2 s → sf3 26.1 s
+    * isolated). Long sums keep the whole update loop primitive.
+    *
+    * IN-RANGE REGIME, guarded LOUDLY: the long sums are exact while
+    * n·1e9 < 2^62 and n·max|cents_i|·max|cents_j|/1e9 < 2^62 — i.e. up to
+    * ~4.6e9 rows at any decimal(9,2) magnitude (and far more for small
+    * magnitudes). The per-column max-abs rides the same aggregate and the
+    * final projection raise_errors when the bound is at risk instead of
+    * wrapping silently. Past that regime, shard the input (e.g. union of
+    * per-month matrices via [[mergeableQuantiles]]-style partial merge)
+    * or widen the split modulus.
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    def d2(c: String) = col(c).cast("decimal(9,2)")
+    val M = 1000000000L
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
-    // pre-project every decimal product ONCE: each split sum reads its
-    // term twice (floor(e) and e - floor(e)), and aggregate children are
-    // not CSE'd across functions — without this the decimal multiplies
-    // dominate the sf1 scan 2x
-    val terms =
-      cols.zipWithIndex.map { case (c, i) => d2(c).as(s"_t_s$i") } ++
-      cols.zipWithIndex.map { case (c, i) => (d2(c) * d2(c)).as(s"_t_q$i") } ++
-      pairs.map { case (i, j) => (d2(cols(i)) * d2(cols(j))).as(s"_t_x${i}_$j") }
-    val projected = df.select(terms: _*)
-    // The integer part sums as DECIMAL(38,0), not LONG: per-row floors of
-    // price products reach ~1e10, so a long sum would wrap silently around
-    // 1e9 rows while the DuckDB mirror's SUM(BIGINT) promotes to HUGEINT.
-    // A decimal sum stays exact to 38 digits (overflow → null, never
-    // garbage), and the downstream recombination casts to double either
-    // way, so results are bit-identical where both are in range.
-    def splitSum(term: String, name: String): Seq[Column] = Seq(
-      sum(floor(col(term)).cast("decimal(38,0)")).as(name + "i"),
-      sum(col(term) - floor(col(term))).as(name + "f"))
+    // squares ride the same split-product path as cross terms
+    val prods = cols.indices.map(i => (i, i)) ++ pairs
+    // pre-project the cents ONCE (aggregate children are not CSE'd across
+    // functions); the decimal cast+scale is exact for 2-dp domain values
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("decimal(9,2)") * 100).cast("long").as(s"_c$i") }: _*)
+    def hiLo(i: Int, j: Int): Seq[Column] = {
+      val p = s"(_c$i * _c$j)"
+      val lo = s"((($p % ${M}L) + ${M}L) % ${M}L)"
+      Seq(expr(s"(($p - $lo) DIV ${M}L)").as(s"x${i}_${j}hi"),
+        expr(lo).as(s"x${i}_${j}lo"))
+    }
+    val projected = base.select(
+      cols.indices.map(i => col(s"_c$i")) ++
+        prods.flatMap { case (i, j) => hiLo(i, j) }: _*)
     val aggs = Seq(count(lit(1)).as("n")) ++
-      cols.indices.flatMap(i =>
-        splitSum(s"_t_s$i", s"s$i") ++ splitSum(s"_t_q$i", s"q$i")) ++
-      pairs.flatMap { case (i, j) => splitSum(s"_t_x${i}_$j", s"x${i}_$j") }
+      cols.indices.map(i => sum(col(s"_c$i")).as(s"s$i")) ++
+      cols.indices.map(i => max(abs(col(s"_c$i"))).as(s"m$i")) ++
+      prods.flatMap { case (i, j) => Seq(
+        sum(col(s"x${i}_${j}hi")).as(s"x${i}_${j}hi"),
+        sum(col(s"x${i}_${j}lo")).as(s"x${i}_${j}lo")) }
     val sums = projected.agg(aggs.head, aggs.tail: _*)
-    def big(name: String) =
-      col(name + "i").cast("double") + col(name + "f").cast("double")
     val nd = col("n").cast("double")
+    def pd(i: Int, j: Int) =
+      col(s"x${i}_${j}hi").cast("double") * lit(1e9) +
+        col(s"x${i}_${j}lo").cast("double")
+    def sd(i: Int) = col(s"s$i").cast("double")
+    def md(i: Int) = col(s"m$i").cast("double")
+    // loud overflow guard (double-space checks, headroom at 2^62): plain
+    // cent sums, the lo sums (< 1e9/row), and the hi sums (≤ mi·mj/1e9 + 1
+    // per row) must all stay clear of long range
+    val headroom = lit(4.6e18)
+    val guard = (
+      cols.indices.map(i => nd * md(i) > headroom) ++
+        Seq(nd * lit(1e9) > headroom) ++
+        prods.map { case (i, j) => nd * (md(i) * md(j) / lit(1e9) + lit(1.0)) > headroom }
+      ).reduce(_ || _)
     val rows = pairs.map { case (i, j) =>
-      val (sx, sy) = (big(s"s$i"), big(s"s$j"))
-      val (sx2, sy2, sxy) = (big(s"q$i"), big(s"q$j"), big(s"x${i}_$j"))
+      val corr = (nd * pd(i, j) - sd(i) * sd(j)) /
+        (sqrt(nd * pd(i, i) - sd(i) * sd(i)) *
+          sqrt(nd * pd(j, j) - sd(j) * sd(j)))
       struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
-        ((nd * sxy - sx * sy) /
-          (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy))).as("corr"),
+        when(guard, raise_error(lit("correlationMatrix: cent split-sums " +
+          "out of the exact-long regime (n or magnitudes too large) — " +
+          "shard the input or widen the split modulus")).cast("double"))
+          .otherwise(corr).as("corr"),
         col("n").as("n"))
     }
     sums.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
-  /** DuckDB mirror of [[correlationMatrix]] (same split sums, same
-    * recombination order, one UNION ALL arm per pair over the 1-row CTE).
+  /** DuckDB mirror of [[correlationMatrix]] (same cent quantization, same
+    * hi/lo split products, same recombination order, one UNION ALL arm per
+    * pair over the 1-row CTE). SUM(BIGINT) promotes to HUGEINT in DuckDB —
+    * cast back to BIGINT (exact in the guarded regime) before the double
+    * recombination so both engines convert the same integer.
     */
   def correlationMatrixSql(table: String, cols: Seq[String]): String = {
-    def d2(c: String) = s"CAST($c AS DECIMAL(9,2))"
-    def splitSum(e: String, name: String) =
-      s"SUM(CAST(floor($e) AS BIGINT)) AS ${name}i, SUM(($e) - floor($e)) AS ${name}f"
+    val M = "CAST(1000000000 AS BIGINT)"
+    def cents(c: String) = s"CAST(CAST($c AS DECIMAL(9,2)) * 100 AS BIGINT)"
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (i, j)
+    val prods = cols.indices.map(i => (i, i)) ++ pairs
+    def prod(i: Int, j: Int) = s"(${cents(cols(i))} * ${cents(cols(j))})"
+    def lo(i: Int, j: Int) = s"(((${prod(i, j)} % $M) + $M) % $M)"
     val aggs = Seq("COUNT(*) AS n") ++
-      cols.zipWithIndex.flatMap { case (c, i) => Seq(
-        splitSum(d2(c), s"s$i"), splitSum(s"${d2(c)} * ${d2(c)}", s"q$i")) } ++
-      pairs.map { case (i, j) =>
-        splitSum(s"${d2(cols(i))} * ${d2(cols(j))}", s"x${i}_$j") }
-    def big(name: String) =
-      s"(CAST(${name}i AS DOUBLE) + CAST(${name}f AS DOUBLE))"
+      cols.zipWithIndex.map { case (c, i) =>
+        s"CAST(SUM(${cents(c)}) AS BIGINT) AS s$i" } ++
+      prods.flatMap { case (i, j) => Seq(
+        s"CAST(SUM((${prod(i, j)} - ${lo(i, j)}) // $M) AS BIGINT) AS x${i}_${j}hi",
+        s"CAST(SUM(${lo(i, j)}) AS BIGINT) AS x${i}_${j}lo") }
+    def pd(i: Int, j: Int) =
+      s"(CAST(x${i}_${j}hi AS DOUBLE) * 1000000000.0 + CAST(x${i}_${j}lo AS DOUBLE))"
+    def sd(i: Int) = s"CAST(s$i AS DOUBLE)"
     val nd = "CAST(n AS DOUBLE)"
     val arms = pairs.map { case (i, j) =>
-      val (sx, sy) = (big(s"s$i"), big(s"s$j"))
-      val (sx2, sy2, sxy) = (big(s"q$i"), big(s"q$j"), big(s"x${i}_$j"))
+      val (sx, sy, sxy) = (sd(i), sd(j), pd(i, j))
+      val (sx2, sy2) = (pd(i, i), pd(j, j))
       s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
          |  ($nd * $sxy - $sx * $sy) /
          |    (sqrt($nd * $sx2 - $sx * $sx) * sqrt($nd * $sy2 - $sy * $sy)) AS corr,

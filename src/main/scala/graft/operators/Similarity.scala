@@ -902,6 +902,105 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** `ivfPqTopK` oracle for the STALE-CODEBOOK regime (e19, the
+    * AnnIndex.appendIvfPq contract): the coarse quantizer and the m
+    * subspace codebooks train ONLY on `trainPred` rows, but EVERY corpus
+    * row — including the appended `NOT trainPred` batch — is encoded
+    * against those stale books (per-subspace distance argmin, dist ASC /
+    * cluster ASC tie-break: exactly KMeans.withNearestCluster's fold) and
+    * scanned at query time. This is what build-on-base + append-with-
+    * stored-constants + serve computes, replayed term for term: the
+    * engine's encode(base at build) ∪ encode(appended at append) equals
+    * encode(full corpus with base-trained books) because the persisted
+    * constants round-trip exactly and reload cid-sorted (AnnIndex
+    * Scaladoc), which is the equality this mirror leans on.
+    */
+  def ivfPqTopKStaleSql(table: String, idCol: String, vecCol: String,
+      dim: Int, k: Int, nlist: Int, itersCoarse: Int, nprobe: Int, m: Int,
+      ksub: Int, itersPq: Int, rerank: Int, trainPred: String,
+      queryPred: String): String = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val dsub = dim / m
+    val trainTable = s"(SELECT * FROM $table WHERE $trainPred)"
+    val (coarseCtes, _) = KMeans.assignCtes(trainTable, idCol, vecCol, dim,
+      nlist.toString, itersCoarse)
+    val pqChains = (0 until m).map { j =>
+      val sub = s"(SELECT $idCol AS vid, " +
+        s"list_slice($vecCol, ${j * dsub + 1}, ${(j + 1) * dsub}) AS sub FROM $trainTable)"
+      KMeans.assignCtes(sub, "vid", "sub", dsub, ksub.toString, itersPq, s"s${j}_")._1
+    }.mkString(",\n")
+    // encode the FULL corpus (not the training assignment): nearest stale
+    // codeword per subspace, the engine's pqEncode over loaded books
+    val encCtes = (0 until m).map { j =>
+      val sliceQ = s"list_slice(f.q, ${j * dsub + 1}, ${(j + 1) * dsub})"
+      s"""enc$j AS (
+         |  SELECT vec_id, cluster AS code$j FROM (
+         |    SELECT f.vec_id, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${KMeans.distSqSql(sliceQ, "c.cent", dsub)} ASC,
+         |                 c.cluster ASC) AS rn
+         |    FROM fullq f CROSS JOIN s${j}_centd$itersPq c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (1 until m)
+      .map(j => s"JOIN enc$j ON enc0.vec_id = enc$j.vec_id").mkString(" ")
+    val codeCols = (0 until m).map(j => s"enc$j.code$j AS code$j").mkString(", ")
+    val reconJoins = (0 until m)
+      .map(j => s"JOIN s${j}_centd$itersPq r$j ON codes.code$j = r$j.cluster")
+      .mkString(" ")
+    val reconCols = (0 until m).map(j => s"r$j.cent AS recon$j").mkString(", ")
+    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
+      .foldLeft("0.0") { case (acc, (j, i)) =>
+        s"($acc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
+      }
+    s"""WITH $coarseCtes,
+       |cents AS (
+       |  SELECT cluster AS cent_id, cent AS cvec2,
+       |         ${VectorFns.normSql("cent", dim)} AS cnorm2
+       |  FROM centd$itersCoarse),
+       |$pqChains,
+       |fullq AS (
+       |  SELECT $idCol AS vec_id, ${KMeans.quantizeSql(vecCol)} AS q
+       |  FROM $table),
+       |$encCtes,
+       |c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM $table),
+       |assigned AS (${nearListSql("c", "neighbor_id", "cvec", "cnorm", 1, "list_id", dim)}),
+       |codes AS (
+       |  SELECT enc0.vec_id AS neighbor_id, $codeCols
+       |  FROM enc0 $encJoins),
+       |rc AS (
+       |  SELECT codes.neighbor_id, $reconCols FROM codes $reconJoins),
+       |q0 AS (
+       |  SELECT $idCol AS query_id, $vecCol AS qvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS qnorm,
+       |         ${KMeans.quantizeSql(vecCol)} AS qq
+       |  FROM $table WHERE $queryPred),
+       |probes AS (${nearListSql("q0", "query_id", "qvec", "qnorm", nprobe, "probe_list", dim)}),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec, q.qnorm, c.cnorm,
+       |         $qscore AS qscore
+       |  FROM assigned c JOIN rc ON c.neighbor_id = rc.neighbor_id
+       |  JOIN probes q ON c.neighbor_id <> q.query_id
+       |    AND c.list_id = q.probe_list),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qscore DESC, neighbor_id ASC) AS _qrank
+       |    FROM scored) WHERE _qrank <= $rerank),
+       |rer AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${VectorFns.dotSql("qvec", "cvec", dim)}) / (qnorm * cnorm) AS cos_sim
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Exact all-pairs (O(n²)) SMALL-CORPUS form — refuses corpora over
     * `maxRows`; the scale path is `lshNearDupPairs` (same output shape,

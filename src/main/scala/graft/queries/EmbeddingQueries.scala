@@ -235,6 +235,48 @@ object EmbeddingQueries {
       Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
         Dim, K, 16, 2, 4, 8, 16, 2, 20, QueryPredSql))),
 
+    // ANN index DRIFT MONITOR — the rebuild-trigger signal for the
+    // incremental-append contract (AnnIndex.appendIvfPq rides STALE
+    // codebooks by design): recall@k of the appended batch's own vectors,
+    // served from the stale-encoded index, against the exact scan. A
+    // production pipeline alerts/rebuilds when this dips below target;
+    // the spec plants an out-of-distribution batch and shows exactly that
+    // dip vanish on retrain. Engine: build on the base split (vec_id % 20
+    // <> 7), append the held-out batch with the STORED constants, serve;
+    // oracle: the stale-codebook replay (train CTEs on base, encode CTEs
+    // over the full corpus) — hash-exact, not a tolerance check.
+    // Cost: one-time build (guarded, untimed after first call) + a serve
+    // probe + one |Q|·k recall join — corpus-size-free at query time.
+    Q("e19_ann_drift_monitor",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = annIndexRoot(dir) + "_e19"
+        val appendPred = col("vec_id") % 20 === 7
+        annIndexBuilt.computeIfAbsent(root, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings.filter(!appendPred), "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2, root)
+          graft.operators.AnnIndex.appendIvfPq(
+            t.embeddings.filter(appendPred), "vec_id", "embedding", Dim, root)
+          java.lang.Boolean.TRUE
+        })
+        val queries = t.embeddings.filter(appendPred && col("vec_id") < 200)
+        Similarity.recallAtK(
+          approx = graft.operators.AnnIndex.queryIvfPq(
+            corpus = t.embeddings, queries = queries,
+            idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+            nprobe = 4, rerank = 20, dir = root),
+          exact = Similarity.cosineTopK(t.embeddings, queries,
+            "vec_id", "embedding", Dim, K))
+      },
+      Some(Similarity.recallAtKSql(
+        Similarity.ivfPqTopKStaleSql("embeddings", "vec_id", "embedding",
+          Dim, K, 16, 2, 4, 8, 16, 2, 20,
+          trainPred = "vec_id % 20 <> 7",
+          queryPred = "vec_id % 20 = 7 AND vec_id < 200"),
+        Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
+          Dim, K, "vec_id % 20 = 7 AND vec_id < 200")))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

@@ -708,9 +708,10 @@ object MiscQueries {
     // Pairwise correlation MATRIX across the lineitem measures in ONE
     // aggregation pass (q33 computes one grouped pair; this is the
     // profiler's all-pairs ANALYZE form): per-column and cross sums all
-    // ride a single map-side-combined aggregate, exact decimal co-moments
-    // recombined deterministically in double — never the built-in
-    // summation-order-dependent corr.
+    // ride a single map-side-combined aggregate, exact integer-cent
+    // co-moments (long hi/lo split sums — primitive codegen buffers, with
+    // a loud out-of-regime guard) recombined deterministically in double
+    // — never the built-in summation-order-dependent corr.
     Q("p14_correlation_matrix",
       (s, dir) => graft.operators.Profiler.correlationMatrix(
         Tables(s, dir).lineitem,

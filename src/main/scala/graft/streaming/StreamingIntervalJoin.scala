@@ -61,4 +61,42 @@ object StreamingIntervalJoin {
         "inner")
       .drop("_bin", "_rbin", "_lus", "_rus")
   }
+
+  /** LEFT OUTER form: every left row emits — matched against each right
+    * row within tolerance, or ONCE null-padded after the right watermark
+    * passes `leftTs + tolerance` (the point where no matching right row
+    * can still legally arrive). The keyed twin (`EventStreams.joinWithin`)
+    * proves the same unmatched-at-watermark contract; this is the unkeyed
+    * time-proximity version.
+    *
+    * The bucket construction FLIPS relative to the inner form: the LEFT
+    * side keeps its single home bucket and the RIGHT side explodes to the
+    * 3 buckets a match can live in. With the left exploded (the inner
+    * form's layout) an unmatched left row would surface as 3 null-padded
+    * state evictions — one per bucket copy — and the join would emit
+    * triplicate unmatched rows. Left-at-home keeps both guarantees:
+    * matched pairs still meet exactly once (the right expansion covers the
+    * left's home bucket exactly once), and an unmatched left row has
+    * exactly one buffered copy to null-pad. State cost is identical (one
+    * side explodes 3× either way).
+    */
+  def binnedTimePairsStreamLeftOuter(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String, toleranceUs: Long,
+      delay: String): DataFrame = {
+    require(toleranceUs > 0, s"toleranceUs=$toleranceUs must be positive")
+    val lb = left.withWatermark(leftTs, delay)
+      .withColumn("_lus", unix_micros(col(leftTs)))
+      .withColumn("_bin", expr(s"_lus DIV ${toleranceUs}L"))
+    val rb = right.withWatermark(rightTs, delay)
+      .withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_rbin", explode(sequence(
+        expr(s"(_rus - ${toleranceUs}L) DIV ${toleranceUs}L"),
+        expr(s"(_rus + ${toleranceUs}L) DIV ${toleranceUs}L"))))
+    lb.join(rb,
+        col("_bin") === col("_rbin") &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL '$toleranceUs' MICROSECOND") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL '$toleranceUs' MICROSECOND"),
+        "left_outer")
+      .drop("_bin", "_rbin", "_lus", "_rus")
+  }
 }

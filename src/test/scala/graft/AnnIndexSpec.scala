@@ -201,6 +201,68 @@ class AnnIndexSpec extends SparkSpec {
     assert(ans(r1) == ans(r2))
   }
 
+  test("drift monitor: recall degrades on a planted OOD batch, not on an in-dist one") {
+    // e19's rebuild-trigger signal, exercised end to end: append two
+    // batches to base-trained indexes — one IN-DISTRIBUTION (vectors near
+    // the four trained clusters) and one OUT-OF-DISTRIBUTION (anchors on
+    // dims the base never populated). Stale codebooks encode the in-dist
+    // batch fine; the OOD batch collapses onto whatever codewords exist
+    // (heavy code ties → ADC can't rank the batch's true mutual
+    // neighbors), so the monitor's recall@k over the appended vectors
+    // must come out measurably lower — that dip IS the rebuild signal.
+    import org.apache.spark.sql.functions.col
+    val c = corpus // ids 0..79, 4 clusters anchored on even dims
+    def mkBatch(ids: Range, vec: Int => Seq[Float]) = {
+      val rows = ids.map(i => Row(i.toLong, vec(i)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+        c.schema)
+    }
+    // in-dist: same cluster anchors, different phase
+    val inDist = mkBatch(200 until 220, { i =>
+      (0 until dim).map { d =>
+        val anchor = if (d == (i % 4) * 2) 1.0 else 0.0
+        (anchor + 0.1 * math.sin(i * 53.0 + d * 29.0)).toFloat
+      }
+    })
+    // OOD: anchors on odd dims the base corpus never used
+    val ood = mkBatch(300 until 320, { i =>
+      (0 until dim).map { d =>
+        val anchor = if (d == 1 + (i % 2) * 4) 1.0 else 0.0
+        (anchor + 0.05 * math.sin(i * 13.0 + d * 7.0)).toFloat
+      }
+    })
+    def monitorRecall(batch: org.apache.spark.sql.DataFrame,
+        root: String): Double = {
+      val full = c.unionByName(batch)
+      val got = Similarity.recallAtK(
+        approx = AnnIndex.queryIvfPq(full, batch, "vec_id", "embedding",
+          dim, k = 3, nprobe = 2, rerank = 12, dir = root),
+        exact = Similarity.cosineTopK(full, batch, "vec_id", "embedding",
+          dim, k = 3))
+        .collect().map(_.getAs[Double]("recall"))
+      got.sum / got.length
+    }
+    def staleIndex(batch: org.apache.spark.sql.DataFrame, name: String) = {
+      val root = tmpRoot(name)
+      AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+        nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+      AnnIndex.appendIvfPq(batch, "vec_id", "embedding", dim, root)
+      root
+    }
+    val rInDist = monitorRecall(inDist, staleIndex(inDist, "annindex_mon_in"))
+    val rOod = monitorRecall(ood, staleIndex(ood, "annindex_mon_ood"))
+    assert(rInDist > rOod + 0.1,
+      s"monitor failed to separate: in-dist $rInDist vs OOD $rOod")
+    // and a rebuild (codebooks retrained WITH the drifted batch) recovers:
+    // the post-rebuild monitor must not read worse than the stale one
+    val rebuilt = tmpRoot("annindex_mon_rebuilt")
+    AnnIndex.buildIvfPq(c.unionByName(ood), "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, rebuilt)
+    val rRebuilt = monitorRecall(ood, rebuilt)
+    assert(rRebuilt >= rOod,
+      s"rebuild made the monitor worse: stale $rOod vs rebuilt $rRebuilt")
+  }
+
   test("querying an index built for another dim fails loudly") {
     val root = tmpRoot("annindex_dim")
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,
