@@ -161,31 +161,105 @@ object Multimodal {
     * (no imaging libs in this container) producing a deterministic
     * hash-derived payload of the REAL output size out_w·out_h·3 bytes —
     * schema, batch shape, and size accounting are the production
-    * plumbing a real decoder drops into.
-    *
-    * Callers must drop or coalesce [[resizeFit]]'s null-quarantine rows
-    * (null out_w/out_h) BEFORE this call — the input encoder's Int fields
-    * would otherwise fail at encode time; the per-row require below makes
-    * the remaining contract (positive dims, payload fits a JVM array)
-    * loud instead of a NegativeArraySizeException deep in codegen.
+    * plumbing a real decoder drops into — and for UNCOMPRESSED 24bpp BMP
+    * payloads the decode itself needs no codec: [[resizeBmp24Nearest]] is
+    * the fully-real pixel path (deterministic integer arithmetic end to
+    * end, oracle-checkable), batched through the same boundary.
     */
-  def resizeStubBytes(ds: Dataset[(Long, Array[Byte], Int, Int)],
-      batchSize: Int): Dataset[(Long, Array[Byte])] = {
-    implicit val enc: Encoder[(Long, Array[Byte])] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+  /** REAL pixel resample for uncompressed 24bpp BMP payloads: pure-JVM
+    * header parse (BITMAPINFOHEADER or later, bottom-up or top-down rows,
+    * 4-byte row padding honored) + aspect-fit nearest-neighbor resample
+    * to fit within maxW×maxH ([[resizeFit]]'s exact integer geometry:
+    * never upscale, cross-multiplied bound test, DIV-floored edges).
+    * Output is raw BGR24, top-down, unpadded — ow·oh·3 bytes of
+    * deterministic integer arithmetic, so the bytes themselves hash-check
+    * against a DuckDB replay (MediaSql.bmpResizeCtes). Payloads that are
+    * not a complete uncompressed 24bpp BMP quarantine to null fields,
+    * never throw.
+    *
+    * Batched EXACTLY like [[extractFeatures]]: rows stream through
+    * mapPartitions in fixed-size groups with one resampler invocation per
+    * group — the boundary where a compressed-format codec (JPEG/PNG)
+    * would drop in without touching the plan. Scale: narrow pipeline, no
+    * shuffle; per-row output is bounded by maxW·maxH·3 bytes regardless
+    * of input size, so the stage's memory is batchSize-bounded.
+    */
+  def resizeBmp24Nearest(ds: Dataset[(String, Array[Byte])], maxW: Int,
+      maxH: Int, batchSize: Int): Dataset[BmpResizeRow] = {
+    require(maxW > 0 && maxH > 0, s"bad resize target ${maxW}x$maxH")
+    implicit val enc: Encoder[BmpResizeRow] = Encoders.product[BmpResizeRow]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "resampler call" per batch — the real inference boundary
-        batch.map { case (id, bytes, ow, oh) =>
-          require(ow > 0 && oh > 0 && ow.toLong * oh * 3L <= Int.MaxValue,
-            s"resize target ${ow}x$oh for id=$id must be positive and " +
-              "fit a byte array (w*h*3 <= Int.MaxValue)")
-          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          val out = Array.tabulate[Byte](ow * oh * 3)(i => md(i % md.length))
-          id -> out
+        batch.map { case (name, bytes) =>
+          decodeBmp24(bytes) match {
+            case None => BmpResizeRow(name, None, None, None)
+            case Some((w, h, topDown, off)) =>
+              val (ow, oh) = fitWithin(w, h, maxW, maxH)
+              BmpResizeRow(name, Some(ow), Some(oh),
+                Some(resampleNearest(bytes, w, h, topDown, off, ow, oh)))
+          }
         }
       }
     }
+  }
+
+  /** (width, height, topDown, pixelOffset) for a complete uncompressed
+    * 24bpp BMP; None otherwise. Bounds mirror MediaSql.bmpResizeCtes
+    * bit for bit — change them in lockstep.
+    */
+  private[operators] def decodeBmp24(b: Array[Byte]): Option[(Int, Int, Boolean, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    if (le32(14) < 40) return None // BITMAPINFOHEADER or later (V4/V5 ok)
+    val w = le32(18)
+    val hraw = le32(22)
+    val topDown = hraw < 0
+    val h = math.abs(hraw)
+    // 65535-px edge cap: keeps every stride/offset product in range and
+    // rejects absurd headers before any allocation
+    if (w <= 0 || h == 0 || w > 65535 || h > 65535) return None
+    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    val off = le32(10)
+    val stride = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    Some((w, h, topDown, off))
+  }
+
+  /** [[resizeFit]]'s integer aspect-fit geometry on plain ints. */
+  private def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max((h.toLong * maxW / w).toInt, 1))
+    else (math.max((w.toLong * maxH / h).toInt, 1), maxH)
+
+  /** Floor-mapped nearest-neighbor: output pixel (ox, oy) reads source
+    * (ox·w DIV ow, oy·h DIV oh); BMP rows are bottom-up unless topDown.
+    */
+  private def resampleNearest(b: Array[Byte], w: Int, h: Int,
+      topDown: Boolean, off: Int, ow: Int, oh: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      val sy = ((oy.toLong * h) / oh).toInt
+      val fileRow = if (topDown) sy else h - 1 - sy
+      val rowBase = off + fileRow * stride
+      var ox = 0
+      while (ox < ow) {
+        val sx = ((ox.toLong * w) / ow).toInt
+        val src = rowBase + sx * 3
+        val dst = (oy * ow + ox) * 3
+        out(dst) = b(src)
+        out(dst + 1) = b(src + 1)
+        out(dst + 2) = b(src + 2)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
   }
 
   /** Batched feature extraction over (id, bytes) pairs — the inference-UDF
@@ -228,6 +302,12 @@ object Multimodal {
       .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_hash"))
   }
 }
+
+/** One resampled row: null fields (None) quarantine payloads that are not
+  * a complete uncompressed 24bpp BMP — loud schema, never an exception.
+  */
+final case class BmpResizeRow(name: String, out_w: Option[Int],
+    out_h: Option[Int], resized: Option[Array[Byte]])
 
 /** Encoder helper (kept tiny; Encoders.product can't see Array[Float] alone). */
 private object ExprEnc {

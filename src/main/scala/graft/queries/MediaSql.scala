@@ -371,6 +371,54 @@ object MediaSql {
     else s"alldims AS (\n  $fixed\n)"
   }
 
+  /** The nearest-neighbor BMP resample of
+    * `graft.operators.Multimodal.resizeBmp24Nearest` over `src(key, h, n)`
+    * replayed as hex arithmetic: decode gate (uncompressed 24bpp,
+    * BITMAPINFOHEADER or later, complete pixel array — bounds in lockstep
+    * with `decodeBmp24`), the aspect-fit geometry (`resizeFitSql`), then
+    * one row per OUTPUT pixel via unnest(range(ow·oh)) picking its source
+    * BGR triple straight from the hex string (bottom-up rows + 4-byte
+    * stride honored, top-down negative height too), reassembled in output
+    * order with string_agg. Emits CTEs ending in
+    * `bmpresized(key, out_w, out_h, out_len, outhex)` — invalid keys have
+    * no row (callers LEFT JOIN).
+    */
+  def bmpResizeCtes(src: String, maxW: Int, maxH: Int): String = {
+    val (ow, oh, _) = graft.operators.Multimodal.resizeFitSql("w", "hh", maxW, maxH)
+    s"""bmphdr AS (
+       |  SELECT key, h, n, ${le32s("h", 18)} AS w, ${le32s("h", 22)} AS hraw,
+       |    ${le32s("h", 10)} AS off, ${le16("h", 26)} AS planes,
+       |    ${le16("h", 28)} AS bits, ${le32s("h", 30)} AS comp
+       |  FROM $src
+       |  WHERE n >= 54 AND substr(h, 1, 4) = '424D' AND ${le32s("h", 14)} >= 40),
+       |bmpok AS (
+       |  SELECT key, h, w, abs(hraw) AS hh, (hraw < 0) AS topdown, off,
+       |    ((w*3 + 3) // 4) * 4 AS stride
+       |  FROM bmphdr
+       |  WHERE w > 0 AND hraw <> 0 AND w <= 65535 AND abs(hraw) <= 65535
+       |    AND planes = 1 AND bits = 24 AND comp = 0
+       |    AND off >= 54 AND off + ((w*3 + 3) // 4) * 4 * abs(hraw) <= n),
+       |bmpgeom AS (
+       |  SELECT key, h, w, hh, topdown, off, stride,
+       |    CAST($ow AS INTEGER) AS out_w, CAST($oh AS INTEGER) AS out_h
+       |  FROM bmpok),
+       |bmpmap AS (
+       |  SELECT key, i,
+       |    substr(h,
+       |      (off
+       |       + (CASE WHEN topdown THEN ((i // out_w) * hh) // out_h
+       |               ELSE hh - 1 - (((i // out_w) * hh) // out_h) END) * stride
+       |       + (((i % out_w) * w) // out_w) * 3) * 2 + 1, 6) AS p
+       |  FROM (SELECT *, unnest(range(out_w * out_h)) AS i FROM bmpgeom)),
+       |bmphex AS (
+       |  SELECT key, string_agg(p, '' ORDER BY i) AS outhex
+       |  FROM bmpmap GROUP BY key),
+       |bmpresized AS (
+       |  SELECT g.key, g.out_w, g.out_h,
+       |    CAST(g.out_w * g.out_h * 3 AS BIGINT) AS out_len, x.outhex
+       |  FROM bmpgeom g JOIN bmphex x ON x.key = g.key)""".stripMargin
+  }
+
   /** The EXIF orientation walk of `graft.plans.ExifHeaders` over
     * `src(key, h, n)`: the JPEG marker scan latching the first APP1 whose
     * body opens "Exif\0\0" fully readable (eb = TIFF base, ee = segment

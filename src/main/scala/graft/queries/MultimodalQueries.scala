@@ -42,6 +42,7 @@ object MultimodalQueries {
   }
 
   lazy val imageFixturePath: String = fixturePath("images.parquet")
+  lazy val bmpFixturePath: String = fixturePath("images_bmp24.parquet")
   lazy val webpFixturePath: String = fixturePath("images_webp.parquet")
   lazy val tiffFixturePath: String = fixturePath("images_tiff.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
@@ -106,8 +107,8 @@ object MultimodalQueries {
              |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin)),
 
     // Aspect-preserving resize PLAN over the real decoded dims (the
-    // geometry half of image resize — the pixel half is the batched
-    // resizeStubBytes path, spec-proven): fit-within-64x48, never
+    // geometry half of image resize — the pixel half is mm12's batched
+    // resizeBmp24Nearest path): fit-within-64x48, never
     // upscale, cross-multiplied integer bound test and DIV-floored
     // scaled edges so both engines agree exactly; unrecognized bytes
     // pass through with null targets. Oracle reuses mm03's dims CTEs.
@@ -134,6 +135,35 @@ object MultimodalQueries {
            |  $sc AS scaled
            |FROM imgs i LEFT JOIN alldims d ON d.key = i.name""".stripMargin
       }),
+
+    // REAL pixel output, hash-checked: nearest-neighbor aspect-fit
+    // resample of committed uncompressed 24bpp BMPs (bottom-up AND
+    // top-down rows, padded strides, a V5 header), batched through the
+    // same mapPartitions inference boundary as extractFeatures. The
+    // resampled BGR bytes are pure integer arithmetic, so the oracle
+    // replays every output pixel's source pick in hex SQL and the HASH of
+    // the bytes must match — the pixel half of mm11's geometry, no stub.
+    // Negatives (32bpp, RLE, truncated pixel array, OS/2 core header,
+    // noise) must be null in BOTH engines.
+    Q("mm12_resize_pixels",
+      (s, _) => {
+        import s.implicits._
+        val imgs = s.read.parquet(bmpFixturePath)
+          .select(col("name"), col("payload")).as[(String, Array[Byte])]
+        Multimodal.resizeBmp24Nearest(imgs, maxW = 16, maxH = 12, batchSize = 64)
+          .toDF()
+          .select(col("name"), col("out_w"), col("out_h"),
+            length(col("resized")).cast("long").as("out_len"),
+            md5(hex(col("resized"))).as("resized_hash"))
+      },
+      Some(s"""WITH imgs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$bmpFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${MediaSql.bmpResizeCtes("src", 16, 12)}
+             |SELECT i.name, r.out_w, r.out_h, r.out_len,
+             |  md5(r.outhex) AS resized_hash
+             |FROM imgs i LEFT JOIN bmpresized r ON r.key = i.name""".stripMargin)),
 
     // WebP coverage for the same Expression: all three bitstream flavors
     // (VP8X extended 24-bit canvas, "VP8 " lossy 14-bit + sync check, VP8L

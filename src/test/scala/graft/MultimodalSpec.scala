@@ -159,18 +159,46 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L).isEmpty)
   }
 
-  test("resizeStubBytes: batched, deterministic, real output-size accounting") {
-    val plan = Multimodal.resizeFit(media, "payload", 64, 48)
-      .select(col("id"), col("payload"), coalesce(col("out_w"), lit(4)).as("ow"),
-        coalesce(col("out_h"), lit(2)).as("oh"))
-      .as[(Long, Array[Byte], Int, Int)]
-    val b1 = Multimodal.resizeStubBytes(plan, batchSize = 1).collect().toMap
-    val b2 = Multimodal.resizeStubBytes(plan, batchSize = 16).collect().toMap
-    assert(b1.keySet == Set(1L, 2L))
-    // the stub produces the REAL resized payload size: out_w * out_h * 3
-    assert(b1(1L).length == 4 * 2 * 3)
+  test("resizeBmp24Nearest: real pixels, hand-checked picks, padding/orientation honored") {
+    import graft.tools.GenBmpResizeFixtures.{bmp24, px}
+    val rows = Seq(
+      "down" -> bmp24(4, 4, seed = 1),     // 4x4 -> 2x2 with max 2x2
+      "fits" -> bmp24(2, 2, seed = 2),     // identity re-layout (stride 8, 2 pad bytes)
+      "td" -> bmp24(4, 4, seed = 1, topDown = true), // same image, top-down storage
+      "bad" -> "junk".getBytes("UTF-8"))
+    val ds = spark.createDataFrame(rows).toDF("name", "payload")
+      .as[(String, Array[Byte])]
+    val got = Multimodal.resizeBmp24Nearest(ds, maxW = 2, maxH = 2, batchSize = 16)
+      .collect().map(r => r.name -> r).toMap
+    // hand-computed nearest picks: out (ox,oy) reads source (ox*4 DIV 2,
+    // oy*4 DIV 2) = (2ox, 2oy); output is BGR top-down unpadded
+    val expectDown = Array(0, 0, 2, 0, 0, 2, 2, 2).grouped(2).flatMap {
+      case Array(x, y) => val (b, g, r) = px(x, y, 1); Seq(b, g, r) }.toArray
+    assert(got("down").resized.get.toSeq == expectDown.toSeq)
+    // identity copy strips the row padding and flips to top-down order
+    val expectFits = (for (y <- 0 until 2; x <- 0 until 2) yield {
+      val (b, g, r) = px(x, y, 2); Seq(b, g, r) }).flatten.toArray
+    assert(got("fits").resized.get.toSeq == expectFits.toSeq)
+    assert(got("fits").out_w == Some(2) && got("fits").out_h == Some(2))
+    // top-down storage of the same image must resample to identical bytes
+    assert(got("td").resized.get.toSeq == got("down").resized.get.toSeq)
+    // invalid payloads quarantine to nulls, never throw
+    assert(got("bad").out_w.isEmpty && got("bad").resized.isEmpty)
     // batch size must not change bytes
-    assert(b1.forall { case (k, v) => v.toSeq == b2(k).toSeq })
+    val b1 = Multimodal.resizeBmp24Nearest(ds, 2, 2, batchSize = 1)
+      .collect().map(r => r.name -> r.resized.map(_.toSeq)).toMap
+    assert(rows.map(_._1).forall(k =>
+      b1(k) == got(k).resized.map(_.toSeq)))
+  }
+
+  test("committed BMP-resize fixture byte-matches its generator") {
+    val committed = spark.read.parquet(
+      graft.queries.MultimodalQueries.bmpFixturePath)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val gen = graft.tools.GenBmpResizeFixtures.fixtures().toMap
+    assert(committed.keySet == gen.keySet)
+    for ((k, v) <- gen)
+      assert(java.util.Arrays.equals(committed(k), v), s"fixture $k drifted")
   }
 
   test("extractFeatures runs batched and is deterministic") {
