@@ -301,6 +301,107 @@ object Multimodal {
         md5(col("_bin").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))))
       .select(col("id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_hash"))
   }
+
+  /** REAL sample-rate conversion for PCM16 WAV payloads — the audio twin of
+    * [[resizeBmp24Nearest]]: pure-JVM RIFF chunk walk (latch-first `fmt `
+    * and `data`, word-aligned advance — bit-for-bit the `plans.AudioMeta`
+    * walk) + nearest-frame resample to `dstRate`:
+    * `outFrames = nFrames·dstRate DIV srcRate`, output frame i copies
+    * source frame `i·nFrames DIV outFrames` (all channel bytes — the exact
+    * integer mapping the image path uses per axis). Output is raw
+    * little-endian interleaved PCM16 with no container, so the bytes
+    * hash-check against a DuckDB hex replay (MediaSql.wavResampleCtes).
+    * Payloads that are not a complete PCM16 WAV (wrong codec tag, 8-bit,
+    * truncated data chunk, no fmt/data, zero output frames) quarantine to
+    * null fields, never throw.
+    *
+    * Batched exactly like [[extractFeatures]]: one "resampler call" per
+    * fixed-size mapPartitions group — where a real DSP kernel (windowed
+    * sinc) would drop in without touching the plan. Scale: narrow
+    * pipeline, no shuffle; per-row output is `dstRate/srcRate`-bounded
+    * relative to the input, so stage memory is batchSize-bounded.
+    */
+  def resampleWavPcm16(ds: Dataset[(String, Array[Byte])], dstRate: Int,
+      batchSize: Int): Dataset[WavResampleRow] = {
+    require(dstRate > 0, s"dstRate ($dstRate) must be positive")
+    implicit val enc: Encoder[WavResampleRow] = Encoders.product[WavResampleRow]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "resampler call" per batch — the real inference boundary
+        batch.map { case (name, bytes) =>
+          decodeWavPcm16(bytes) match {
+            case None => WavResampleRow(name, None, None, None, None)
+            case Some((channels, srcRate, dataPos, nFrames)) =>
+              val outFramesL = nFrames * dstRate / srcRate
+              // zero-output and alloc-overflow quarantine (same null
+              // contract as undecodable payloads; mirrored in the oracle)
+              if (outFramesL <= 0 || outFramesL * channels * 2 > Int.MaxValue)
+                WavResampleRow(name, None, None, None, None)
+              else {
+                val outFrames = outFramesL.toInt
+                WavResampleRow(name, Some(channels), Some(srcRate),
+                  Some(outFrames),
+                  Some(resampleFrames(bytes, channels, dataPos, nFrames, outFrames)))
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** (channels, sampleRate, dataPos, nFrames) for a complete PCM16 WAV;
+    * None otherwise. The chunk walk and bounds mirror
+    * MediaSql.wavResampleCtes bit for bit — change them in lockstep.
+    */
+  private[operators] def decodeWavPcm16(b: Array[Byte]): Option[(Int, Long, Int, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32u(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+    if (b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var pos = 12L
+    var fmtPos = -1L
+    var dataPos = -1L
+    var dataBytes = -1L
+    while (pos + 8 <= b.length) {
+      val p = pos.toInt
+      val cid = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32u(p + 4)
+      if (cid == "fmt " && fmtPos < 0 && size >= 16 && pos + 24 <= b.length)
+        fmtPos = pos
+      if (cid == "data" && dataPos < 0) { dataPos = pos + 8; dataBytes = size }
+      pos += 8 + size + (size % 2)
+    }
+    if (fmtPos < 0 || dataPos < 0) return None
+    val f = fmtPos.toInt
+    val codec = le16(f + 8)
+    val channels = le16(f + 10)
+    val rate = le32u(f + 12)
+    val bits = le16(f + 22)
+    if (codec != 1 || bits != 16 || channels <= 0 || rate <= 0) return None
+    if (dataPos + dataBytes > b.length) return None // truncated data chunk
+    val nFrames = dataBytes / (channels * 2)
+    if (nFrames <= 0) return None
+    Some((channels, rate, dataPos.toInt, nFrames))
+  }
+
+  /** Nearest-frame copy: output frame i reads source frame
+    * (i·nFrames DIV outFrames), all `channels`·2 bytes at once.
+    */
+  private def resampleFrames(b: Array[Byte], channels: Int, dataPos: Int,
+      nFrames: Long, outFrames: Int): Array[Byte] = {
+    val frameBytes = channels * 2
+    val out = new Array[Byte](outFrames * frameBytes)
+    var i = 0
+    while (i < outFrames) {
+      val src = dataPos + ((i.toLong * nFrames) / outFrames).toInt * frameBytes
+      System.arraycopy(b, src, out, i * frameBytes, frameBytes)
+      i += 1
+    }
+    out
+  }
 }
 
 /** One resampled row: null fields (None) quarantine payloads that are not
@@ -308,6 +409,14 @@ object Multimodal {
   */
 final case class BmpResizeRow(name: String, out_w: Option[Int],
     out_h: Option[Int], resized: Option[Array[Byte]])
+
+/** One resampled audio row: null fields quarantine payloads that are not a
+  * complete PCM16 WAV (or whose resample would be empty/unallocatable) —
+  * loud schema, never an exception.
+  */
+final case class WavResampleRow(name: String, channels: Option[Int],
+    src_rate: Option[Long], out_frames: Option[Int],
+    resampled: Option[Array[Byte]])
 
 /** Encoder helper (kept tiny; Encoders.product can't see Array[Float] alone). */
 private object ExprEnc {

@@ -213,6 +213,70 @@ object MediaSql {
        |  WHERE fmtpos IS NOT NULL
        |)""".stripMargin
 
+  /** The PCM16 resample replay of `Multimodal.resampleWavPcm16` over
+    * `src(key, h, n)`: the [[wavCtes]] chunk walk extended with the data
+    * chunk's OFFSET, the PCM16 acceptance gate (codec 1, 16-bit, sane
+    * channels/rate, data chunk fully inside the payload, non-empty and
+    * allocatable output), and a hex copy of every nearest-mapped output
+    * frame (`i·nframes DIV out_frames`, all channel bytes). Emits CTEs
+    * ending in `wavresampled(key, channels, src_rate, out_frames, out_len,
+    * outhex)` — quarantined keys simply have no row. Bounds mirror
+    * `Multimodal.decodeWavPcm16` bit for bit — change them in lockstep.
+    */
+  def wavResampleCtes(src: String, dstRate: Int): String =
+    s"""rscan AS (
+       |  SELECT key, h, n, CAST(12 AS BIGINT) AS pos,
+       |    CAST(NULL AS BIGINT) AS fmtpos, CAST(NULL AS BIGINT) AS datapos,
+       |    CAST(NULL AS BIGINT) AS databytes
+       |  FROM $src
+       |  WHERE n >= 12 AND substr(h,1,8) = '52494646' AND substr(h,17,8) = '57415645'
+       |  UNION ALL
+       |  SELECT key, h, n, pos + 8 + size + (size % 2) AS pos,
+       |    CASE WHEN cid = '666D7420' AND fmtpos IS NULL AND size >= 16
+       |              AND pos + 24 <= n THEN pos ELSE fmtpos END AS fmtpos,
+       |    CASE WHEN cid = '64617461' AND datapos IS NULL THEN pos + 8
+       |         ELSE datapos END AS datapos,
+       |    CASE WHEN cid = '64617461' AND databytes IS NULL THEN size
+       |         ELSE databytes END AS databytes
+       |  FROM (
+       |    SELECT key, h, n, pos, fmtpos, datapos, databytes,
+       |      substr(h, 2*pos+1, 8) AS cid, ${le32u("h", "pos+4")} AS size
+       |    FROM rscan WHERE pos + 8 <= n)
+       |),
+       |wavpcm AS (
+       |  SELECT key, h, channels, src_rate, datapos, nframes,
+       |    (nframes * $dstRate) // src_rate AS out_frames
+       |  FROM (
+       |    SELECT key, h, n, datapos, databytes,
+       |      CAST(${le16("h", "fmtpos+10")} AS INTEGER) AS channels,
+       |      CAST(${le32u("h", "fmtpos+12")} AS BIGINT) AS src_rate,
+       |      ${le16("h", "fmtpos+8")} AS codec,
+       |      ${le16("h", "fmtpos+22")} AS bits,
+       |      databytes // NULLIF(CAST(${le16("h", "fmtpos+10")} AS BIGINT) * 2, 0)
+       |        AS nframes
+       |    FROM (
+       |      SELECT key, h, MAX(n) AS n, MAX(fmtpos) AS fmtpos,
+       |        MAX(datapos) AS datapos, MAX(databytes) AS databytes
+       |      FROM rscan GROUP BY key, h)
+       |    WHERE fmtpos IS NOT NULL AND datapos IS NOT NULL)
+       |  WHERE codec = 1 AND bits = 16 AND channels > 0 AND src_rate > 0
+       |    AND datapos + databytes <= n AND nframes > 0
+       |    AND (nframes * $dstRate) // src_rate > 0
+       |    AND ((nframes * $dstRate) // src_rate) * channels * 2 <= 2147483647),
+       |wavmap AS (
+       |  SELECT key, i,
+       |    substr(h, 2*(datapos + ((i * nframes) // out_frames) * channels * 2) + 1,
+       |           channels * 4) AS p
+       |  FROM (SELECT *, unnest(range(out_frames)) AS i FROM wavpcm)),
+       |wavhex AS (
+       |  SELECT key, string_agg(p, '' ORDER BY i) AS outhex
+       |  FROM wavmap GROUP BY key),
+       |wavresampled AS (
+       |  SELECT w.key, w.channels, w.src_rate,
+       |    CAST(w.out_frames AS INTEGER) AS out_frames,
+       |    CAST(w.out_frames * w.channels * 2 AS BIGINT) AS out_len, x.outhex
+       |  FROM wavpcm w JOIN wavhex x ON x.key = w.key)""".stripMargin
+
   /** The MP3 frame-header branch of `graft.plans.Mp3Headers` over
     * `src(key, h, n)`: emits CTEs ending in `mp3meta(key, format, version,
     * layer, bitrate_kbps, sample_rate, channels)`. The bitrate/sample-rate

@@ -165,6 +165,35 @@ object MultimodalQueries {
              |  md5(r.outhex) AS resized_hash
              |FROM imgs i LEFT JOIN bmpresized r ON r.key = i.name""".stripMargin)),
 
+    // REAL audio sample-rate conversion, hash-checked — the audio twin of
+    // mm12: nearest-frame PCM16 resample to 6 kHz over the committed WAV
+    // fixtures (stereo 44.1k, mono 16k, a LIST-before-fmt chunk layout),
+    // batched through the same mapPartitions inference boundary. The
+    // output frames are pure integer source picks, so the oracle replays
+    // every frame's bytes in hex SQL and the BYTE HASH must match.
+    // Negatives (8-bit PCM, no fmt/data chunk, truncated, non-RIFF) must
+    // be null in BOTH engines.
+    Q("mm13_audio_resample",
+      (s, _) => {
+        import s.implicits._
+        val wavs = s.read.parquet(audioFixturePath)
+          .select(col("name"), col("payload")).as[(String, Array[Byte])]
+        Multimodal.resampleWavPcm16(wavs, dstRate = 6000, batchSize = 64)
+          .toDF()
+          .select(col("name"), col("channels"), col("src_rate"),
+            col("out_frames"),
+            length(col("resampled")).cast("long").as("out_len"),
+            md5(hex(col("resampled"))).as("resampled_hash"))
+      },
+      Some(s"""WITH RECURSIVE wavs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$audioFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM wavs),
+             |${MediaSql.wavResampleCtes("src", 6000)}
+             |SELECT w.name, r.channels, r.src_rate, r.out_frames, r.out_len,
+             |  md5(r.outhex) AS resampled_hash
+             |FROM wavs w LEFT JOIN wavresampled r ON r.key = w.name""".stripMargin)),
+
     // WebP coverage for the same Expression: all three bitstream flavors
     // (VP8X extended 24-bit canvas, "VP8 " lossy 14-bit + sync check, VP8L
     // lossless packed 14-bit fields) over committed hand-built RIFF bytes,

@@ -612,5 +612,31 @@ object TextQueries {
       (s, dir) => graft.operators.Zipf.fit(
         Tables(s, dir).documents, "text", "source", topR = 200),
       Some(graft.operators.Zipf.fitSql("documents", "text", "source", topR = 200))),
+
+    // DSIR importance selection: per-doc log-likelihood ratio of a target
+    // hashed-unigram model (src0's docs) over the raw corpus model —
+    // classifier-free domain tilting. One corpus pass into (doc, bucket)
+    // counts; both models are bucket-bounded aggregates; the ≤512-row
+    // weight table broadcasts; exact 6dp-decimal dot product; TakeOrdered.
+    Q("t35_dsir_importance",
+      (s, dir) => graft.operators.Dsir.topByImportance(
+        Tables(s, dir).documents, "doc_id", "text", "source",
+        targetSource = "src0", buckets = 512, topK = 100),
+      Some(graft.operators.Dsir.topByImportanceSql(
+        "documents", "doc_id", "text", "source",
+        targetSource = "src0", buckets = 512, topK = 100))),
+
+    // The faithful DSIR selection rule: Gumbel-top-k resample ∝ exp(score)
+    // (Efraimidis–Spirakis without replacement), with the Gumbel noise
+    // derived deterministically from the doc id's portable hash so the
+    // sample is engine-exact. Same single-pass scoring as t35; the
+    // perturbation is one scalar expression per scored doc.
+    Q("t36_dsir_gumbel_resample",
+      (s, dir) => graft.operators.Dsir.gumbelResample(
+        Tables(s, dir).documents, "doc_id", "text", "source",
+        targetSource = "src0", buckets = 512, topK = 100),
+      Some(graft.operators.Dsir.gumbelResampleSql(
+        "documents", "doc_id", "text", "source",
+        targetSource = "src0", buckets = 512, topK = 100))),
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.Dsir
+
+class DsirSpec extends SparkSpec {
+
+  /** A corpus where the target source speaks a disjoint vocabulary: docs
+    * from "tgt" repeat target words; "bg" docs repeat background words; two
+    * "mixed" docs lean one way each. DSIR must rank target-speak above
+    * background-speak regardless of source label.
+    */
+  private def corpus() = {
+    val rows = Seq(
+      Row(1L, "tgt", "alpha beta gamma alpha beta gamma alpha beta"),
+      Row(2L, "tgt", "beta gamma alpha beta gamma alpha beta gamma"),
+      Row(3L, "bg", "noise filler junk noise filler junk noise filler"),
+      Row(4L, "bg", "junk noise filler junk noise filler junk noise"),
+      // mixed docs, NOT in the target source: 5 leans target, 6 leans bg
+      Row(5L, "bg", "alpha beta gamma alpha filler"),
+      Row(6L, "bg", "noise junk filler noise beta"),
+      Row(7L, "bg", ""), // empty doc: no features, excluded from scoring
+      Row(8L, "bg", "alpha alpha alpha alpha alpha alpha"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  test("target-vocabulary docs outrank background docs") {
+    val got = Dsir.topByImportance(corpus(), "doc_id", "text", "source",
+      targetSource = "tgt", buckets = 64, topK = 8).collect()
+    val score = got.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the empty doc has no features and is absent
+    assert(!score.contains(7L), "empty doc must be excluded")
+    assert(score.size == 7)
+    // every pure-target doc beats every pure-background doc
+    for (t <- Seq(1L, 2L, 8L); b <- Seq(3L, 4L))
+      assert(score(t) > score(b), s"doc $t should outrank doc $b")
+    // the target-leaning mixed doc beats the background-leaning one
+    assert(score(5L) > score(6L))
+  }
+
+  test("topK truncates by score with doc_id tie-break, deterministically") {
+    val a = Dsir.topByImportance(corpus(), "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 3).collect().map(_.getLong(0)).toSeq
+    val b = Dsir.topByImportance(corpus(), "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 3).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "selection must be deterministic across runs")
+    assert(a.size == 3)
+    val all = Dsir.topByImportance(corpus(), "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 8).collect()
+      .sortBy(r => (-r.getDouble(2), r.getLong(0))).map(_.getLong(0)).take(3)
+    assert(a.sorted == all.sorted.toSeq, "topK must be the global top-3")
+  }
+
+  test("gumbel resample is deterministic, weight-tilted, and keeps scores") {
+    val g1 = Dsir.gumbelResample(corpus(), "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 4).collect()
+    val g2 = Dsir.gumbelResample(corpus(), "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 4).collect()
+    assert(g1.map(_.getLong(0)).toSeq == g2.map(_.getLong(0)).toSeq,
+      "hash-seeded Gumbel draw must be identical across runs")
+    // keys are finite (u strictly interior) and the sample leans target:
+    // at least half the draw comes from the three pure-target-vocab docs.
+    assert(g1.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    val tgtHits = g1.map(_.getLong(0)).count(Seq(1L, 2L, 8L).contains)
+    assert(tgtHits >= 2, s"expected a target-tilted sample, got $tgtHits/4")
+    // the perturbed key never reorders by more than the Gumbel spread:
+    // sanity — each emitted row carries its unperturbed score too
+    assert(g1.forall(_.length == 4))
+  }
+}

@@ -229,6 +229,54 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getLong(4) == pcm.length.toLong)
   }
 
+  test("resampleWavPcm16: hand-checked frame picks over a JDK-written WAV") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(channels: Int, rate: Float, bits: Int, frames: Int,
+        sample: Int => Byte): Array[Byte] = {
+      val pcm = Array.tabulate[Byte](frames * channels * bits / 8)(sample)
+      val fmt = new AudioFormat(rate, bits, channels, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono 16-bit, 8 frames at 16 kHz: sample bytes are just the index
+    val mono = wav(1, 16000f, 16, 8, i => i.toByte)
+    // stereo: frames must copy whole (all channel bytes together)
+    val stereo = wav(2, 16000f, 16, 8, i => i.toByte)
+    val eightBit = wav(1, 16000f, 8, 8, i => i.toByte)
+    val rows = Seq("mono" -> mono, "stereo" -> stereo,
+      "bits8" -> eightBit, "junk" -> "noise".getBytes("UTF-8"),
+      "trunc" -> mono.dropRight(4))
+    val ds = spark.createDataFrame(rows).toDF("name", "payload")
+      .as[(String, Array[Byte])]
+    val got = Multimodal.resampleWavPcm16(ds, dstRate = 8000, batchSize = 16)
+      .collect().map(r => r.name -> r).toMap
+    // 16k -> 8k halves the frames; out frame i reads src frame (i*8 DIV 4)=2i
+    assert(got("mono").out_frames == Some(4))
+    val monoData = (0 until 16).map(_.toByte) // the pcm payload bytes
+    val expectMono = Seq(0, 2, 4, 6).flatMap(f =>
+      monoData.slice(f * 2, f * 2 + 2))
+    assert(got("mono").resampled.get.toSeq == expectMono)
+    // stereo frames are 4 bytes; picks stay frame-aligned
+    val stData = (0 until 32).map(_.toByte)
+    val expectSt = Seq(0, 2, 4, 6).flatMap(f => stData.slice(f * 4, f * 4 + 4))
+    assert(got("stereo").out_frames == Some(4) && got("stereo").channels == Some(2))
+    assert(got("stereo").resampled.get.toSeq == expectSt)
+    // quarantines: 8-bit PCM, junk, truncated data chunk — nulls, no throw
+    for (k <- Seq("bits8", "junk", "trunc"))
+      assert(got(k).out_frames.isEmpty && got(k).resampled.isEmpty, k)
+    // identity rate copies the data chunk exactly
+    val id = Multimodal.resampleWavPcm16(ds, dstRate = 16000, batchSize = 2)
+      .collect().map(r => r.name -> r).toMap
+    assert(id("mono").resampled.get.toSeq == monoData)
+    // batch size must not change bytes
+    val b1 = Multimodal.resampleWavPcm16(ds, 8000, batchSize = 1)
+      .collect().map(r => r.name -> r.resampled.map(_.toSeq)).toMap
+    assert(rows.map(_._1).forall(k => b1(k) == got(k).resampled.map(_.toSeq)))
+  }
+
   test("Mp4Headers walks boxes to mvhd and rejects malformed files") {
     import graft.tools.GenVideoFixtures
     val byName = GenVideoFixtures.fixtures().toMap
