@@ -116,6 +116,50 @@ object Dsir {
        |LIMIT $topK""".stripMargin
   }
 
+  /** The batch-trained per-bucket weight table (bucket, w) — the artifact
+    * the serving path ships. At most `buckets` rows regardless of corpus
+    * size, so it always fits the driver / a broadcast.
+    */
+  def trainWeights(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetSource: String, buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    weights(feats(docs, idCol, textCol, sourceCol, buckets), targetSource, buckets)
+  }
+
+  /** [[trainWeights]] pulled to the driver — a bounded collect (≤ buckets
+    * rows), the same contract as KMeans centroids / AnnIndex constants.
+    */
+  def collectWeights(w: DataFrame): Map[Long, java.math.BigDecimal] =
+    w.select(col("bucket").cast("long"), col("w").cast("decimal(19,6)"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+
+  /** Serve-side scoring with NO shuffle and NO aggregation state: each
+    * document's tokens fold against a compiled-in weight map (per-token
+    * lookup + exact decimal add — associative and commutative, so the sum
+    * equals the batch `sum(cnt·w)` bit for bit). Because the plan is pure
+    * per-row expressions, it runs identically on BATCH and STREAMING
+    * frames (append-mode safe, no watermark needed) — train offline on
+    * the corpus, score the firehose online, same number either way.
+    * Features unseen at train time score 0 (OOV-neutral contract).
+    */
+  def serveScores(docs: DataFrame, idCol: String, textCol: String,
+      w: Map[Long, java.math.BigDecimal], buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    require(w.nonEmpty, "weight map is empty — train before serving")
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(19,6)")
+    val wmap = map(w.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      Seq(lit(k), lit(v).cast("decimal(19,6)")) }: _*)
+    docs.withColumn("dsir_score",
+      round(aggregate(
+        TextFns.tokens(col(textCol)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+        (acc, t) => acc + coalesce(
+          element_at(wmap, pmod(TextFns.md5Hash32(t), lit(buckets.toLong))),
+          zero)
+      ).cast("double"), 6))
+      .select(col(idCol).as("doc_id"), col("dsir_score"))
+  }
+
   /** Gumbel-top-k importance RESAMPLE — the faithful DSIR selection rule:
     * draw `topK` documents without replacement with probability ∝ exp(score)
     * (Efraimidis–Spirakis / Gumbel-max), with the Gumbel noise derived

@@ -56,6 +56,52 @@ class DsirSpec extends SparkSpec {
     assert(a.sorted == all.sorted.toSeq, "topK must be the global top-3")
   }
 
+  test("serveScores equals the batch scorer bit for bit (exact decimal fold)") {
+    val docs = corpus()
+    val w = Dsir.collectWeights(
+      Dsir.trainWeights(docs, "doc_id", "text", "source", "tgt", buckets = 64))
+    assert(w.size <= 64)
+    val served = Dsir.serveScores(docs, "doc_id", "text", w, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Dsir.topByImportance(docs, "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // per-occurrence fold vs per-bucket cnt·w: same exact decimal sum
+    for ((id, s) <- batch) assert(served(id) == s, s"doc $id: $s vs ${served(id)}")
+    // the empty doc scores 0 on the serve path (no tokens folded)
+    assert(served(7L) == 0.0)
+  }
+
+  test("serveScores runs on a stream across micro-batches; OOV is neutral") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = corpus()
+    val w = Dsir.collectWeights(
+      Dsir.trainWeights(docs, "doc_id", "text", "source", "tgt", buckets = 64))
+    val in = MemoryStream[(Long, String)]
+    val q = Dsir.serveScores(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", w, buckets = 64)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_serve_out").start()
+    in.addData((1L, "alpha beta gamma alpha beta gamma alpha beta"))
+    q.processAllAvailable()
+    in.addData((3L, "noise filler junk noise filler junk noise filler"),
+      (99L, "zzz unseen vocabulary entirely")) // OOV-only doc
+    q.processAllAvailable()
+    val got = spark.table("dsir_serve_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    val batch = Dsir.topByImportance(docs, "doc_id", "text", "source",
+      "tgt", buckets = 64, topK = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == batch(1L), "stream score must equal batch score")
+    assert(got(3L) == batch(3L))
+    // fully-unseen vocabulary scores exactly 0 unless its hash buckets
+    // collide with trained ones (64 buckets: tolerate collision weight)
+    assert(got.contains(99L))
+  }
+
   test("gumbel resample is deterministic, weight-tilted, and keeps scores") {
     val g1 = Dsir.gumbelResample(corpus(), "doc_id", "text", "source",
       "tgt", buckets = 64, topK = 4).collect()
