@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -15,63 +17,113 @@ import graft.functions.TextFns
   * Engine-exact discipline: features are `md5Hash32(term) mod buckets`
   * (the portable 32-bit hash), both models are exact integer counts with
   * add-1 smoothing, each bucket's two log terms are rounded to 6dp and
-  * carried as DECIMAL(18,6) so the per-document dot product
-  * `sum(cnt * w)` is EXACT decimal arithmetic (partition-order-independent);
-  * only the final display cast is double (the t34/q44 discipline).
+  * carried as exact decimals, so the per-document score (a fold of
+  * per-occurrence decimal adds — associative and commutative) is
+  * partition-order-independent; only the final display cast is double
+  * (the t34/q44 discipline).
   *
-  * Scale (100 TB): the corpus is exploded ONCE into (doc, bucket) counts
-  * with map-side combine; both n-gram models are `buckets`-bounded
-  * aggregates of that relation; the weight table is at most `buckets` rows
-  * (2^20 buckets ≈ 8 MB — always broadcastable), so scoring is a broadcast
-  * hash join plus one per-doc aggregation. Nothing quadratic, no corpus
-  * re-shuffle beyond the feature count, and the top-K is TakeOrdered
-  * (per-partition heaps), never a global sort.
+  * Shape (the two-pass floor for DSIR — a model must exist before scoring):
+  *  - TRAIN: one map-side-combined aggregation of the exploded corpus down
+  *    to ≤ `buckets` rows of (raw count, target count), pulled to the
+  *    driver (the bounded collect of KMeans centroids / AnnIndex
+  *    constants) where the log-ratio weights are computed with the exact
+  *    arithmetic Spark's own `round(log(x), 6)` would use.
+  *  - SCORE: a second corpus pass with NO shuffle at all — each document's
+  *    tokens fold against the compiled-in weight map — and the top-K is
+  *    TakeOrdered (per-partition heaps), never a global sort.
+  * At 100 TB that is one shuffle of ≤ `buckets` keys plus two narrow
+  * scans; a 2^20-bucket model is ~8 MB of plan constants.
   */
 object Dsir {
 
-  private def d6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+  private def d6d(v: Double): JBigDecimal =
+    JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
 
-  /** (doc, bucket) exact feature counts — the single pass over the corpus
-    * both models and the scorer reuse.
-    */
-  private def feats(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, buckets: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+  /** Per-bucket (raw, target) counts: ONE aggregation, ≤ `buckets` rows. */
+  private def bucketCounts(docs: DataFrame, textCol: String,
+      sourceCol: String, targetSource: String, buckets: Int): DataFrame =
+    docs.select(col(sourceCol).as("source"),
         explode(TextFns.tokens(col(textCol))).as("term"))
-      .withColumn("bucket", pmod(TextFns.md5Hash32(col("term")), lit(buckets.toLong)))
-      .groupBy(col("doc_id"), col("source"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(pmod(TextFns.md5Hash32(col("term")), lit(buckets.toLong)).as("bucket"),
+        col("source"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("rc"),
+        sum(when(col("source") === lit(targetSource), 1L).otherwise(0L)).as("tc"))
 
-  /** Per-bucket importance weight w = ln p_target(b) − ln p_raw(b), add-1
-    * smoothed, as the exact 6dp-decimal difference. At most `buckets` rows.
+  /** The trained per-bucket weight map w(b) = d6(ln p_target(b)) −
+    * d6(ln p_raw(b)), add-1 smoothed — the artifact the serving path
+    * ships. Bounded by `buckets` regardless of corpus size, so the collect
+    * is a bounded driver pull (the KMeans-centroids contract) and the map
+    * always fits a broadcast. `Math.log` + HALF_UP 6dp here is bit-for-bit
+    * what Spark's `round(log(x), 6)` computes on the same exact-integer
+    * ratios, so driver-side training and an all-relational replay agree.
     */
-  private def weights(f: DataFrame, targetSource: String, buckets: Int): DataFrame = {
-    val byBucket = f.groupBy(col("bucket")).agg(
-      sum(col("cnt")).as("rc"),
-      sum(when(col("source") === lit(targetSource), col("cnt"))
-        .otherwise(lit(0L))).as("tc"))
-    val totals = byBucket.agg(
-      sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
-    byBucket.crossJoin(broadcast(totals)).select(
-      col("bucket"),
-      (d6(log((col("tc") + 1).cast("double") /
-              (col("ttot") + buckets).cast("double"))) -
-       d6(log((col("rc") + 1).cast("double") /
-              (col("rtot") + buckets).cast("double")))).as("w"))
+  def trainWeights(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetSource: String,
+      buckets: Int = 512): Map[Long, JBigDecimal] = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val rows = bucketCounts(docs, textCol, sourceCol, targetSource, buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rtot = rows.map(_._2).sum
+    val ttot = rows.map(_._3).sum
+    rows.map { case (b, rc, tc) =>
+      b -> d6d(math.log((tc + 1).toDouble / (ttot + buckets).toDouble))
+        .subtract(d6d(math.log((rc + 1).toDouble / (rtot + buckets).toDouble)))
+    }.toMap
+  }
+
+  /** Per-doc exact-decimal score column: the document's tokens folded
+    * against the compiled-in weight map — pure per-row expressions (no
+    * shuffle, no aggregation state), so the same plan scores batch frames
+    * and append-mode streams. Features unseen at train time score 0
+    * (OOV-neutral serving contract).
+    */
+  private def scoreFold(textCol: String, w: Map[Long, JBigDecimal],
+      buckets: Int): Column = {
+    require(w.nonEmpty, "weight map is empty — train before serving")
+    val zero = lit(JBigDecimal.ZERO).cast("decimal(19,6)")
+    val wmap = map(w.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      Seq(lit(k), lit(v).cast("decimal(19,6)")) }: _*)
+    aggregate(
+      TextFns.tokens(col(textCol)),
+      lit(JBigDecimal.ZERO).cast("decimal(38,6)"),
+      (acc, t) => acc + coalesce(
+        element_at(wmap, pmod(TextFns.md5Hash32(t), lit(buckets.toLong))),
+        zero))
+  }
+
+  /** [[scoreFold]] over a full frame, keeping the id column — the online
+    * scoring endpoint (train offline on the corpus, score the firehose).
+    */
+  def serveScores(docs: DataFrame, idCol: String, textCol: String,
+      w: Map[Long, JBigDecimal], buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    docs.select(col(idCol).as("doc_id"),
+      round(scoreFold(textCol, w, buckets).cast("double"), 6).as("dsir_score"))
+  }
+
+  /** Docs with at least one token, scored: (doc_id, source, sw decimal).
+    * Two corpus passes total (train + score), one ≤-buckets shuffle.
+    */
+  private def scored(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetSource: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val w = trainWeights(docs, idCol, textCol, sourceCol, targetSource, buckets)
+    docs.filter(size(TextFns.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        scoreFold(textCol, w, buckets).as("sw"))
   }
 
   /** Top-`topK` documents by DSIR importance score (deterministic variant:
     * ties broken by doc_id, so the selected set is exact in both engines).
+    * Featureless (empty/null-text) docs are excluded, as in the relational
+    * form.
     */
   def topByImportance(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, targetSource: String, buckets: Int = 512,
       topK: Int = 100): DataFrame = {
-    require(buckets > 0, s"buckets ($buckets) must be positive")
     require(topK > 0, s"topK ($topK) must be positive")
-    val f = feats(docs, idCol, textCol, sourceCol, buckets)
-    f.join(broadcast(weights(f, targetSource, buckets)), Seq("bucket"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("cnt") * col("w")).as("sw"))
+    scored(docs, idCol, textCol, sourceCol, targetSource, buckets)
       .select(col("doc_id"), col("source"),
         round(col("sw").cast("double"), 6).as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id").asc)
@@ -79,85 +131,19 @@ object Dsir {
   }
 
   /** [[topByImportance]] oracle: identical tokenization, hash-bucketing,
-    * smoothing, 6dp-decimal log quantization, exact decimal dot product,
-    * and tie-break order.
+    * smoothing, 6dp-decimal log quantization, exact decimal dot product
+    * (the relational `sum(cnt·w)` equals the engine's per-occurrence fold
+    * exactly — decimal addition is associative), and tie-break order.
     */
   def topByImportanceSql(table: String, idCol: String, textCol: String,
       sourceCol: String, targetSource: String, buckets: Int = 512,
       topK: Int = 100): String = {
-    def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
-    s"""WITH toks AS (
-       |  SELECT $idCol AS doc_id, $sourceCol AS source,
-       |         unnest(${TextFns.tokensSql(textCol)}) AS term
-       |  FROM $table),
-       |feats AS (
-       |  SELECT doc_id, source,
-       |         (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
-       |         COUNT(*) AS cnt
-       |  FROM toks GROUP BY 1, 2, 3),
-       |by_bucket AS (
-       |  SELECT bucket, SUM(cnt) AS rc,
-       |         SUM(CASE WHEN source = '$targetSource' THEN cnt ELSE 0 END) AS tc
-       |  FROM feats GROUP BY 1),
-       |totals AS (
-       |  SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM by_bucket),
-       |weights AS (
-       |  SELECT bucket,
-       |         ${sd6("ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + " +
-                  s"$buckets AS DOUBLE))")} -
-       |         ${sd6("ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + " +
-                  s"$buckets AS DOUBLE))")} AS w
-       |  FROM by_bucket CROSS JOIN totals)
-       |SELECT f.doc_id, f.source,
-       |       round(CAST(SUM(f.cnt * w.w) AS DOUBLE), 6) AS dsir_score
-       |FROM feats f JOIN weights w USING (bucket)
-       |GROUP BY 1, 2
-       |ORDER BY dsir_score DESC, f.doc_id ASC
+    s"""WITH ${dsirScoredCtes(table, idCol, textCol, sourceCol, targetSource, buckets)}
+       |SELECT doc_id, source,
+       |       round(CAST(sw AS DOUBLE), 6) AS dsir_score
+       |FROM scored
+       |ORDER BY dsir_score DESC, doc_id ASC
        |LIMIT $topK""".stripMargin
-  }
-
-  /** The batch-trained per-bucket weight table (bucket, w) — the artifact
-    * the serving path ships. At most `buckets` rows regardless of corpus
-    * size, so it always fits the driver / a broadcast.
-    */
-  def trainWeights(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, targetSource: String, buckets: Int = 512): DataFrame = {
-    require(buckets > 0, s"buckets ($buckets) must be positive")
-    weights(feats(docs, idCol, textCol, sourceCol, buckets), targetSource, buckets)
-  }
-
-  /** [[trainWeights]] pulled to the driver — a bounded collect (≤ buckets
-    * rows), the same contract as KMeans centroids / AnnIndex constants.
-    */
-  def collectWeights(w: DataFrame): Map[Long, java.math.BigDecimal] =
-    w.select(col("bucket").cast("long"), col("w").cast("decimal(19,6)"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-
-  /** Serve-side scoring with NO shuffle and NO aggregation state: each
-    * document's tokens fold against a compiled-in weight map (per-token
-    * lookup + exact decimal add — associative and commutative, so the sum
-    * equals the batch `sum(cnt·w)` bit for bit). Because the plan is pure
-    * per-row expressions, it runs identically on BATCH and STREAMING
-    * frames (append-mode safe, no watermark needed) — train offline on
-    * the corpus, score the firehose online, same number either way.
-    * Features unseen at train time score 0 (OOV-neutral contract).
-    */
-  def serveScores(docs: DataFrame, idCol: String, textCol: String,
-      w: Map[Long, java.math.BigDecimal], buckets: Int): DataFrame = {
-    require(buckets > 0, s"buckets ($buckets) must be positive")
-    require(w.nonEmpty, "weight map is empty — train before serving")
-    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(19,6)")
-    val wmap = map(w.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-      Seq(lit(k), lit(v).cast("decimal(19,6)")) }: _*)
-    docs.withColumn("dsir_score",
-      round(aggregate(
-        TextFns.tokens(col(textCol)),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
-        (acc, t) => acc + coalesce(
-          element_at(wmap, pmod(TextFns.md5Hash32(t), lit(buckets.toLong))),
-          zero)
-      ).cast("double"), 6))
-      .select(col(idCol).as("doc_id"), col("dsir_score"))
   }
 
   /** Gumbel-top-k importance RESAMPLE — the faithful DSIR selection rule:
@@ -167,22 +153,17 @@ object Dsir {
     * draw the same sample: u = (h+0.5)/2^32 ∈ (0,1) — strictly interior, so
     * the Gumbel transform is finite — g = −ln(−ln u), and the
     * perturbed key is the exact 6dp-decimal sum d6(score) + d6(g). Same
-    * single corpus pass and broadcast-weight scoring as the deterministic
-    * variant; the perturbation is one scalar expression per doc.
+    * two-pass shape as the deterministic variant; the perturbation is one
+    * scalar expression per doc.
     */
   def gumbelResample(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, targetSource: String, buckets: Int = 512,
       topK: Int = 100): DataFrame = {
-    require(buckets > 0, s"buckets ($buckets) must be positive")
     require(topK > 0, s"topK ($topK) must be positive")
-    val f = feats(docs, idCol, textCol, sourceCol, buckets)
-    val scored = f
-      .join(broadcast(weights(f, targetSource, buckets)), Seq("bucket"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("cnt") * col("w")).as("sw"))
+    def d6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
     val u = (TextFns.md5Hash32(col("doc_id").cast("string"))
       .cast("double") + 0.5) / lit(4294967296.0)
-    scored
+    scored(docs, idCol, textCol, sourceCol, targetSource, buckets)
       .withColumn("gkey", d6(col("sw").cast("double")) + d6(-log(-log(u))))
       .select(col("doc_id"), col("source"),
         round(col("sw").cast("double"), 6).as("dsir_score"),
@@ -200,7 +181,29 @@ object Dsir {
     def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
     val uExpr = s"((CAST(${TextFns.md5Hash32Sql(s"CAST(doc_id AS VARCHAR)")} " +
       "AS DOUBLE) + 0.5) / 4294967296.0)"
-    s"""WITH toks AS (
+    s"""WITH ${dsirScoredCtes(table, idCol, textCol, sourceCol, targetSource, buckets)},
+       |keyed AS (
+       |  SELECT doc_id, source, sw,
+       |         ${sd6("CAST(sw AS DOUBLE)")} +
+       |         ${sd6(s"-ln(-ln($uExpr))")} AS gkey
+       |  FROM scored)
+       |SELECT doc_id, source,
+       |       round(CAST(sw AS DOUBLE), 6) AS dsir_score,
+       |       round(CAST(gkey AS DOUBLE), 6) AS gumbel_key
+       |FROM keyed
+       |ORDER BY gumbel_key DESC, doc_id ASC
+       |LIMIT $topK""".stripMargin
+  }
+
+  /** Shared oracle CTE chain ending in `scored(doc_id, source, sw)`: the
+    * full relational replay of train + score (counts, smoothing, 6dp logs,
+    * exact decimal dot product). The engine's driver-side training and
+    * fold-based scoring must equal this — that is the point of the gate.
+    */
+  private def dsirScoredCtes(table: String, idCol: String, textCol: String,
+      sourceCol: String, targetSource: String, buckets: Int): String = {
+    def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
+    s"""toks AS (
        |  SELECT $idCol AS doc_id, $sourceCol AS source,
        |         unnest(${TextFns.tokensSql(textCol)}) AS term
        |  FROM $table),
@@ -225,17 +228,6 @@ object Dsir {
        |scored AS (
        |  SELECT f.doc_id, f.source, SUM(f.cnt * w.w) AS sw
        |  FROM feats f JOIN weights w USING (bucket)
-       |  GROUP BY 1, 2),
-       |keyed AS (
-       |  SELECT doc_id, source, sw,
-       |         ${sd6("CAST(sw AS DOUBLE)")} +
-       |         ${sd6(s"-ln(-ln($uExpr))")} AS gkey
-       |  FROM scored)
-       |SELECT doc_id, source,
-       |       round(CAST(sw AS DOUBLE), 6) AS dsir_score,
-       |       round(CAST(gkey AS DOUBLE), 6) AS gumbel_key
-       |FROM keyed
-       |ORDER BY gumbel_key DESC, doc_id ASC
-       |LIMIT $topK""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 }

@@ -58,8 +58,7 @@ class DsirSpec extends SparkSpec {
 
   test("serveScores equals the batch scorer bit for bit (exact decimal fold)") {
     val docs = corpus()
-    val w = Dsir.collectWeights(
-      Dsir.trainWeights(docs, "doc_id", "text", "source", "tgt", buckets = 64))
+    val w = Dsir.trainWeights(docs, "doc_id", "text", "source", "tgt", buckets = 64)
     assert(w.size <= 64)
     val served = Dsir.serveScores(docs, "doc_id", "text", w, buckets = 64)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -77,8 +76,7 @@ class DsirSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = corpus()
-    val w = Dsir.collectWeights(
-      Dsir.trainWeights(docs, "doc_id", "text", "source", "tgt", buckets = 64))
+    val w = Dsir.trainWeights(docs, "doc_id", "text", "source", "tgt", buckets = 64)
     val in = MemoryStream[(Long, String)]
     val q = Dsir.serveScores(in.toDF().toDF("doc_id", "text"),
         "doc_id", "text", w, buckets = 64)
