@@ -457,5 +457,45 @@ object MarketQueries {
              |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS link_types,
              |  COUNT(DISTINCT o_orderpriority) AS n_types
              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Training-shard EXPORT round-trip: the write path of an LLM data
+    // pipeline. Documents are hash-sharded (portable md5Hash32 mod 16 of
+    // the doc id — deterministic, so re-exports land identically),
+    // repartitioned BY the shard column (one shuffle → exactly one writer
+    // task per shard, file-per-shard layout instead of tasks×shards
+    // fragments), and landed as partitionBy(shard) parquet with a
+    // per-doc token count stamped for budget accounting. The declared
+    // result reads the LANDED files back and emits the shard manifest
+    // (docs, token budget, id checksum per shard); the oracle computes the
+    // same manifest from the source table, so the hash proves the export
+    // is lossless, balanced, and shard-assignment-exact. At 100 TB add
+    // maxRecordsPerFile + sortWithinPartitions(doc_id) per shard; the
+    // shuffle stays one pass keyed by 16..4096 shard ids.
+    Q("m11_training_shards",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val nShards = 16
+        val tmp = landingDir(s"m11_shards_$dir") { tmp =>
+          t.documents
+            .withColumn("shard",
+              pmod(graft.functions.TextFns.md5Hash32(col("doc_id").cast("string")),
+                lit(nShards.toLong)))
+            .withColumn("n_tokens",
+              graft.functions.TextFns.tokenCount(col("text")))
+            .repartition(nShards, col("shard"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(tmp.resolve("shards").toString)
+        }
+        s.read.parquet(tmp.resolve("shards").toString)
+          .groupBy(col("shard").cast("bigint").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("doc_id")).as("id_checksum"))
+      },
+      Some(s"""SELECT ${graft.functions.TextFns.md5Hash32Sql("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(${graft.functions.TextFns.tokenCountSql("text")}) AS BIGINT) AS sum_tokens,
+              |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+              |FROM documents GROUP BY 1""".stripMargin)),
   )
 }

@@ -30,6 +30,39 @@ class SinkFormatsSpec extends SparkSpec {
     }
   }
 
+  test("training-shard export: deterministic, lossless, one file per shard") {
+    import graft.functions.TextFns
+    val docs = spark.range(0, 200).selectExpr("id AS doc_id",
+      "concat('word', CAST(id AS STRING), ' alpha beta') AS text")
+    val n = 8
+    def export(root: String): Unit = docs
+      .withColumn("shard", pmod(TextFns.md5Hash32(col("doc_id").cast("string")), lit(n.toLong)))
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+      .repartition(n, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val r1 = tmpDir("shards_a"); val r2 = tmpDir("shards_b")
+    export(r1); export(r2)
+    val m1 = spark.read.parquet(r1).groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ck"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val m2 = spark.read.parquet(r2).groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ck"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(m1 == m2, "re-export must land identically (deterministic sharding)")
+    // lossless: every doc comes back exactly once
+    assert(m1.map(_._2).sum == 200L)
+    assert(m1.map(_._3).sum == (0L until 200L).sum)
+    // all shards populated and roughly balanced under the uniform hash
+    assert(m1.size == n)
+    assert(m1.map(_._2).max <= 3L * m1.map(_._2).min,
+      s"shard skew too high: ${m1.map(_._2)}")
+    // repartition-by-shard layout: exactly one data file per shard dir
+    for (d <- new java.io.File(r1).listFiles() if d.getName.startsWith("shard=")) {
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName} has $files files, want 1")
+    }
+  }
+
   test("mergeSchema reads evolving parquet schemas (header drift across days)") {
     val root = tmpDir("evolve")
     import spark.implicits._
