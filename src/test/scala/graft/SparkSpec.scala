@@ -5,8 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for specs (one per JVM via getOrCreate). */
 trait SparkSpec extends AnyFunSuite {
+  // local[4, 2]: 4 threads, TWO task attempts — real clusters retry failed
+  // tasks constantly, so specs can inject a first-attempt failure and
+  // assert results are retry-invariant (RetrySpec). Identical scheduling
+  // otherwise.
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
