@@ -72,37 +72,37 @@ object Dsir {
     }.toMap
   }
 
-  /** Per-doc exact-decimal score column: the document's tokens folded
-    * against the compiled-in weight map — pure per-row expressions (no
+  /** Per-doc score column in DOUBLE (the display form): the document's
+    * tokens scored against the compiled-in weight table by the codegen
+    * `plans.DsirScoreConst` Expression — one generated call per row, exact
+    * long micro-unit arithmetic inside (bit-equal to the DECIMAL(·,6)
+    * fold it replaces; the micro sum is < 2^53, so `micro / 1e6` is the
+    * same double the decimal sum casts to). Pure per-row expressions (no
     * shuffle, no aggregation state), so the same plan scores batch frames
     * and append-mode streams. Features unseen at train time score 0
     * (OOV-neutral serving contract).
     */
-  private def scoreFold(textCol: String, w: Map[Long, JBigDecimal],
+  private def scoreCol(textCol: String, w: Map[Long, JBigDecimal],
       buckets: Int): Column = {
     require(w.nonEmpty, "weight map is empty — train before serving")
-    val zero = lit(JBigDecimal.ZERO).cast("decimal(19,6)")
-    val wmap = map(w.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-      Seq(lit(k), lit(v).cast("decimal(19,6)")) }: _*)
-    aggregate(
-      TextFns.tokens(col(textCol)),
-      lit(JBigDecimal.ZERO).cast("decimal(38,6)"),
-      (acc, t) => acc + coalesce(
-        element_at(wmap, pmod(TextFns.md5Hash32(t), lit(buckets.toLong))),
-        zero))
+    val micro = new Array[Long](buckets)
+    w.foreach { case (k, v) =>
+      micro(k.toInt) = v.movePointRight(6).longValueExact() }
+    graft.plans.DsirScoreConst(TextFns.tokens(col(textCol)), micro, buckets)
+      .cast("double") / lit(1e6)
   }
 
-  /** [[scoreFold]] over a full frame, keeping the id column — the online
+  /** [[scoreCol]] over a full frame, keeping the id column — the online
     * scoring endpoint (train offline on the corpus, score the firehose).
     */
   def serveScores(docs: DataFrame, idCol: String, textCol: String,
       w: Map[Long, JBigDecimal], buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
     docs.select(col(idCol).as("doc_id"),
-      round(scoreFold(textCol, w, buckets).cast("double"), 6).as("dsir_score"))
+      round(scoreCol(textCol, w, buckets), 6).as("dsir_score"))
   }
 
-  /** Docs with at least one token, scored: (doc_id, source, sw decimal).
+  /** Docs with at least one token, scored: (doc_id, source, swd double).
     * Two corpus passes total (train + score), one ≤-buckets shuffle.
     */
   private def scored(docs: DataFrame, idCol: String, textCol: String,
@@ -111,7 +111,7 @@ object Dsir {
     val w = trainWeights(docs, idCol, textCol, sourceCol, targetSource, buckets)
     docs.filter(size(TextFns.tokens(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-        scoreFold(textCol, w, buckets).as("sw"))
+        scoreCol(textCol, w, buckets).as("swd"))
   }
 
   /** Top-`topK` documents by DSIR importance score (deterministic variant:
@@ -125,7 +125,7 @@ object Dsir {
     require(topK > 0, s"topK ($topK) must be positive")
     scored(docs, idCol, textCol, sourceCol, targetSource, buckets)
       .select(col("doc_id"), col("source"),
-        round(col("sw").cast("double"), 6).as("dsir_score"))
+        round(col("swd"), 6).as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id").asc)
       .limit(topK)
   }
@@ -164,9 +164,9 @@ object Dsir {
     val u = (TextFns.md5Hash32(col("doc_id").cast("string"))
       .cast("double") + 0.5) / lit(4294967296.0)
     scored(docs, idCol, textCol, sourceCol, targetSource, buckets)
-      .withColumn("gkey", d6(col("sw").cast("double")) + d6(-log(-log(u))))
+      .withColumn("gkey", d6(col("swd")) + d6(-log(-log(u))))
       .select(col("doc_id"), col("source"),
-        round(col("sw").cast("double"), 6).as("dsir_score"),
+        round(col("swd"), 6).as("dsir_score"),
         round(col("gkey").cast("double"), 6).as("gumbel_key"))
       .orderBy(col("gumbel_key").desc, col("doc_id").asc)
       .limit(topK)
