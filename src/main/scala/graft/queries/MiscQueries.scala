@@ -1012,6 +1012,22 @@ object MiscQueries {
       Some(graft.operators.Profiler.distDriftSql(
         "orders", "o_totalprice", "o_orderdate < '1997-01-01'"))),
 
+    // Exact two-sample Kolmogorov–Smirnov distance on the same slices as
+    // p09 — the binning-free drift gate. Integer sup numerator over the
+    // common n1*n2 denominator (no float until the one display division);
+    // the global cumulative counts run through PrefixSum.runningSums —
+    // range-bucketed two-level prefix sums, never a single-partition
+    // window.
+    Q("p17_ks_two_sample",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val refPred = col("o_orderdate") < "1997-01-01"
+        graft.operators.KsTest.ksTwoSampleTagged(
+          t.orders, "o_totalprice", refPred)
+      },
+      Some(graft.operators.KsTest.ksTwoSampleSql(
+        "orders", "o_totalprice", "o_orderdate < '1997-01-01'"))),
+
     // Snapshot diff / CDC delta (ingest.Upsert.snapshotDiff): two synthetic
     // versions of `orders` (drop-by-modulus membership churn + deterministic
     // price/status edits) compared into the added/removed/changed delta an

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KsTest, PrefixSum}
+
+class PrefixSumSpec extends SparkSpec {
+
+  private def frame(keys: Seq[Long]) = {
+    import spark.implicits._
+    keys.map(k => (k, k % 7, 2L * (k % 5))).toDF("k", "a", "b")
+      .repartition(5)
+  }
+
+  test("runningSums equals the single-partition window bit for bit") {
+    val keys = Seq.tabulate(500)(i => (i.toLong * 37) % 10007).distinct
+    val df = frame(keys)
+    val got = PrefixSum.runningSums(df, "k", Seq("a", "b"), numBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val w = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.select(col("k"),
+        sum(col("a")).over(w).as("ac"), sum(col("b")).over(w).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("runningSums handles one bucket, skewed ranges, and negatives") {
+    // all keys in one narrow range (single bucket) plus negatives
+    val keys = Seq(-50L, -49L, -48L, 0L, 1L, 2L, 1000000L)
+    val got = PrefixSum.runningSums(frame(keys), "k", Seq("a"), numBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    for (k <- keys.sorted) {
+      acc += k % 7 // Scala rem matches the frame builder's k % 7
+      assert(got(k) == acc, s"key $k")
+    }
+  }
+
+  test("runningSums plan has no single-partition window") {
+    val df = PrefixSum.runningSums(frame(Seq.tabulate(100)(_.toLong)),
+      "k", Seq("a"), numBuckets = 8)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "prefix sum must not gather to one partition")
+  }
+
+  test("KS is 0 on identical slices and large on disjoint ones") {
+    import spark.implicits._
+    val vals = Seq.tabulate(200)(i => ((i % 40) + 0.25))
+    val a = vals.toDF("x")
+    val ksSame = KsTest.ksTwoSample(a, a, "x").collect()(0)
+    assert(ksSame.getLong(2) == 0L && ksSame.getDouble(3) == 0.0)
+    val b = vals.map(_ + 1000.0).toDF("x")
+    val ksDisj = KsTest.ksTwoSample(a, b, "x").collect()(0)
+    assert(ksDisj.getDouble(3) == 1.0, "disjoint supports → KS = 1")
+    // shifted-by-half overlap: 0 < ks < 1 and equals the hand statistic
+    val c = vals.map(_ + 20.0).toDF("x")
+    val ks = KsTest.ksTwoSample(a, c, "x").collect()(0)
+    assert(ks.getDouble(3) > 0.0 && ks.getDouble(3) < 1.0)
+    assert(ks.getDouble(3) == 0.5, "half-shift of a uniform grid → KS 0.5")
+  }
+}
