@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact Gini coefficient of a numeric column — the concentration
+  * diagnostic (how skewed is revenue across orders / token budget across
+  * sources): G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx), 0 = perfectly even, →1 = one row
+  * holds everything.
+  *
+  * Engine-exact: values are exact cents; the pairwise-difference sum
+  * collapses by sorted distinct value v (count c_v, cumulative count C,
+  * cumulative sum S) to Σ_v c_v·(v·C_prev − S_prev) — every factor an
+  * integer, the product carried as exact decimal (c ≤ 2³¹ and the inner
+  * term ≤ ~10¹⁵ keep the product precision ≤ 26 digits — exact in
+  * DECIMAL, mirrored as HUGEINT arithmetic in DuckDB), and no float until
+  * the one display division num / (n·Σx).
+  *
+  * Scale: one scan to per-value counts (map-side combined), cumulative
+  * (C, S) via [[PrefixSum.runningSums]] — never a single-partition
+  * window — and one decimal aggregation. Same three-job shape as p17.
+  */
+object Gini {
+
+  /** One row: n, total_cents, gini (6dp double). */
+  def ofColumn(df: DataFrame, valueCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    val counts = df.select(
+        (col(valueCol).cast("decimal(9,2)") * 100).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("s", col("v") * col("c"))
+      .persist()
+    val s0 = counts.agg(min(col("v")), max(col("v")),
+      sum(col("c")), sum(col("s"))).collect()(0)
+    require(!s0.isNullAt(0), "Gini needs a non-empty column")
+    val (n, total) = (s0.getLong(2), s0.getLong(3))
+    require(total > 0, s"Gini needs a positive total (got $total)")
+    val cum = PrefixSum.runningSums(counts, "v", Seq("c", "s"), numBuckets,
+      bounds = Some((s0.getLong(0), s0.getLong(1))))
+    // prev-cumulative = inclusive − own; inner term ≤ maxV·n ≈ 10¹⁵,
+    // times c as DECIMAL keeps the product exact
+    val inner = (col("v") * (col("c_cum") - col("c")) -
+      (col("s_cum") - col("s"))).cast("decimal(16,0)")
+    val num = cum
+      .agg(sum(col("c").cast("decimal(10,0)") * inner).as("num"))
+      .collect()(0).getDecimal(0)
+    counts.unpersist()
+    df.sparkSession.range(1).select(lit(n).as("n"),
+      lit(total).as("total_cents"),
+      round(lit(num).cast("double") /
+        (lit(n.toDouble) * lit(total.toDouble)), 6).as("gini"))
+  }
+
+  /** [[ofColumn]] oracle: identical cents quantization, per-value
+    * counts, cumulative window, HUGEINT-exact numerator, and the same
+    * final double division.
+    */
+  def ofColumnSql(table: String, valueCol: String): String = {
+    val cents = s"CAST(CAST($valueCol AS DECIMAL(9,2)) * 100 AS BIGINT)"
+    s"""WITH counts AS (
+       |  SELECT $cents AS v, COUNT(*) AS c FROM $table GROUP BY 1),
+       |cum AS (
+       |  SELECT v, c, v * c AS s,
+       |         SUM(c) OVER (ORDER BY v ASC) AS c_cum,
+       |         SUM(v * c) OVER (ORDER BY v ASC) AS s_cum
+       |  FROM counts),
+       |tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(SUM(v * c) AS BIGINT) AS total_cents
+       |  FROM counts),
+       |num AS (
+       |  SELECT SUM(CAST(c AS HUGEINT) *
+       |             CAST(v * (c_cum - c) - (s_cum - s) AS HUGEINT)) AS num
+       |  FROM cum)
+       |SELECT t.n, t.total_cents,
+       |  round(CAST(m.num AS DOUBLE) /
+       |        (CAST(t.n AS DOUBLE) * CAST(t.total_cents AS DOUBLE)), 6) AS gini
+       |FROM tot t CROSS JOIN num m""".stripMargin
+  }
+}

@@ -1028,6 +1028,16 @@ object MiscQueries {
       Some(graft.operators.KsTest.ksTwoSampleSql(
         "orders", "o_totalprice", "o_orderdate < '1997-01-01'"))),
 
+    // Exact Gini coefficient of order revenue — the concentration
+    // diagnostic (token-budget-per-source / revenue-per-commodity shape).
+    // Pairwise |xi−xj| collapsed by sorted distinct value over PrefixSum
+    // cumulatives; integer/decimal-exact numerator (HUGEINT in the
+    // oracle), one display division.
+    Q("p18_gini_concentration",
+      (s, dir) => graft.operators.Gini.ofColumn(
+        Tables(s, dir).orders, "o_totalprice"),
+      Some(graft.operators.Gini.ofColumnSql("orders", "o_totalprice"))),
+
     // Snapshot diff / CDC delta (ingest.Upsert.snapshotDiff): two synthetic
     // versions of `orders` (drop-by-modulus membership churn + deterministic
     // price/status edits) compared into the added/removed/changed delta an

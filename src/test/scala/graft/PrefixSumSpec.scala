@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{KsTest, PrefixSum}
+import graft.operators.{Gini, KsTest, PrefixSum}
 
 class PrefixSumSpec extends SparkSpec {
 
@@ -45,6 +45,24 @@ class PrefixSumSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       "prefix sum must not gather to one partition")
+  }
+
+  test("Gini: 0 on uniform, hand value on a skewed set, matches naive O(n^2)") {
+    import spark.implicits._
+    val uniform = Seq.fill(50)(3.21).toDF("x")
+    assert(Gini.ofColumn(uniform, "x").collect()(0).getDouble(2) == 0.0)
+    // cents [1,1,1,97]: sum over ordered pairs |xi-xj| = 576,
+    // G = 576 / (2*4*100) = 0.72
+    val skewed = Seq(0.01, 0.01, 0.01, 0.97).toDF("x")
+    assert(Gini.ofColumn(skewed, "x").collect()(0).getDouble(2) == 0.72)
+    // random values vs the quadratic definition
+    val vals = Seq.tabulate(60)(i => ((i * 37) % 101 + 1) / 100.0)
+    val g = Gini.ofColumn(vals.toDF("x"), "x", numBuckets = 7)
+      .collect()(0).getDouble(2)
+    val cents = vals.map(v => math.round(v * 100))
+    val num = (for (a <- cents; b <- cents) yield math.abs(a - b)).sum
+    val expect = num.toDouble / (2.0 * cents.size * cents.sum)
+    assert(math.abs(g - expect) < 5e-7, s"$g vs $expect")
   }
 
   test("KS is 0 on identical slices and large on disjoint ones") {
