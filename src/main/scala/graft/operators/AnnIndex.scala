@@ -103,9 +103,17 @@ object AnnIndex {
     * the candidate vectors for the exact rerank (id-joined, small side
     * broadcast) — no training, no encoding, no corpus shuffle.
     */
+  /** `scanPred` (over `neighbor_id`) enables FILTERED vector search with
+    * PRE-filter semantics: the predicate restricts the codes scan before
+    * probing, so the top-k is exact over the qualifying subset (a
+    * post-filter of an unfiltered top-k silently loses recall when the
+    * filter is selective). The index itself is unchanged — metadata
+    * filters compose with the same persisted artifact.
+    */
   def queryIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nprobe: Int, rerank: Int,
-      dir: String, maxQueryRows: Long = 10000): DataFrame = {
+      dir: String, maxQueryRows: Long = 10000,
+      scanPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     Similarity.guardSmallSide(queries, "AnnIndex.queryIvfPq",
       "sharded query batches", maxQueryRows)
@@ -114,6 +122,7 @@ object AnnIndex {
     val m = books.size
     val dsub = books.head.head._2.length
     var codes = spark.read.parquet(s"$dir/codes")
+    scanPred.foreach { p => codes = codes.filter(p) }
     for (j <- books.indices)
       codes = codes.withColumn(s"_recon$j", Similarity.reconCol(books(j), s"code$j"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

@@ -835,7 +835,8 @@ object Similarity {
     */
   def ivfPqTopKSql(table: String, idCol: String, vecCol: String, dim: Int,
       k: Int, nlist: Int, itersCoarse: Int, nprobe: Int, m: Int, ksub: Int,
-      itersPq: Int, rerank: Int, queryPred: String): String = {
+      itersPq: Int, rerank: Int, queryPred: String,
+      scanPred: Option[String] = None): String = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val dsub = dim / m
     val (coarseCtes, _) = KMeans.assignCtes(table, idCol, vecCol, dim,
@@ -884,7 +885,8 @@ object Similarity {
        |         $qscore AS qscore
        |  FROM assigned c JOIN rc ON c.neighbor_id = rc.neighbor_id
        |  JOIN probes q ON c.neighbor_id <> q.query_id
-       |    AND c.list_id = q.probe_list),
+       |    AND c.list_id = q.probe_list
+       |  ${scanPred.map(p => s"WHERE $p").getOrElse("")}),
        |cands AS (
        |  SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -277,6 +277,32 @@ object EmbeddingQueries {
         Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
           Dim, K, "vec_id % 20 = 7 AND vec_id < 200")))),
 
+    // FILTERED vector search over the shared persisted index (e18's
+    // artifact, untouched): a metadata predicate restricts the codes scan
+    // BEFORE probing — pre-filter semantics, so the top-k is exact over
+    // the qualifying subset instead of the silent recall loss of
+    // post-filtering an unfiltered top-k. The oracle replays the full
+    // train+encode chain with the same predicate on the scored scan.
+    Q("e20_filtered_ann",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val root = annIndexRoot(dir)
+        annIndexBuilt.computeIfAbsent(root, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings, "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2, root)
+          java.lang.Boolean.TRUE
+        })
+        graft.operators.AnnIndex.queryIvfPq(
+          corpus = t.embeddings, queries = t.embeddings.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+          nprobe = 8, rerank = 20, dir = root,
+          scanPred = Some(col("neighbor_id") % 3 === 0))
+      },
+      Some(Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+        Dim, K, 16, 2, 8, 8, 16, 2, 20, QueryPredSql,
+        scanPred = Some("c.neighbor_id % 3 = 0")))),
+
     Q("e03_embedding_near_dups",
       (s, dir) => Similarity.cosineNearDupPairs(
         Tables(s, dir).embeddings, "vec_id", "embedding", Dim, NearDupThreshold),

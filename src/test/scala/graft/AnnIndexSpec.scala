@@ -99,6 +99,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(r4 >= 0.5, s"full-scan recall@3 too low on the fixture: $r4")
   }
 
+  test("filtered search: pre-filter is exact over the subset; post-filter loses rows") {
+    import org.apache.spark.sql.functions._
+    val c = corpus
+    val q = c.filter(col("vec_id") < 4)
+    val root = tmpRoot("annindex_filtered")
+    AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    val pred = col("neighbor_id") % 4 === 1 // selective: 1/4 of the corpus
+    val pre = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+      k = 5, nprobe = 4, rerank = 10, dir = root, scanPred = Some(pred))
+      .collect()
+    // every returned neighbor satisfies the predicate, every query gets k
+    assert(pre.forall(_.getLong(1) % 4 == 1))
+    assert(pre.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // post-filtering the UNfiltered top-k keeps only qualifying rows that
+    // happened to rank top-5 overall — strictly fewer than k when the
+    // filter is selective (the recall loss pre-filtering exists to avoid)
+    val post = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+      k = 5, nprobe = 4, rerank = 10, dir = root)
+      .filter(col("neighbor_id") % 4 === 1).collect()
+    assert(post.length < pre.length,
+      s"post-filter kept ${post.length} rows vs pre-filter ${pre.length}")
+  }
+
   test("the codes table stores m codes per row, never the vectors") {
     val root = tmpRoot("annindex_codes")
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,
