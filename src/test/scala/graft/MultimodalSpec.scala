@@ -275,6 +275,14 @@ class MultimodalSpec extends SparkSpec {
     val b1 = Multimodal.resampleWavPcm16(ds, 8000, batchSize = 1)
       .collect().map(r => r.name -> r.resampled.map(_.toSeq)).toMap
     assert(rows.map(_._1).forall(k => b1(k) == got(k).resampled.map(_.toSeq)))
+    // UPsampling doubles frames by duplication: out frame i reads src
+    // frame (i*8 DIV 16) = i/2
+    val up = Multimodal.resampleWavPcm16(ds, dstRate = 32000, batchSize = 4)
+      .collect().map(r => r.name -> r).toMap
+    assert(up("mono").out_frames == Some(16))
+    val expectUp = (0 until 16).flatMap(i =>
+      monoData.slice((i / 2) * 2, (i / 2) * 2 + 2))
+    assert(up("mono").resampled.get.toSeq == expectUp)
   }
 
   test("Mp4Headers walks boxes to mvhd and rejects malformed files") {
