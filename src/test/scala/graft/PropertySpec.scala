@@ -145,4 +145,42 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"doc $id: $got vs $expected")
     }
   }
+
+  test("PrefixSum equals the naive window on random keys/values/buckets") {
+    val keyGen = Gen.chooseNum(-100000L, 100000L)
+    for (trial <- 0 until 3) {
+      val keys = samples(keyGen, 300 + trial * 57).distinct
+      val rows = keys.map(k => (k, (k % 13) - 6, k % 7))
+      val df = rows.toDF("k", "a", "b").repartition(7)
+      val nb = Seq(1, 5, 300)(trial)
+      val got = graft.operators.PrefixSum
+        .runningSums(df, "k", Seq("a", "b"), numBuckets = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      var (ca, cb) = (0L, 0L)
+      val expect = rows.sortBy(_._1).map { case (k, a, b) =>
+        ca += a; cb += b; (k, ca, cb) }
+      assert(got == expect, s"trial $trial (buckets=$nb)")
+    }
+  }
+
+  test("DsirScoreConst is additive under document concatenation") {
+    // score(doc1 ++ doc2) == score(doc1) + score(doc2): the per-token sum
+    // has no cross-token state, so chunked and whole scoring agree — the
+    // property that makes sharded/streamed scoring safe
+    val word = Gen.oneOf("alpha", "beta", "gamma", "noise", "junk", "zz9")
+    val half = Gen.listOfN(9, word).map(_.mkString(" "))
+    val docs = samples(Gen.zip(half, half), 25).zipWithIndex
+      .map { case ((h1, h2), i) => (i.toLong, h1, h2) }
+    val df = docs.toDF("id", "h1", "h2")
+    val w = (0L until 32L).map(b => b ->
+      java.math.BigDecimal.valueOf((b * 137 % 997) - 450, 6)).toMap
+    val micro = new Array[Long](32)
+    w.foreach { case (k, v) => micro(k.toInt) = v.movePointRight(6).longValueExact() }
+    def score(c: org.apache.spark.sql.Column) =
+      graft.plans.DsirScoreConst(TextFns.tokens(c), micro, 32)
+    val rows = df.select(score(col("h1")) + score(col("h2")),
+      score(concat_ws(" ", col("h1"), col("h2")))).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }
