@@ -35,6 +35,16 @@ object Gini {
     require(!s0.isNullAt(0), "Gini needs a non-empty column")
     val (n, total) = (s0.getLong(2), s0.getLong(3))
     require(total > 0, s"Gini needs a positive total (got $total)")
+    // Loud overflow guard (the KsTest n1·n2 discipline): the inner term is
+    // bounded by maxAbs(v)·n, and DECIMAL(16,0) must hold it exactly — in
+    // non-ANSI mode an overflowing cast yields silent NULL which sum()
+    // drops, i.e. a silently WRONG gini. Fail fast instead; past this
+    // regime widen the cast (DECIMAL(38,0) trades per-row allocation for
+    // range — the p14 lesson) rather than trusting the docstring.
+    val maxAbs = math.max(math.abs(s0.getLong(0)), math.abs(s0.getLong(1)))
+    require(maxAbs.toDouble * n < 9e15,
+      s"Gini inner-term bound maxAbs(v)*n = $maxAbs*$n exceeds the exact " +
+        "DECIMAL(16,0) regime — widen the numerator decimals before scaling further")
     val cum = PrefixSum.runningSums(counts, "v", Seq("c", "s"), numBuckets,
       bounds = Some((s0.getLong(0), s0.getLong(1))))
     // prev-cumulative = inclusive − own; inner term ≤ maxV·n ≈ 10¹⁵,

@@ -111,7 +111,7 @@ object Multimodal {
     * ratios), scaled edge = (other · max) DIV this, floored to >= 1.
     * Unrecognized bytes (null dims) pass through with null targets —
     * the quarantine-not-crash discipline. Adds out_w / out_h / scaled;
-    * the pixel resampling itself is [[resizeStubBytes]]' batched stub.
+    * the pixel resampling itself is [[resizeBmp24Nearest]]'s batched path.
     */
   def resizeFit(df: DataFrame, binCol: String, maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0, s"bad fit box ${maxW}x$maxH")
@@ -155,17 +155,6 @@ object Multimodal {
     (ow, oh, scaled)
   }
 
-  /** The pixel-production half of the resize, batched like
-    * [[extractFeatures]]: (id, bytes, out_w, out_h) stream through
-    * mapPartitions in fixed batches; the per-batch "resampler" is a STUB
-    * (no imaging libs in this container) producing a deterministic
-    * hash-derived payload of the REAL output size out_w·out_h·3 bytes —
-    * schema, batch shape, and size accounting are the production
-    * plumbing a real decoder drops into — and for UNCOMPRESSED 24bpp BMP
-    * payloads the decode itself needs no codec: [[resizeBmp24Nearest]] is
-    * the fully-real pixel path (deterministic integer arithmetic end to
-    * end, oracle-checkable), batched through the same boundary.
-    */
   /** REAL pixel resample for uncompressed 24bpp BMP payloads: pure-JVM
     * header parse (BITMAPINFOHEADER or later, bottom-up or top-down rows,
     * 4-byte row padding honored) + aspect-fit nearest-neighbor resample

@@ -52,8 +52,26 @@ object PrefixSum {
     val aggCols = valueCols.map(v => sum(col(v)).as(v))
     val totals = bucketed.groupBy(col("_psb"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .collect().toVector.map(r => r.getLong(0) ->
-        valueCols.indices.map(i => r.getLong(i + 1))).sortBy(_._1)
+      .collect().toVector.map { r =>
+        // a null bucket id means null keys reached the primitive: the rows
+        // would drop out of the inner offset join while Row.getLong's 0L
+        // unboxing duplicated bucket 0 — corrupt output, so fail loudly
+        // (running sums over null keys have no defined position anyway)
+        require(!r.isNullAt(0),
+          s"runningSums: keyCol `$keyCol` contains NULLs — filter or " +
+            "pre-aggregate them out; a null key has no prefix-order position")
+        r.getLong(0) -> valueCols.indices.map(i => r.getLong(i + 1))
+      }.sortBy(_._1)
+    // caller-supplied bounds are a precondition, not a hint: a key below lo
+    // truncates into the wrong (or negative) bucket and the offset fold
+    // silently misorders. The collected ids are ≤ numBuckets rows, so the
+    // check is free.
+    totals.headOption.foreach { _ =>
+      val (bMin, bMax) = (totals.head._1, totals.last._1)
+      require(bMin >= 0 && bMax < numBuckets,
+        s"runningSums: bucket ids [$bMin, $bMax] escape [0, $numBuckets) — " +
+          s"the supplied bounds ($lo, $hi) do not cover keyCol `$keyCol`")
+    }
     val offsets = totals.scanLeft((-1L, valueCols.map(_ => 0L).toIndexedSeq)) {
       case ((_, acc), (b, sums)) => (b, acc.indices.map(i => acc(i) + sums(i)))
     }.sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq

@@ -65,6 +65,37 @@ class PrefixSumSpec extends SparkSpec {
     assert(math.abs(g - expect) < 5e-7, s"$g vs $expect")
   }
 
+  test("runningSums fails loudly on null keys and non-covering bounds") {
+    import spark.implicits._
+    // null keys: the null bucket would silently duplicate bucket 0 rows
+    // through the offset join — must be a loud precondition failure
+    val withNull = Seq[(Option[Long], Long)](
+      (Some(1L), 1L), (None, 2L), (Some(3L), 3L)).toDF("k", "a")
+    val e1 = intercept[IllegalArgumentException] {
+      PrefixSum.runningSums(withNull, "k", Seq("a")).collect()
+    }
+    assert(e1.getMessage.contains("NULL"))
+    // bounds that do not cover the key range: keys below lo truncate into
+    // wrong buckets — must fail, not misorder
+    val df = Seq((1L, 1L), (50L, 2L), (900L, 3L)).toDF("k", "a")
+    val e2 = intercept[IllegalArgumentException] {
+      PrefixSum.runningSums(df, "k", Seq("a"), numBuckets = 4,
+        bounds = Some((100L, 200L))).collect()
+    }
+    assert(e2.getMessage.contains("bounds"))
+  }
+
+  test("Gini fails loudly past the exact DECIMAL(16,0) inner-term regime") {
+    // inputs quantize to DECIMAL(9,2) so maxAbs ≤ ~1e9 cents; the guard
+    // regime maxAbs·n ≥ 9e15 therefore needs ~9e6 rows — constant value,
+    // so the per-value counts relation is ONE row and the spec stays cheap
+    val vals = spark.range(9100000L).select(lit(9999999.99).as("x"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Gini.ofColumn(vals, "x").collect()
+    }
+    assert(e.getMessage.contains("DECIMAL(16,0)"))
+  }
+
   test("KS is 0 on identical slices and large on disjoint ones") {
     import spark.implicits._
     val vals = Seq.tabulate(200)(i => ((i % 40) + 0.25))
