@@ -1091,4 +1091,74 @@ object Dedup {
        |FROM sh a JOIN sh b ON a.id < b.id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $radius""".stripMargin
   }
+
+  /** [[simhashHammingPairs]]' pigeonhole band join GENERALIZED to any
+    * precomputed 64-bit signature carried as two non-negative 32-bit
+    * halves (`hiCol` = bits 0..31 MSB-first, `loCol` = bits 32..63 — the
+    * `plans.DHashBmp` layout, which keeps every shift and XOR inside
+    * BIGINT range in both engines with no sign-bit cases). This is the
+    * image/audio-fingerprint near-dup entry point: the signature producer
+    * (dHash, audio energy fingerprint, a 64-bit simhash) is decoupled
+    * from the blocking, which is pure Hamming-space machinery.
+    *
+    * Exactness: identical pigeonhole argument — a pair within Hamming
+    * radius r < bands differs in at most r of the `bands` disjoint chunks,
+    * so at least one chunk matches exactly and the equi-join on
+    * (band, chunk value) finds every such pair; one `bit_count(xor)` per
+    * half verifies. Requires 64 % bands == 0 and a chunk width dividing 32
+    * so no chunk straddles the hi/lo split.
+    *
+    * Scale: explode is `bands` rows per item; bucket population is
+    * corpus/2^(64/bands) per band value — with 16-bit chunks a 10^9-image
+    * corpus averages ~15k per bucket, a linear bucketed join. Null
+    * signatures (quarantined undecodables) are dropped up front.
+    */
+  def hammingPairs64(sig: DataFrame, idCol: String, hiCol: String,
+      loCol: String, bands: Int = 4, radius: Int = 3): DataFrame = {
+    require(radius < bands,
+      s"pigeonhole exactness needs radius < bands (got radius=$radius, bands=$bands)")
+    require(64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands=$bands must cut 64 bits into chunks that divide 32 (no hi/lo straddle)")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val perHalf = 32 / bandBits
+    val s = sig.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // chunk j of the 64-bit signature, MSB-first within each half
+    val bandVals = (0 until bands).map { j =>
+      val half = if (j < perHalf) col("hi") else col("lo")
+      val shift = 32 - bandBits * ((j % perHalf) + 1)
+      shiftright(half, shift).bitwiseAND(lit(mask))
+    }
+    val banded = s.select(col("id"), col("hi"), col("lo"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    val cands = banded.select(col("band"), col("bv"), col("id").as("id_a"),
+        col("hi").as("hi_a"), col("lo").as("lo_a"))
+      .join(banded.select(col("band"), col("bv"), col("id").as("id_b"),
+        col("hi").as("hi_b"), col("lo").as("lo_b")), Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hi_a"), col("lo_a"),
+        col("hi_b"), col("lo_b"))
+      .distinct()
+    val out = cands
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .where(col("hamming") <= radius)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    materializeAndRelease(out, s)
+  }
+
+  /** [[hammingPairs64]] oracle fragment: brute-force all-pairs scan over a
+    * relation `sigRel(id, hi, lo)` — equal to the banded path whenever
+    * radius < bands (pigeonhole).
+    */
+  def hammingPairs64Sql(sigRel: String, bands: Int = 4, radius: Int = 3): String = {
+    require(radius < bands && 64 % bands == 0 && 32 % (64 / bands) == 0)
+    s"""SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       |FROM ($sigRel) a JOIN ($sigRel) b ON a.id < b.id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $radius""".stripMargin
+  }
 }

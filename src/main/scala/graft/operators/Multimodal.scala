@@ -197,7 +197,7 @@ object Multimodal {
     * 24bpp BMP; None otherwise. Bounds mirror MediaSql.bmpResizeCtes
     * bit for bit — change them in lockstep.
     */
-  private[operators] def decodeBmp24(b: Array[Byte]): Option[(Int, Int, Boolean, Int)] = {
+  private[graft] def decodeBmp24(b: Array[Byte]): Option[(Int, Int, Boolean, Int)] = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)

@@ -292,6 +292,32 @@ object DedupQueries {
     // both the engine and the DuckDB replay stay tractable at scale.
     // Per-round cost is frontier x degree over the once-materialized edge
     // relation, never the whole component.
+    // IMAGE perceptual near-dup pairs: mm14's 64-bit dHash (real decoded
+    // pixels, codegen Expression) fed through the pigeonhole Hamming-band
+    // join — d23's exactness guarantee (radius 3 < 4 bands ⇒ the banded
+    // equi-join finds every pair the oracle's brute-force all-pairs scan
+    // finds) now over IMAGES: re-encodes, cross-resolution copies,
+    // brightness shifts and logo overlays collapse with no embedding
+    // model. Undecodable payloads quarantine to null hashes and never
+    // enter the pair relation. 100 TB shape: linear banded join, 16-bit
+    // chunks ⇒ ~corpus/65536 per bucket; the quadratic scan exists only
+    // oracle-side over the 9-row fixture set.
+    Q("d25_image_dhash_pairs",
+      (s, _) => {
+        val imgs = s.read.parquet(MultimodalQueries.dhashFixturePath)
+        val sig = imgs
+          .select(col("name"), graft.plans.DHashBmp(col("payload")).as("dh"))
+          .select(col("name"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+        Dedup.hammingPairs64(sig, "name", "hi", "lo", bands = 4, radius = 3)
+      },
+      Some(s"""WITH imgs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('${MultimodalQueries.dhashFixturePath}')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${graft.queries.MediaSql.bmpDHashCtes("src")}
+             |${Dedup.hammingPairs64Sql(
+                 "SELECT key AS id, hi, lo FROM bmpdhash", bands = 4, radius = 3)}""".stripMargin)),
+
     Q("d24_contamination_radius",
       (s, dir) => {
         val t = Tables(s, dir)

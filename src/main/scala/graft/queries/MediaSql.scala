@@ -447,8 +447,12 @@ object MediaSql {
     * `bmpresized(key, out_w, out_h, out_len, outhex)` — invalid keys have
     * no row (callers LEFT JOIN).
     */
-  def bmpResizeCtes(src: String, maxW: Int, maxH: Int): String = {
-    val (ow, oh, _) = graft.operators.Multimodal.resizeFitSql("w", "hh", maxW, maxH)
+  /** The `Multimodal.decodeBmp24` gate over `src(key, h, n)` as CTEs ending
+    * in `bmpok(key, h, w, hh, topdown, off, stride)` — one row per complete
+    * uncompressed 24bpp BMP, bounds in lockstep with the JVM decode (change
+    * them together). Shared by the resample and dHash replays.
+    */
+  def bmp24GateCtes(src: String): String =
     s"""bmphdr AS (
        |  SELECT key, h, n, ${le32s("h", 18)} AS w, ${le32s("h", 22)} AS hraw,
        |    ${le32s("h", 10)} AS off, ${le16("h", 26)} AS planes,
@@ -461,7 +465,11 @@ object MediaSql {
        |  FROM bmphdr
        |  WHERE w > 0 AND hraw <> 0 AND w <= 65535 AND abs(hraw) <= 65535
        |    AND planes = 1 AND bits = 24 AND comp = 0
-       |    AND off >= 54 AND off + ((w*3 + 3) // 4) * 4 * abs(hraw) <= n),
+       |    AND off >= 54 AND off + ((w*3 + 3) // 4) * 4 * abs(hraw) <= n)""".stripMargin
+
+  def bmpResizeCtes(src: String, maxW: Int, maxH: Int): String = {
+    val (ow, oh, _) = graft.operators.Multimodal.resizeFitSql("w", "hh", maxW, maxH)
+    s"""${bmp24GateCtes(src)},
        |bmpgeom AS (
        |  SELECT key, h, w, hh, topdown, off, stride,
        |    CAST($ow AS INTEGER) AS out_w, CAST($oh AS INTEGER) AS out_h
@@ -482,6 +490,43 @@ object MediaSql {
        |    CAST(g.out_w * g.out_h * 3 AS BIGINT) AS out_len, x.outhex
        |  FROM bmpgeom g JOIN bmphex x ON x.key = g.key)""".stripMargin
   }
+
+  /** The 64-bit dHash of `graft.plans.DHashKernel` over `src(key, h, n)`
+    * replayed as hex arithmetic: the shared BMP24 decode gate, then the
+    * 9x8 grid's 72 luma samples via unnest(range(72)) — each grid point
+    * (gx, gy) reading source pixel (gx*w DIV 9, gy*h DIV 8) straight from
+    * the hex string (bottom-up/top-down rows + stride, BGR byte order,
+    * integer luma 299R + 587G + 114B) — and the 64 horizontal gradient
+    * bits folded MSB-first into the two 32-bit halves with variable
+    * shifts. Emits CTEs ending in `bmpdhash(key, hi, lo)` — undecodable
+    * keys have no row (callers LEFT JOIN or inner-join as the quarantine).
+    */
+  def bmpDHashCtes(src: String): String =
+    s"""${bmp24GateCtes(src)},
+       |dgrid AS (
+       |  SELECT key, gx, gy,
+       |    299 * ${byteAt("h", "base+2")} + 587 * ${byteAt("h", "base+1")}
+       |      + 114 * ${byteAt("h", "base")} AS luma
+       |  FROM (
+       |    SELECT key, h, gx, gy,
+       |      off + (CASE WHEN topdown THEN (gy * hh) // 8
+       |                  ELSE hh - 1 - ((gy * hh) // 8) END) * stride
+       |          + ((gx * w) // 9) * 3 AS base
+       |    FROM (SELECT *, g % 9 AS gx, g // 9 AS gy
+       |          FROM bmpok, unnest(range(72)) AS t(g)))),
+       |dbits AS (
+       |  SELECT l.key, l.gy * 8 + l.gx AS idx,
+       |    CASE WHEN l.luma > r.luma THEN 1 ELSE 0 END AS bit
+       |  FROM dgrid l JOIN dgrid r ON r.key = l.key AND r.gy = l.gy
+       |    AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |bmpdhash AS (
+       |  SELECT key,
+       |    CAST(SUM(CASE WHEN idx < 32
+       |      THEN CAST(bit AS BIGINT) << (31 - idx) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(SUM(CASE WHEN idx >= 32
+       |      THEN CAST(bit AS BIGINT) << (63 - idx) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM dbits GROUP BY key)""".stripMargin
 
   /** The EXIF orientation walk of `graft.plans.ExifHeaders` over
     * `src(key, h, n)`: the JPEG marker scan latching the first APP1 whose

@@ -43,6 +43,7 @@ object MultimodalQueries {
 
   lazy val imageFixturePath: String = fixturePath("images.parquet")
   lazy val bmpFixturePath: String = fixturePath("images_bmp24.parquet")
+  lazy val dhashFixturePath: String = fixturePath("images_dhash.parquet")
   lazy val webpFixturePath: String = fixturePath("images_webp.parquet")
   lazy val tiffFixturePath: String = fixturePath("images_tiff.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
@@ -164,6 +165,30 @@ object MultimodalQueries {
              |SELECT i.name, r.out_w, r.out_h, r.out_len,
              |  md5(r.outhex) AS resized_hash
              |FROM imgs i LEFT JOIN bmpresized r ON r.key = i.name""".stripMargin)),
+
+    // 64-bit perceptual dHash over REAL decoded pixels (plans.DHashBmp —
+    // codegen Expression, no stub): 9x8 nearest-sampled integer-luma grid,
+    // horizontal gradient signs, carried as two 32-bit halves. The fixture
+    // set plants every invariance class (top-down re-encode, 2x nearest
+    // upscale, brightness shift — all provably/measurably hash-equal — and
+    // a one-grid-cell logo overlay at Hamming 2); negatives (32bpp,
+    // noise) must be null in BOTH engines. The oracle replays every grid
+    // sample's luma and the 64-bit fold in hex SQL. d25 feeds this hash
+    // to the banded Hamming near-dup join — image-level dedup.
+    Q("mm14_image_dhash",
+      (s, _) => {
+        val imgs = s.read.parquet(dhashFixturePath)
+        imgs.select(col("name"), graft.plans.DHashBmp(col("payload")).as("dh"))
+          .select(col("name"),
+            col("dh.hi").as("dhash_hi"), col("dh.lo").as("dhash_lo"))
+      },
+      Some(s"""WITH imgs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$dhashFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM imgs),
+             |${MediaSql.bmpDHashCtes("src")}
+             |SELECT i.name, d.hi AS dhash_hi, d.lo AS dhash_lo
+             |FROM imgs i LEFT JOIN bmpdhash d ON d.key = i.name""".stripMargin)),
 
     // REAL audio sample-rate conversion, hash-checked — the audio twin of
     // mm12: nearest-frame PCM16 resample to 6 kHz over the committed WAV
