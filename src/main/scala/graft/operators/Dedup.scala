@@ -131,7 +131,7 @@ object Dedup {
     * checkpoint's own blocks are context-cleaned once the returned frame
     * is unreferenced.
     */
-  private def materializeAndRelease(result: DataFrame,
+  private[operators] def materializeAndRelease(result: DataFrame,
       cached: DataFrame*): DataFrame = {
     // The eager checkpoint makes the returned frame audit as an opaque
     // block scan, so PlanAudit sets this conf to see the real physical

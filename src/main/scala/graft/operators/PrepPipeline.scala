@@ -60,6 +60,97 @@ object PrepPipeline {
       .groupBy(col("stage")).agg(count(lit(1)).as("n"))
   }
 
+  /** The MULTIMODAL twin of [[funnel]]: the image-corpus prep chain
+    * composed end to end over a binary asset table — full-decode
+    * quarantine (the dHash's complete-BMP24 gate), aspect-fit resize
+    * geometry, PERCEPTUAL dedup (connected components over
+    * `Dedup.hammingPairs64`'s banded dHash pairs, keep the lexicographic-
+    * min asset of each component), deterministic split — every asset
+    * getting ONE terminal label in a single DAG:
+    *
+    *   10_quarantined_undecodable / 20_dropped_dup / 30_kept_<split>
+    *
+    * Output is the per-asset audit trail (name, stage, out_w, out_h);
+    * stage counts are one groupBy away — never a count() per stage (the
+    * [[funnel]] rationale: counting per stage recomputes the dedup chain
+    * once per stage at 100 TB).
+    *
+    * Scale shape: hash+geometry are one narrow codegen pass over the
+    * payload scan; the only shuffles are the banded pair join (linear,
+    * corpus/2^16 per bucket) and the O(log d) component rounds on the
+    * PAIRED assets only (near-dup components are shallow); split is a
+    * per-row hash. The quadratic scan exists only oracle-side.
+    */
+  def mediaFunnel(images: DataFrame, nameCol: String, binCol: String,
+      maxW: Int, maxH: Int, bands: Int, radius: Int,
+      trainFrac: Double, validFrac: Double): DataFrame = {
+    val geom = Multimodal.resizeFit(
+        images.select(col(nameCol).as("name"), col(binCol).as("payload")),
+        "payload", maxW, maxH)
+      .withColumn("dh", graft.plans.DHashBmp(col("payload")))
+      .select(col("name"), col("dh.hi").as("hi"), col("dh.lo").as("lo"),
+        col("out_w"), col("out_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.hammingPairs64(geom, "name", "hi", "lo", bands, radius)
+    val clusters = Dedup.connectedComponents(pairs)
+    val labeled = Sampling.splitBy(geom, col("name"), trainFrac, validFrac)
+      .join(clusters.withColumnRenamed("id", "name"), Seq("name"), "left")
+      .select(col("name"),
+        when(col("hi").isNull, lit("10_quarantined_undecodable"))
+          .when(col("cluster").isNotNull && col("cluster") =!= col("name"),
+            lit("20_dropped_dup"))
+          .otherwise(concat(lit("30_kept_"), col("split"))).as("stage"),
+        // a quarantined asset may still carry header-parsed geometry
+        // (e.g. a 32bpp BMP): null it — the funnel's contract is that
+        // downstream stages never touch quarantined rows
+        when(col("hi").isNull, lit(null)).otherwise(col("out_w")).as("out_w"),
+        when(col("hi").isNull, lit(null)).otherwise(col("out_h")).as("out_h"))
+    Dedup.materializeAndRelease(labeled, geom)
+  }
+
+  /** DuckDB mirror of [[mediaFunnel]] over a parquet file of
+    * (name, payload): the dHash replay, brute-force pair scan (equal to
+    * the banded join for radius < bands), recursive-closure components,
+    * and the same geometry/split fragments.
+    */
+  def mediaFunnelSql(parquetPath: String, maxW: Int, maxH: Int,
+      bands: Int, radius: Int, trainFrac: Double, validFrac: Double): String = {
+    val (ow, oh, _) = Multimodal.resizeFitSql("w", "hh", maxW, maxH)
+    s"""WITH RECURSIVE imgs AS (
+       |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+       |  FROM read_parquet('$parquetPath')),
+       |src AS (SELECT name AS key, h, n FROM imgs),
+       |${graft.queries.MediaSql.bmpDHashCtes("src")},
+       |sig AS (SELECT key AS id, hi, lo FROM bmpdhash),
+       |pairs AS (
+       |${Dedup.hammingPairs64Sql("SELECT id, hi, lo FROM sig", bands, radius)}
+       |),
+       |edges AS (
+       |  SELECT id_a AS src2, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM sig
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src2 = r.id),
+       |clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+       |geom AS (
+       |  SELECT key, CAST($ow AS INTEGER) AS out_w, CAST($oh AS INTEGER) AS out_h
+       |  FROM bmpok)
+       |SELECT i.name,
+       |  CASE WHEN d.key IS NULL THEN '10_quarantined_undecodable'
+       |       WHEN c.cluster IS NOT NULL AND c.cluster <> i.name
+       |         THEN '20_dropped_dup'
+       |       ELSE '30_kept_' ||
+       |         ${Sampling.splitCaseSql("i.name", trainFrac, validFrac)}
+       |  END AS stage,
+       |  CASE WHEN d.key IS NULL THEN NULL ELSE g.out_w END AS out_w,
+       |  CASE WHEN d.key IS NULL THEN NULL ELSE g.out_h END AS out_h
+       |FROM imgs i
+       |LEFT JOIN bmpdhash d ON d.key = i.name
+       |LEFT JOIN clusters c ON c.id = i.name
+       |LEFT JOIN geom g ON g.key = i.name""".stripMargin
+  }
+
   /** DuckDB mirror of [[funnel]], composed from the stage builders'
     * fragments over the same CTE chain.
     */

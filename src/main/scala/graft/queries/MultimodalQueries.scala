@@ -190,6 +190,22 @@ object MultimodalQueries {
              |SELECT i.name, d.hi AS dhash_hi, d.lo AS dhash_lo
              |FROM imgs i LEFT JOIN bmpdhash d ON d.key = i.name""".stripMargin)),
 
+    // The multimodal PREP FUNNEL (t24's image twin): full-decode
+    // quarantine → aspect-fit geometry → perceptual dedup (components
+    // over the banded dHash pairs, keep the min-name representative) →
+    // deterministic split, ONE terminal label per asset in a single DAG.
+    // Per-asset audit rows (name, stage, out_w, out_h) hash-checked; the
+    // oracle replays decode, pairs (brute-force ≡ banded, pigeonhole),
+    // recursive-closure components, geometry and split.
+    Q("mm15_media_prep_funnel",
+      (s, _) => graft.operators.PrepPipeline.mediaFunnel(
+        s.read.parquet(dhashFixturePath), "name", "payload",
+        maxW = 64, maxH = 48, bands = 4, radius = 3,
+        trainFrac = 0.6, validFrac = 0.2),
+      Some(graft.operators.PrepPipeline.mediaFunnelSql(
+        dhashFixturePath, maxW = 64, maxH = 48, bands = 4, radius = 3,
+        trainFrac = 0.6, validFrac = 0.2))),
+
     // REAL audio sample-rate conversion, hash-checked — the audio twin of
     // mm12: nearest-frame PCM16 resample to 6 kHz over the committed WAV
     // fixtures (stereo 44.1k, mono 16k, a LIST-before-fmt chunk layout),

@@ -76,6 +76,24 @@ class DHashSpec extends SparkSpec {
     for ((n, b) <- fx) assert(rows(n) == dhash(b), n)
   }
 
+  test("mediaFunnel: one terminal label per asset, dups collapse to min name") {
+    import spark.implicits._
+    val df = fx.toSeq.map { case (n, b) => (n, b) }.toDF("name", "payload")
+    val rows = graft.operators.PrepPipeline.mediaFunnel(df, "name", "payload",
+        maxW = 64, maxH = 48, bands = 4, radius = 3,
+        trainFrac = 0.6, validFrac = 0.2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == fx.size, "exactly one row per asset")
+    // undecodables quarantine
+    assert(rows("dh_bmp32") == "10_quarantined_undecodable")
+    assert(rows("dh_not_bmp") == "10_quarantined_undecodable")
+    // each perceptual component keeps only its lexicographic-min member
+    for (dup <- Seq("scene_a_reenc", "scene_a_up2x", "scene_a_bright", "scene_b_logo"))
+      assert(rows(dup) == "20_dropped_dup", dup)
+    for (kept <- Seq("scene_a", "scene_b", "scene_c"))
+      assert(rows(kept).startsWith("30_kept_"), s"$kept -> ${rows(kept)}")
+  }
+
   test("pigeonhole recall: random radius-3 corruptions are always found") {
     // adversarial check of the band math (hi/lo split, MSB-first chunks):
     // flip <=3 random bits of a signature; the banded join must find the
