@@ -195,6 +195,137 @@ object Dsir {
        |LIMIT $topK""".stripMargin
   }
 
+  /** Trained RAW bucket distribution — the drift monitor's reference
+    * model: per-bucket corpus token counts (≤ `buckets` rows collected,
+    * the bounded-centroids contract) plus the total. Train once next to
+    * [[trainWeights]]; ship both with the serving path.
+    */
+  def trainDist(docs: DataFrame, textCol: String,
+      buckets: Int = 512): (Map[Long, Long], Long) = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val rows = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .select(pmod(TextFns.md5Hash32(col("term")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    (rows.toMap, rows.map(_._2).sum)
+  }
+
+  /** DSIR WEIGHT-DRIFT MONITOR (t35's retrain trigger — the e19 analog
+    * for the trained buckets): Pearson chi-square of an incoming batch's
+    * hashed-unigram bucket distribution against the trained add-1-smoothed
+    * raw model. When the firehose's feature distribution shifts, the
+    * trained log-ratio weights are scoring a corpus that no longer exists
+    * — `drifted = true` says retrain before trusting [[serveScores]].
+    *
+    * Engine-exact cell arithmetic, mirrored in the oracle: with
+    * R_b = rc_b + 1, D = rtot + buckets (so Σ R_b/D = 1 over ALL buckets,
+    * empty cells included), n = batch tokens,
+    *
+    *   diff_b = obs_b·D − n·R_b            (exact BIGINT; loudly guarded)
+    *   term_b = round(diff_b² / (D·n·R_b), 6)  as exact DECIMAL(28,6)
+    *   chi2   = Σ_b term_b                  (decimal sum — associative)
+    *
+    * which is algebraically (obs − E)²/E with E = n·R/D, scaled into
+    * all-integer inputs so the one double division per cell is the same
+    * computation in both engines. Under H0 chi2 ≈ df = buckets−1 for a
+    * token-multinomial sample; DOC-sampled batches overdisperse (tokens
+    * cluster within docs), so thresholds are set against a measured
+    * in-distribution baseline, not the χ² table.
+    *
+    * Scale: ONE map-side-combined aggregation of the batch to ≤ buckets
+    * rows, a broadcast join against the `buckets`-row trained cells, and
+    * a 1-row scalar pull for n — no data-sized shuffle, stream-safe in
+    * foreachBatch (score the micro-batch frame directly).
+    */
+  def driftStat(batch: DataFrame, textCol: String, trained: Map[Long, Long],
+      trainTotal: Long, buckets: Int, threshold: Double,
+      label: String): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val d = trainTotal + buckets
+    val obs = batch
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .select(pmod(TextFns.md5Hash32(col("term")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Option(obs.agg(sum(col("obs"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(n > 0, "drift monitor needs a non-empty batch (0 tokens)")
+    // the KsTest/Gini overflow discipline: diff must stay exact in BIGINT
+    require(n.toDouble * d < 9e18,
+      s"driftStat n*D = $n*$d exceeds exact BIGINT arithmetic — " +
+        "shrink the monitored batch (it is a sample, not the corpus)")
+    val spark = batch.sparkSession
+    // all `buckets` cells with their smoothed trained counts — a plan
+    // constant (the weight-map contract), so empty cells are present
+    val cells = spark.createDataFrame(
+      java.util.Arrays.asList((0L until buckets.toLong).map { b =>
+        org.apache.spark.sql.Row(b, trained.getOrElse(b, 0L) + 1L)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val diff = coalesce(col("obs"), lit(0L)) * lit(d) - lit(n) * col("r")
+    val term = round(
+      (diff.cast("double") * diff.cast("double")) /
+        (lit(d.toDouble) * lit(n.toDouble) * col("r").cast("double")), 6)
+      .cast("decimal(28,6)")
+    val out = cells.join(broadcast(obs), Seq("bucket"), "left")
+      .agg(sum(term).as("chi2d"))
+      .select(lit(label).as("batch"), lit(n).as("n_terms"),
+        col("chi2d").cast("double").as("chi2"),
+        (col("chi2d").cast("double") > lit(threshold)).as("drifted"))
+    Dedup.materializeAndRelease(out, obs)
+  }
+
+  /** [[driftStat]] oracle: the same cell arithmetic relationally —
+    * trained counts over `corpusRel`, observed counts over `batchRel`
+    * (both exposing `textCol`), all-bucket cells via range, one double
+    * division per cell rounded to the same 6dp decimal.
+    */
+  def driftStatSql(batchRel: String, corpusRel: String, textCol: String,
+      buckets: Int, threshold: Double, label: String): String =
+    s"""SELECT '$label' AS batch, s.n_terms, s.chi2,
+       |  s.chi2 > $threshold AS drifted
+       |FROM (
+       |  WITH ctoks AS (
+       |    SELECT unnest(${TextFns.tokensSql(textCol)}) AS term
+       |    FROM ($corpusRel)),
+       |  train AS (
+       |    SELECT (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+       |           COUNT(*) AS rc
+       |    FROM ctoks GROUP BY 1),
+       |  tot AS (
+       |    SELECT CAST(COALESCE(SUM(rc), 0) AS BIGINT) + $buckets AS d
+       |    FROM train),
+       |  cells AS (
+       |    SELECT b.bucket, CAST(COALESCE(t.rc, 0) + 1 AS BIGINT) AS r
+       |    FROM (SELECT unnest(range($buckets)) AS bucket) b
+       |    LEFT JOIN train t ON t.bucket = b.bucket),
+       |  btoks AS (
+       |    SELECT unnest(${TextFns.tokensSql(textCol)}) AS term
+       |    FROM ($batchRel)),
+       |  obs AS (
+       |    SELECT (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+       |           COUNT(*) AS obs
+       |    FROM btoks GROUP BY 1),
+       |  nn AS (SELECT CAST(COALESCE(SUM(obs), 0) AS BIGINT) AS n FROM obs),
+       |  terms AS (
+       |    SELECT CAST(round(
+       |        CAST(COALESCE(o.obs, 0) * t.d - n.n * c.r AS DOUBLE) *
+       |        CAST(COALESCE(o.obs, 0) * t.d - n.n * c.r AS DOUBLE) /
+       |        (CAST(t.d AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(c.r AS DOUBLE)),
+       |        6) AS DECIMAL(28,6)) AS term
+       |    FROM cells c
+       |    LEFT JOIN obs o ON o.bucket = c.bucket
+       |    CROSS JOIN tot t CROSS JOIN nn n)
+       |  SELECT (SELECT n FROM nn) AS n_terms,
+       |         CAST(SUM(term) AS DOUBLE) AS chi2
+       |  FROM terms
+       |) s""".stripMargin
+
   /** Shared oracle CTE chain ending in `scored(doc_id, source, sw)`: the
     * full relational replay of train + score (counts, smoothing, 6dp logs,
     * exact decimal dot product). The engine's driver-side training and

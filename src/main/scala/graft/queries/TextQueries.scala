@@ -17,6 +17,13 @@ object TextQueries {
     (0 to 3).map(i => s"src$i" -> 1000).toMap ++
       (4 to 19).map(i => s"src$i" -> 375).toMap
 
+  /** t37's retrain-trigger threshold: ~10x the measured in-distribution
+    * doc-sampled baseline at sf0.01..sf1 and far below the case-shift
+    * statistic — see DsirSpec's planted-shift coverage. (Declared above
+    * `all`: the oracle string interpolates it EAGERLY at object init.)
+    */
+  private val DriftThreshold: Double = 20000.0
+
   val all: Seq[Q] = Seq(
     // Token statistics per source (whitespace + BPE-ish regex counts).
     Q("t01_token_stats",
@@ -638,5 +645,39 @@ object TextQueries {
       Some(graft.operators.Dsir.gumbelResampleSql(
         "documents", "doc_id", "text", "source",
         targetSource = "src0", buckets = 512, topK = 100))),
+
+    // DSIR weight-DRIFT monitor (t35's retrain trigger — the e19 analog
+    // for the trained buckets): exact-decimal chi-square of an incoming
+    // batch's hashed-unigram bucket distribution against the trained
+    // add-1-smoothed raw model. Two monitored batches in one result: an
+    // in-distribution doc slice (must stay quiet) and the same slice
+    // case-shifted (token identities move buckets — the new-domain
+    // signature; must fire). Threshold sits an order of magnitude above
+    // the measured doc-sampled in-distribution baseline — doc sampling
+    // overdisperses vs the χ²(511) table, so the baseline is measured,
+    // not looked up.
+    Q("t37_dsir_drift_monitor",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val (dist, tot) = graft.operators.Dsir.trainDist(docs, "text", 512)
+        val batch = docs.filter(col("doc_id") % 7 === 3)
+        val shifted = batch.select(upper(col("text")).as("text"))
+        graft.operators.Dsir
+          .driftStat(batch, "text", dist, tot, 512, DriftThreshold, "in_dist")
+          .unionAll(graft.operators.Dsir.driftStat(
+            shifted, "text", dist, tot, 512, DriftThreshold, "shifted_upper"))
+      },
+      Some {
+        val corpus = "SELECT text FROM documents"
+        val batch = "SELECT text FROM documents WHERE doc_id % 7 = 3"
+        val shifted =
+          "SELECT upper(text) AS text FROM documents WHERE doc_id % 7 = 3"
+        graft.operators.Dsir.driftStatSql(batch, corpus, "text", 512,
+          DriftThreshold, "in_dist") +
+          "\nUNION ALL\n" +
+          graft.operators.Dsir.driftStatSql(shifted, corpus, "text", 512,
+            DriftThreshold, "shifted_upper")
+      }),
   )
+
 }

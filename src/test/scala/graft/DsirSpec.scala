@@ -116,4 +116,41 @@ class DsirSpec extends SparkSpec {
     // sanity — each emitted row carries its unperturbed score too
     assert(g1.forall(_.length == 4))
   }
+
+  test("drift monitor fires on a shifted target domain, stays quiet in-distribution") {
+    import spark.implicits._
+    val docs = corpus()
+    val (dist, tot) = Dsir.trainDist(docs, "text", buckets = 64)
+    assert(tot > 0 && dist.values.sum == tot)
+    // measure both statistics first (threshold out of reach), then pick
+    // the trigger at the midpoint — on a toy corpus the absolute values
+    // are small, the SEPARATION is the contract
+    val inBatch = docs.filter(org.apache.spark.sql.functions.col("doc_id") <= 4)
+    val quietChi2 = Dsir.driftStat(inBatch, "text", dist, tot, 64,
+      threshold = Double.MaxValue, label = "in").collect()(0).getDouble(2)
+    // shifted domain: a vocabulary the trained model has never seen —
+    // every token lands in an unseen (R=1) bucket
+    val shifted = Seq.tabulate(6)(i =>
+      s"zz${i}q wobble$i frobnicate$i zz${i}q wobble$i").toDF("text")
+    val firedChi2 = Dsir.driftStat(shifted, "text", dist, tot, 64,
+      threshold = Double.MaxValue, label = "shift").collect()(0).getDouble(2)
+    assert(firedChi2 > 5 * quietChi2,
+      s"shifted chi2 $firedChi2 should dominate in-distribution $quietChi2")
+    val mid = (quietChi2 + firedChi2) / 2
+    assert(!Dsir.driftStat(inBatch, "text", dist, tot, 64, mid, "in")
+      .collect()(0).getBoolean(3), "in-distribution batch fired")
+    assert(Dsir.driftStat(shifted, "text", dist, tot, 64, mid, "shift")
+      .collect()(0).getBoolean(3), "shifted batch did not fire")
+    // the monitor scores BATCH FRAMES — the foreachBatch serving shape:
+    // feeding the same micro-batch twice gives the identical statistic
+    val again = Dsir.driftStat(shifted, "text", dist, tot, 64,
+      Double.MaxValue, "shift").collect()(0)
+    assert(again.getDouble(2) == firedChi2)
+    // loud precondition: an empty batch has no distribution to test
+    val e = intercept[IllegalArgumentException] {
+      Dsir.driftStat(Seq.empty[String].toDF("text"), "text", dist, tot, 64,
+        500.0, "empty")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
 }
