@@ -342,7 +342,7 @@ object Multimodal {
     * None otherwise. The chunk walk and bounds mirror
     * MediaSql.wavResampleCtes bit for bit — change them in lockstep.
     */
-  private[operators] def decodeWavPcm16(b: Array[Byte]): Option[(Int, Long, Int, Long)] = {
+  private[graft] def decodeWavPcm16(b: Array[Byte]): Option[(Int, Long, Int, Long)] = {
     def u8(i: Int) = b(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32u(i: Int): Long =

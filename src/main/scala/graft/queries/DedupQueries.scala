@@ -318,6 +318,29 @@ object DedupQueries {
              |${Dedup.hammingPairs64Sql(
                  "SELECT key AS id, hi, lo FROM bmpdhash", bands = 4, radius = 3)}""".stripMargin)),
 
+    // AUDIO fingerprint near-dup pairs: mm16's energy-delta fingerprint
+    // through the same banded Hamming machinery as d25 — re-encoded
+    // recordings (rate conversions, stereo remasters, gain changes,
+    // dropouts) collapse without an embedding model. Same pigeonhole
+    // exactness and linear 100 TB shape; the all-pairs scan exists only
+    // oracle-side over the 9-row fixture set.
+    Q("d26_audio_fp_pairs",
+      (s, _) => {
+        val wavs = s.read.parquet(MultimodalQueries.audioFpFixturePath)
+        val sig = wavs
+          .select(col("name"),
+            graft.plans.AudioFp(col("payload"), dstRate = 6000).as("fp"))
+          .select(col("name"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
+        Dedup.hammingPairs64(sig, "name", "hi", "lo", bands = 4, radius = 3)
+      },
+      Some(s"""WITH RECURSIVE wavs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('${MultimodalQueries.audioFpFixturePath}')),
+             |src AS (SELECT name AS key, h, n FROM wavs),
+             |${graft.queries.MediaSql.wavFpCtes("src", 6000)}
+             |${Dedup.hammingPairs64Sql(
+                 "SELECT key AS id, hi, lo FROM wavfp", bands = 4, radius = 3)}""".stripMargin)),
+
     Q("d24_contamination_radius",
       (s, dir) => {
         val t = Tables(s, dir)

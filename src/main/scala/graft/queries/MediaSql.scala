@@ -223,7 +223,14 @@ object MediaSql {
     * outhex)` — quarantined keys simply have no row. Bounds mirror
     * `Multimodal.decodeWavPcm16` bit for bit — change them in lockstep.
     */
-  def wavResampleCtes(src: String, dstRate: Int): String =
+  /** The `Multimodal.decodeWavPcm16` gate over `src(key, h, n)` as CTEs
+    * ending in `wavpcm(key, h, channels, src_rate, datapos, nframes,
+    * out_frames)` — one row per complete PCM16 WAV with a non-empty,
+    * allocatable resample at `dstRate`; bounds in lockstep with the JVM
+    * decode (change them together). Shared by the resample and
+    * fingerprint replays.
+    */
+  def wavPcm16GateCtes(src: String, dstRate: Int): String =
     s"""rscan AS (
        |  SELECT key, h, n, CAST(12 AS BIGINT) AS pos,
        |    CAST(NULL AS BIGINT) AS fmtpos, CAST(NULL AS BIGINT) AS datapos,
@@ -262,7 +269,10 @@ object MediaSql {
        |  WHERE codec = 1 AND bits = 16 AND channels > 0 AND src_rate > 0
        |    AND datapos + databytes <= n AND nframes > 0
        |    AND (nframes * $dstRate) // src_rate > 0
-       |    AND ((nframes * $dstRate) // src_rate) * channels * 2 <= 2147483647),
+       |    AND ((nframes * $dstRate) // src_rate) * channels * 2 <= 2147483647)""".stripMargin
+
+  def wavResampleCtes(src: String, dstRate: Int): String =
+    s"""${wavPcm16GateCtes(src, dstRate)},
        |wavmap AS (
        |  SELECT key, i,
        |    substr(h, 2*(datapos + ((i * nframes) // out_frames) * channels * 2) + 1,
@@ -276,6 +286,46 @@ object MediaSql {
        |    CAST(w.out_frames AS INTEGER) AS out_frames,
        |    CAST(w.out_frames * w.channels * 2 AS BIGINT) AS out_len, x.outhex
        |  FROM wavpcm w JOIN wavhex x ON x.key = w.key)""".stripMargin
+
+  /** The 64-bit energy-delta fingerprint of `graft.plans.AudioFpKernel`
+    * over `src(key, h, n)` replayed as hex arithmetic: the shared PCM16
+    * gate, then every (output frame, channel) sample read straight from
+    * the SOURCE hex through the nearest-frame mapping (no resampled
+    * buffer, like the kernel), absolute 16-bit values summed into the 65
+    * time windows (empty windows present with energy 0), and the 64
+    * envelope-gradient bits folded MSB-first into the two 32-bit halves.
+    * Emits CTEs ending in `wavfp(key, hi, lo)` — undecodable keys have no
+    * row (callers LEFT JOIN or inner-join as the quarantine).
+    */
+  def wavFpCtes(src: String, dstRate: Int): String = {
+    val samplePos = "datapos + (((i // channels) * nframes) // out_frames)" +
+      " * channels * 2 + (i % channels) * 2"
+    s"""${wavPcm16GateCtes(src, dstRate)},
+       |fpsamp AS (
+       |  SELECT key, ((i // channels) * 65) // out_frames AS w,
+       |    abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS av
+       |  FROM (
+       |    SELECT key, channels, out_frames, nframes, i,
+       |      ${le16("h", samplePos)} AS v
+       |    FROM (SELECT *, unnest(range(out_frames * channels)) AS i
+       |          FROM wavpcm))),
+       |fpwin AS (
+       |  SELECT b.key, b.w, COALESCE(SUM(s.av), 0) AS e
+       |  FROM (SELECT key, unnest(range(65)) AS w FROM wavpcm) b
+       |  LEFT JOIN fpsamp s ON s.key = b.key AND s.w = b.w
+       |  GROUP BY b.key, b.w),
+       |fpbits AS (
+       |  SELECT l.key, l.w AS idx, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+       |  FROM fpwin l JOIN fpwin r ON r.key = l.key AND r.w = l.w + 1
+       |  WHERE l.w < 64),
+       |wavfp AS (
+       |  SELECT key,
+       |    CAST(SUM(CASE WHEN idx < 32
+       |      THEN CAST(bit AS BIGINT) << (31 - idx) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(SUM(CASE WHEN idx >= 32
+       |      THEN CAST(bit AS BIGINT) << (63 - idx) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM fpbits GROUP BY key)""".stripMargin
+  }
 
   /** The MP3 frame-header branch of `graft.plans.Mp3Headers` over
     * `src(key, h, n)`: emits CTEs ending in `mp3meta(key, format, version,

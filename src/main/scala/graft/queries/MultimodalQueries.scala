@@ -47,6 +47,7 @@ object MultimodalQueries {
   lazy val webpFixturePath: String = fixturePath("images_webp.parquet")
   lazy val tiffFixturePath: String = fixturePath("images_tiff.parquet")
   lazy val audioFixturePath: String = fixturePath("audio.parquet")
+  lazy val audioFpFixturePath: String = fixturePath("audio_fp.parquet")
   lazy val videoFixturePath: String = fixturePath("video.parquet")
   lazy val flacFixturePath: String = fixturePath("flac.parquet")
   lazy val mp3FixturePath: String = fixturePath("audio_mp3.parquet")
@@ -234,6 +235,31 @@ object MultimodalQueries {
              |SELECT w.name, r.channels, r.src_rate, r.out_frames, r.out_len,
              |  md5(r.outhex) AS resampled_hash
              |FROM wavs w LEFT JOIN wavresampled r ON r.key = w.name""".stripMargin)),
+
+    // 64-bit energy-delta audio fingerprint (plans.AudioFp — codegen
+    // Expression, the acoustic mm14): virtual nearest-frame resample to
+    // 6 kHz, 65 time-window |sample| energies, envelope gradient signs
+    // as two 32-bit halves. The fixture set plants each invariance class
+    // (cross-rate re-encode, stereo remaster, gain change — Hamming 0 —
+    // and a one-window dropout at a local envelope max: exactly 2 bits);
+    // negatives (8-bit PCM, noise) must be null in BOTH engines. The
+    // oracle replays every sample pick and window sum in hex SQL. d26
+    // feeds this to the banded Hamming join — audio-level dedup.
+    Q("mm16_audio_fingerprint",
+      (s, _) => {
+        val wavs = s.read.parquet(audioFpFixturePath)
+        wavs.select(col("name"),
+            graft.plans.AudioFp(col("payload"), dstRate = 6000).as("fp"))
+          .select(col("name"),
+            col("fp.hi").as("fp_hi"), col("fp.lo").as("fp_lo"))
+      },
+      Some(s"""WITH RECURSIVE wavs AS (
+             |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+             |  FROM read_parquet('$audioFpFixturePath')),
+             |src AS (SELECT name AS key, h, n FROM wavs),
+             |${MediaSql.wavFpCtes("src", 6000)}
+             |SELECT w.name, f.hi AS fp_hi, f.lo AS fp_lo
+             |FROM wavs w LEFT JOIN wavfp f ON f.key = w.name""".stripMargin)),
 
     // WebP coverage for the same Expression: all three bitstream flavors
     // (VP8X extended 24-bit canvas, "VP8 " lossy 14-bit + sync check, VP8L
