@@ -300,24 +300,32 @@ object GraphRank {
 
   /** DuckDB mirror of [[bfsDepths]]: unrolled frontier-expand + min-fold
     * CTEs over `pairsRel(id_a, id_b)` and `seedsRel` (one `id` column).
+    *
+    * Every round CTE is MATERIALIZED (the round-5 d16/d22 fix, applied
+    * here in round 8): each r_k is referenced twice (frontier filter +
+    * min-fold union) and ed once per round, so DuckDB's default inlining
+    * re-expands the whole upstream chain — including the seeds' n-gram
+    * overlap replay — per reference, which blew temp disk at sf1. With
+    * the hints the composed replay runs in ~115 s at sf1 with zero
+    * spill. Pure evaluation hint: results are identical.
     */
   def bfsDepthsSql(pairsRel: String, seedsRel: String, maxDepth: Int): String = {
     val steps = (1 to maxDepth).map { k =>
-      s"""f$k AS (
+      s"""f$k AS MATERIALIZED (
          |  SELECT e.dst AS id, $k AS depth
          |  FROM ed e JOIN (SELECT id FROM r${k - 1} WHERE depth = ${k - 1}) f
          |    ON e.src = f.id),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT id, MIN(depth) AS depth FROM
          |    (SELECT * FROM r${k - 1} UNION ALL SELECT * FROM f$k)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     val chain = if (maxDepth == 0) "" else s",\n$steps"
     s"""WITH pairs AS MATERIALIZED ($pairsRel),
-       |ed AS (
+       |ed AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |r0 AS (SELECT id, 0 AS depth FROM ($seedsRel))$chain
+       |r0 AS MATERIALIZED (SELECT id, 0 AS depth FROM ($seedsRel))$chain
        |SELECT id, CAST(depth AS INTEGER) AS depth FROM r$maxDepth""".stripMargin
   }
 
