@@ -222,13 +222,17 @@ object Dsir {
     * R_b = rc_b + 1, D = rtot + buckets (so Σ R_b/D = 1 over ALL buckets,
     * empty cells included), n = batch tokens,
     *
-    *   diff_b = obs_b·D − n·R_b            (exact BIGINT; loudly guarded)
-    *   term_b = round(diff_b² / (D·n·R_b), 6)  as exact DECIMAL(28,6)
-    *   chi2   = Σ_b term_b                  (decimal sum — associative)
+    *   diff_b = obs_b·D − n·R_b             (exact BIGINT; loudly guarded)
+    *   term_b = floor(diff_b²/(D·n·R_b) · 1e6 + 0.5)  (exact micro-units)
+    *   chi2_micro = Σ_b term_b              (integer sum — associative)
     *
-    * which is algebraically (obs − E)²/E with E = n·R/D, scaled into
-    * all-integer inputs so the one double division per cell is the same
-    * computation in both engines. Under H0 chi2 ≈ df = buckets−1 for a
+    * which is algebraically (obs − E)²/E with E = n·R/D quantized to
+    * integer micro-units. Every float step is a MIRRORED IEEE op on
+    * identical exact-integer inputs — the engines' own round() functions
+    * disagree in the 6th decimal at 1e10 magnitudes (Spark rounds the
+    * exact binary value, DuckDB a float-multiplied product); floor of
+    * the same product never does, and the quantized term is < 2^53 so
+    * it is an exact integer. Under H0 chi2 ≈ df = buckets−1 for a
     * token-multinomial sample; DOC-sampled batches overdisperse (tokens
     * cluster within docs), so thresholds are set against a measured
     * in-distribution baseline, not the χ² table.
@@ -268,15 +272,22 @@ object Dsir {
         org.apache.spark.sql.types.StructField("r",
           org.apache.spark.sql.types.LongType, nullable = false))))
     val diff = coalesce(col("obs"), lit(0L)) * lit(d) - lit(n) * col("r")
-    val term = round(
-      (diff.cast("double") * diff.cast("double")) /
-        (lit(d.toDouble) * lit(n.toDouble) * col("r").cast("double")), 6)
-      .cast("decimal(28,6)")
+    // Quantization that is IDENTICAL in both engines by construction:
+    // every step is a mirrored IEEE double op on identical inputs —
+    // q = diff²/(D·n·R), then floor(q·1e6 + 0.5) as an exact integer
+    // (q·1e6 ≤ ~1e14 < 2^53). Engine round()s disagree here: Spark
+    // rounds the exact binary value via BigDecimal while DuckDB rounds
+    // a float-multiplied product — at sf1 the 3e10 statistic diverged
+    // in the 6th decimal through that path. Micro-units stay integers
+    // end to end; the statistic column IS the exact micro count.
+    val q = (diff.cast("double") * diff.cast("double")) /
+      (lit(d.toDouble) * lit(n.toDouble) * col("r").cast("double"))
+    val termMicro = floor(q * lit(1e6) + lit(0.5)).cast("long")
     val out = cells.join(broadcast(obs), Seq("bucket"), "left")
-      .agg(sum(term).as("chi2d"))
+      .agg(sum(termMicro).as("chi2m"))
       .select(lit(label).as("batch"), lit(n).as("n_terms"),
-        col("chi2d").cast("double").as("chi2"),
-        (col("chi2d").cast("double") > lit(threshold)).as("drifted"))
+        col("chi2m").as("chi2_micro"),
+        (col("chi2m") > lit(math.round(threshold * 1e6))).as("drifted"))
     Dedup.materializeAndRelease(out, obs)
   }
 
@@ -287,8 +298,8 @@ object Dsir {
     */
   def driftStatSql(batchRel: String, corpusRel: String, textCol: String,
       buckets: Int, threshold: Double, label: String): String =
-    s"""SELECT '$label' AS batch, s.n_terms, s.chi2,
-       |  s.chi2 > $threshold AS drifted
+    s"""SELECT '$label' AS batch, s.n_terms, s.chi2_micro,
+       |  s.chi2_micro > ${math.round(threshold * 1e6)} AS drifted
        |FROM (
        |  WITH ctoks AS (
        |    SELECT unnest(${TextFns.tokensSql(textCol)}) AS term
@@ -313,16 +324,16 @@ object Dsir {
        |    FROM btoks GROUP BY 1),
        |  nn AS (SELECT CAST(COALESCE(SUM(obs), 0) AS BIGINT) AS n FROM obs),
        |  terms AS (
-       |    SELECT CAST(round(
+       |    SELECT CAST(floor(
        |        CAST(COALESCE(o.obs, 0) * t.d - n.n * c.r AS DOUBLE) *
        |        CAST(COALESCE(o.obs, 0) * t.d - n.n * c.r AS DOUBLE) /
-       |        (CAST(t.d AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(c.r AS DOUBLE)),
-       |        6) AS DECIMAL(28,6)) AS term
+       |        (CAST(t.d AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(c.r AS DOUBLE))
+       |        * 1e6 + 0.5) AS BIGINT) AS term_micro
        |    FROM cells c
        |    LEFT JOIN obs o ON o.bucket = c.bucket
        |    CROSS JOIN tot t CROSS JOIN nn n)
        |  SELECT (SELECT n FROM nn) AS n_terms,
-       |         CAST(SUM(term) AS DOUBLE) AS chi2
+       |         CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
        |  FROM terms
        |) s""".stripMargin
 

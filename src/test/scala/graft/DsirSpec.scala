@@ -127,16 +127,16 @@ class DsirSpec extends SparkSpec {
     // are small, the SEPARATION is the contract
     val inBatch = docs.filter(org.apache.spark.sql.functions.col("doc_id") <= 4)
     val quietChi2 = Dsir.driftStat(inBatch, "text", dist, tot, 64,
-      threshold = Double.MaxValue, label = "in").collect()(0).getDouble(2)
+      threshold = Double.MaxValue, label = "in").collect()(0).getLong(2)
     // shifted domain: a vocabulary the trained model has never seen —
     // every token lands in an unseen (R=1) bucket
     val shifted = Seq.tabulate(6)(i =>
       s"zz${i}q wobble$i frobnicate$i zz${i}q wobble$i").toDF("text")
     val firedChi2 = Dsir.driftStat(shifted, "text", dist, tot, 64,
-      threshold = Double.MaxValue, label = "shift").collect()(0).getDouble(2)
+      threshold = Double.MaxValue, label = "shift").collect()(0).getLong(2)
     assert(firedChi2 > 5 * quietChi2,
       s"shifted chi2 $firedChi2 should dominate in-distribution $quietChi2")
-    val mid = (quietChi2 + firedChi2) / 2
+    val mid = (quietChi2 + firedChi2) / 2 / 1e6 // micro-units → threshold
     assert(!Dsir.driftStat(inBatch, "text", dist, tot, 64, mid, "in")
       .collect()(0).getBoolean(3), "in-distribution batch fired")
     assert(Dsir.driftStat(shifted, "text", dist, tot, 64, mid, "shift")
@@ -145,7 +145,7 @@ class DsirSpec extends SparkSpec {
     // feeding the same micro-batch twice gives the identical statistic
     val again = Dsir.driftStat(shifted, "text", dist, tot, 64,
       Double.MaxValue, "shift").collect()(0)
-    assert(again.getDouble(2) == firedChi2)
+    assert(again.getLong(2) == firedChi2)
     // loud precondition: an empty batch has no distribution to test
     val e = intercept[IllegalArgumentException] {
       Dsir.driftStat(Seq.empty[String].toDF("text"), "text", dist, tot, 64,
