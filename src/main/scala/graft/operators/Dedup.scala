@@ -1150,6 +1150,60 @@ object Dedup {
     materializeAndRelease(out, s)
   }
 
+  /** INCREMENTAL [[hammingPairs64]] — the d12 daily-ingest shape for
+    * perceptual signatures: each NEW batch item's bands join the
+    * precomputed CORPUS band index (no self-join on either side), so
+    * per-batch cost is linear in the batch and the corpus signatures are
+    * computed once and reused across ingests. Same pigeonhole exactness:
+    * radius < bands guarantees every (batch, corpus) pair within the
+    * radius shares an identical band. Output one row per such pair
+    * (id_new, id_corpus, hamming); a batch item with no row is NOVEL —
+    * the admit/reject signal. Null signatures drop on both sides.
+    */
+  def hammingPairs64Batch(corpusSig: DataFrame, batchSig: DataFrame,
+      idCol: String, hiCol: String, loCol: String, bands: Int = 4,
+      radius: Int = 3): DataFrame = {
+    require(radius < bands,
+      s"pigeonhole exactness needs radius < bands (got radius=$radius, bands=$bands)")
+    require(64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands=$bands must cut 64 bits into chunks that divide 32 (no hi/lo straddle)")
+    def banded(df: DataFrame, tag: String): DataFrame = {
+      val bandBits = 64 / bands
+      val mask = (1L << bandBits) - 1
+      val perHalf = 32 / bandBits
+      val bandVals = (0 until bands).map { j =>
+        val half = if (j < perHalf) col("hi") else col("lo")
+        shiftright(half, 32 - bandBits * ((j % perHalf) + 1)).bitwiseAND(lit(mask))
+      }
+      df.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+        .select(col(idCol).as(s"id_$tag"), col(hiCol).as("hi"), col(loCol).as("lo"))
+        .select(col(s"id_$tag"), col("hi").as(s"hi_$tag"), col("lo").as(s"lo_$tag"),
+          posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+    }
+    banded(batchSig, "new")
+      .join(banded(corpusSig, "corpus"), Seq("band", "bv"))
+      .select(col("id_new"), col("id_corpus"),
+        col("hi_new"), col("lo_new"), col("hi_corpus"), col("lo_corpus"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_new").bitwiseXOR(col("hi_corpus"))) +
+          bit_count(col("lo_new").bitwiseXOR(col("lo_corpus")))).cast("int"))
+      .where(col("hamming") <= radius)
+      .select(col("id_new"), col("id_corpus"), col("hamming"))
+  }
+
+  /** [[hammingPairs64Batch]] oracle fragment: brute-force cross scan of
+    * `batchRel(id, hi, lo)` against `corpusRel(id, hi, lo)`.
+    */
+  def hammingPairs64BatchSql(batchRel: String, corpusRel: String,
+      bands: Int = 4, radius: Int = 3): String = {
+    require(radius < bands && 64 % bands == 0 && 32 % (64 / bands) == 0)
+    s"""SELECT b.id AS id_new, c.id AS id_corpus,
+       |  CAST(bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) AS INTEGER) AS hamming
+       |FROM ($batchRel) b JOIN ($corpusRel) c
+       |  ON bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= $radius""".stripMargin
+  }
+
   /** [[hammingPairs64]] oracle fragment: brute-force all-pairs scan over a
     * relation `sigRel(id, hi, lo)` — equal to the banded path whenever
     * radius < bands (pigeonhole).

@@ -341,6 +341,36 @@ object DedupQueries {
              |${Dedup.hammingPairs64Sql(
                  "SELECT key AS id, hi, lo FROM wavfp", bands = 4, radius = 3)}""".stripMargin)),
 
+    // INCREMENTAL image near-dup (the d12 daily-ingest shape for d25):
+    // the incoming batch's dHash bands join the precomputed corpus band
+    // index — no self-join, per-batch cost linear in the batch, corpus
+    // signatures computed once per ingest cycle. Batch = the planted
+    // re-encodes; corpus = the originals + negatives. Every batch item
+    // must rediscover its corpus original (or prove itself novel by
+    // absence). Same pigeonhole exactness as d25.
+    Q("d27_image_dhash_incremental",
+      (s, _) => {
+        val re = "_(reenc|up2x|bright|logo)$"
+        val sig = s.read.parquet(MultimodalQueries.dhashFixturePath)
+          .select(col("name"), graft.plans.DHashBmp(col("payload")).as("dh"))
+          .select(col("name"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+        Dedup.hammingPairs64Batch(
+          sig.filter(!col("name").rlike(re)), sig.filter(col("name").rlike(re)),
+          "name", "hi", "lo", bands = 4, radius = 3)
+      },
+      Some {
+        val re = "_(reenc|up2x|bright|logo)$"
+        s"""WITH imgs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('${MultimodalQueries.dhashFixturePath}')),
+           |src AS (SELECT name AS key, h, n FROM imgs),
+           |${graft.queries.MediaSql.bmpDHashCtes("src")}
+           |${Dedup.hammingPairs64BatchSql(
+               s"SELECT key AS id, hi, lo FROM bmpdhash WHERE regexp_matches(key, '$re')",
+               s"SELECT key AS id, hi, lo FROM bmpdhash WHERE NOT regexp_matches(key, '$re')",
+               bands = 4, radius = 3)}""".stripMargin
+      }),
+
     Q("d24_contamination_radius",
       (s, dir) => {
         val t = Tables(s, dir)

@@ -94,6 +94,27 @@ class DHashSpec extends SparkSpec {
       assert(rows(kept).startsWith("30_kept_"), s"$kept -> ${rows(kept)}")
   }
 
+  test("incremental batch-vs-corpus pairs: dups rediscover originals, novel items stay absent") {
+    import spark.implicits._
+    val sig = fx.toSeq.map { case (n, bytes) =>
+      val dh = dhash(bytes)
+      (n, dh.map(_._1), dh.map(_._2))
+    }.toDF("name", "hi", "lo")
+    val re = "_(reenc|up2x|bright|logo)$"
+    val got = Dedup.hammingPairs64Batch(
+        sig.filter(!col("name").rlike(re)), sig.filter(col("name").rlike(re)),
+        "name", "hi", "lo", bands = 4, radius = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("scene_a_reenc", "scene_a"), ("scene_a_up2x", "scene_a"),
+      ("scene_a_bright", "scene_a"), ("scene_b_logo", "scene_b")))
+    // a genuinely novel batch item produces NO row — the admit signal
+    val novel = Seq(("novel_img", Some(0x12345678L), Some(0x0abcdef0L)))
+      .toDF("name", "hi", "lo")
+    assert(Dedup.hammingPairs64Batch(sig, novel,
+      "name", "hi", "lo", bands = 4, radius = 3).count() == 0)
+  }
+
   test("pigeonhole recall: random radius-3 corruptions are always found") {
     // adversarial check of the band math (hi/lo split, MSB-first chunks):
     // flip <=3 random bits of a signature; the banded join must find the

@@ -153,4 +153,44 @@ class DsirSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("drift monitor serves a STREAM via foreachBatch and fires mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = corpus()
+    val (dist, tot) = Dsir.trainDist(docs, "text", buckets = 64)
+    // threshold between the measured statistics (the batch test's contract)
+    val quiet = Dsir.driftStat(docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") <= 4),
+      "text", dist, tot, 64, Double.MaxValue, "in").collect()(0).getLong(2)
+    val shifted = Seq.tabulate(6)(i =>
+      s"zz${i}q wobble$i frobnicate$i zz${i}q wobble$i").toDF("text")
+    val fired = Dsir.driftStat(shifted, "text", dist, tot, 64,
+      Double.MaxValue, "shift").collect()(0).getLong(2)
+    val mid = (quiet + fired) / 2 / 1e6
+    // the monitor IS the foreachBatch body: per micro-batch one bounded
+    // statistic row — the retrain trigger for the online serve path
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("text").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val r = Dsir.driftStat(batch, "text", dist, tot, 64, mid,
+            s"batch_$batchId").collect()(0)
+          results.synchronized { results += ((batchId, r.getBoolean(3))) }
+          ()
+        }
+      }.start()
+    in.addData("alpha beta gamma alpha beta", "noise filler junk noise")
+    q.processAllAvailable()
+    in.addData(Seq.tabulate(6)(i =>
+      s"zz${i}q wobble$i frobnicate$i zz${i}q wobble$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = results.toMap
+    assert(byBatch.size == 2)
+    assert(!byBatch(0L), "in-distribution micro-batch fired")
+    assert(byBatch(1L), "shifted micro-batch did not fire")
+  }
 }
