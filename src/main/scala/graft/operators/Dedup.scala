@@ -1112,6 +1112,15 @@ object Dedup {
     * corpus/2^(64/bands) per band value — with 16-bit chunks a 10^9-image
     * corpus averages ~15k per bucket, a linear bucketed join. Null
     * signatures (quarantined undecodables) are dropped up front.
+    *
+    * CONTRACT: `idCol` values must be unique and non-null — a duplicated
+    * id survives the band equi-join and the pair `distinct()` as a merged
+    * identity, silently producing spurious pairs. Checked loudly here
+    * (count vs distinct count over the already-persisted signature frame,
+    * two cheap jobs on cached data); [[hammingPairs64Batch]] documents the
+    * same contract but leaves enforcement to the caller — it runs inside
+    * per-micro-batch streaming loops where two extra jobs per batch are
+    * not free.
     */
   def hammingPairs64(sig: DataFrame, idCol: String, hiCol: String,
       loCol: String, bands: Int = 4, radius: Int = 3): DataFrame = {
@@ -1125,6 +1134,12 @@ object Dedup {
     val s = sig.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = s.count()
+    val dcnt = s.agg(count_distinct(col("id"))).collect()(0).getLong(0)
+    require(cnt == dcnt,
+      s"hammingPairs64 ids must be unique and non-null: $cnt rows carry " +
+        s"$dcnt distinct '$idCol' values — duplicated ids would merge " +
+        "identities and fabricate pairs")
     // chunk j of the 64-bit signature, MSB-first within each half
     val bandVals = (0 until bands).map { j =>
       val half = if (j < perHalf) col("hi") else col("lo")
@@ -1159,6 +1174,13 @@ object Dedup {
     * radius shares an identical band. Output one row per such pair
     * (id_new, id_corpus, hamming); a batch item with no row is NOVEL —
     * the admit/reject signal. Null signatures drop on both sides.
+    *
+    * CONTRACT (same as [[hammingPairs64]]): ids must be unique and
+    * non-null WITHIN each side — a duplicated id merges identities and
+    * fabricates pairs. Not enforced here (this runs per micro-batch in
+    * streaming ingest, where two extra count jobs per batch are real
+    * cost); the batch side is typically keyed by the ingest's natural key
+    * and the corpus index is built once by a path that already dedups.
     */
   def hammingPairs64Batch(corpusSig: DataFrame, batchSig: DataFrame,
       idCol: String, hiCol: String, loCol: String, bands: Int = 4,

@@ -283,8 +283,24 @@ object Dsir {
     val q = (diff.cast("double") * diff.cast("double")) /
       (lit(d.toDouble) * lit(n.toDouble) * col("r").cast("double"))
     val termMicro = floor(q * lit(1e6) + lit(0.5)).cast("long")
+    // SECOND overflow guard (the n·D one above only keeps `diff` exact):
+    // with an untrained bucket (R=1) absorbing a fully-shifted batch,
+    // q can reach ~n·D, so q·1e6 can pass 2^53 (the exact-integer claim
+    // dies silently) or even Long.MaxValue, where Spark's non-ANSI
+    // double→long cast saturates while DuckDB's CAST errors — sum wrap
+    // could then report drifted=false exactly when drift is most extreme.
+    // Data-dependent, so the guard lives IN the plan: assert_true throws
+    // loudly at materialization if any micro term left the exact range or
+    // the integer sum went negative. When it passes it contributes no
+    // rows/columns (assert_true ⇒ NULL ⇒ filter true), so oracle parity
+    // is untouched.
     val out = cells.join(broadcast(obs), Seq("bucket"), "left")
-      .agg(sum(termMicro).as("chi2m"))
+      .agg(sum(termMicro).as("chi2m"), max(termMicro).as("maxm"))
+      .where(assert_true(
+        col("maxm") < lit(9.0e15) && col("chi2m") >= lit(0L),
+        lit(s"driftStat micro term exceeded exact-integer range " +
+          s"(n=$n, D=$d): shrink the monitored batch — it is a sample, " +
+          "not the corpus")).isNull)
       .select(lit(label).as("batch"), lit(n).as("n_terms"),
         col("chi2m").as("chi2_micro"),
         (col("chi2m") > lit(math.round(threshold * 1e6))).as("drifted"))

@@ -371,6 +371,41 @@ object DedupQueries {
                bands = 4, radius = 3)}""".stripMargin
       }),
 
+    // AUDIO incremental admit (d27's twin over mm16 fingerprints — the
+    // daily audio-ingest shape): the incoming batch's fingerprint bands
+    // join the precomputed corpus band index, no self-join on either
+    // side. Batch = the planted re-encodes (rate conversion, stereo
+    // remaster, gain change, dropout); corpus = the originals + distinct
+    // tones. Every re-encode must rediscover its corpus original through
+    // the band join (algebraic invariances: Hamming 0 for stereo/gain,
+    // tiny for 22k, exactly 2 for the dropout — all < 3 < 4 bands, so
+    // pigeonhole exactness applies); novel recordings prove themselves by
+    // absence; undecodables (8-bit PCM, non-WAV) quarantine to null and
+    // never reach the join. Oracle: brute-force cross scan.
+    Q("d28_audio_fp_incremental",
+      (s, _) => {
+        val re = "_(22k|stereo|gain|drop)$"
+        val sig = s.read.parquet(MultimodalQueries.audioFpFixturePath)
+          .select(col("name"),
+            graft.plans.AudioFp(col("payload"), dstRate = 6000).as("fp"))
+          .select(col("name"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
+        Dedup.hammingPairs64Batch(
+          sig.filter(!col("name").rlike(re)), sig.filter(col("name").rlike(re)),
+          "name", "hi", "lo", bands = 4, radius = 3)
+      },
+      Some {
+        val re = "_(22k|stereo|gain|drop)$"
+        s"""WITH RECURSIVE wavs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('${MultimodalQueries.audioFpFixturePath}')),
+           |src AS (SELECT name AS key, h, n FROM wavs),
+           |${graft.queries.MediaSql.wavFpCtes("src", 6000)}
+           |${Dedup.hammingPairs64BatchSql(
+               s"SELECT key AS id, hi, lo FROM wavfp WHERE regexp_matches(key, '$re')",
+               s"SELECT key AS id, hi, lo FROM wavfp WHERE NOT regexp_matches(key, '$re')",
+               bands = 4, radius = 3)}""".stripMargin
+      }),
+
     Q("d24_contamination_radius",
       (s, dir) => {
         val t = Tables(s, dir)

@@ -40,10 +40,21 @@ class AudioFpSpec extends SparkSpec {
     assert(fp(fx("fp_wav_8bit")).isEmpty)
     assert(fp(fx("fp_not_wav")).isEmpty)
     assert(fp(Array.emptyByteArray).isEmpty)
-    // a valid WAV whose resample would be empty (dstRate too low for a
-    // very short clip) quarantines too
-    val tiny = GenAudioFpFixtures.toneWav(44100, seed = 5)
-    assert(fp(tiny, rate = 6000).isDefined)
+    // a valid WAV whose resample is EMPTY quarantines too: 1 frame at
+    // 44.1 kHz → outFrames = 1*6000/44100 = 0 → null (the outFrames <= 0
+    // branch of AudioFpKernel.computeRow)
+    val one = java.nio.ByteBuffer.allocate(46)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    one.put("RIFF".getBytes("US-ASCII")).putInt(38)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100)
+      .putInt(44100 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2).putShort(1234)
+    assert(fp(one.array(), rate = 6000).isEmpty)
+    // while a normal half-second clip at the same rates is NOT quarantined
+    val normal = GenAudioFpFixtures.toneWav(44100, seed = 5)
+    assert(fp(normal, rate = 6000).isDefined)
   }
 
   test("banded pairs equal the brute-force scan over the fixture set") {
@@ -62,6 +73,29 @@ class AudioFpSpec extends SparkSpec {
     assert(got == expect)
     // the whole planted re-encode family pairs up: C(5,2) = 10
     assert(expect.size == 10, s"expected the 10 planted pairs, got $expect")
+  }
+
+  test("incremental batch-vs-corpus admit: re-encodes rediscover originals, novel tones stay absent") {
+    import spark.implicits._
+    val sig = fx.toSeq.map { case (n, bytes) =>
+      val f = fp(bytes)
+      (n, f.map(_._1), f.map(_._2))
+    }.toDF("name", "hi", "lo")
+    val re = "_(22k|stereo|gain|drop)$"
+    val got = Dedup.hammingPairs64Batch(
+        sig.filter(!col("name").rlike(re)), sig.filter(col("name").rlike(re)),
+        "name", "hi", "lo", bands = 4, radius = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // every planted re-encode finds exactly its corpus original (the
+    // distinct tones b/c are all > radius away, spec above)
+    assert(got == Set(
+      ("fp_tone_a_22k", "fp_tone_a_44k"), ("fp_tone_a_stereo", "fp_tone_a_44k"),
+      ("fp_tone_a_gain", "fp_tone_a_44k"), ("fp_tone_a_drop", "fp_tone_a_44k")))
+    // a genuinely novel recording produces NO row — the admit signal
+    val novel = Seq(("novel_tone", Some(0x5a5a5a5aL), Some(0x0f0f0f0fL)))
+      .toDF("name", "hi", "lo")
+    assert(Dedup.hammingPairs64Batch(sig, novel,
+      "name", "hi", "lo", bands = 4, radius = 3).count() == 0)
   }
 
   test("AudioFp Expression agrees with the kernel through the column path") {
