@@ -108,6 +108,143 @@ object PrepPipeline {
     Dedup.materializeAndRelease(labeled, geom)
   }
 
+  /** CROSS-MODAL pair dedup — the multimodal-training dedup rule that
+    * neither side's dedup implements alone: an (image, caption) training
+    * pair is redundant only when BOTH its image and its caption are
+    * near-duplicates of another pair's. Keeping one pair per image alone
+    * would drop (same image, genuinely new caption) — a distinct training
+    * signal; per caption alone would drop (new image, stock caption).
+    * The right granularity is the CELL: image-cluster × caption-cluster,
+    * keep the min-`pairIdCol` pair of each cell.
+    *
+    * Image clusters: connected components over [[Dedup.hammingPairs64]]'s
+    * banded dHash pairs (exact for radius < bands), canonical = min name.
+    * Caption clusters: components over [[Dedup.minhashLshPairs]] keyed by
+    * pair id (identical captions are Jaccard-1 pairs, so stock captions
+    * cluster across pairs). A pair whose image fails the full-decode gate
+    * is quarantined with BOTH cluster columns nulled — the mediaFunnel
+    * contract that downstream never touches quarantined rows — and never
+    * competes for a cell.
+    *
+    * Output: one row per pair — (pair_id, img_cluster, cap_cluster,
+    * stage ∈ 10_quarantined_undecodable / 20_dropped_dup / 30_kept).
+    *
+    * CONTRACT: `imgNameCol` is the image's content key — equal names must
+    * carry byte-equal payloads (the distinct() below then yields unique
+    * ids; a violated contract trips hammingPairs64's loud uniqueness
+    * check rather than silently picking a payload).
+    *
+    * Scale shape: the image side runs over DISTINCT images (at 100 TB the
+    * image:pair ratio is what makes this tractable — stock photos repeat
+    * across millions of pairs); both pair relations are linear banded
+    * joins; components run on paired nodes only (O(log d) rounds); the
+    * cell-min is one aggregation on (cluster, cluster) keys. No quadratic
+    * path engine-side — the brute-force scans exist only in the oracle.
+    */
+  def crossModalDedup(pairs: DataFrame, pairIdCol: String, imgNameCol: String,
+      binCol: String, captionCol: String, bands: Int, radius: Int,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sig = pairs.select(col(imgNameCol).as("name"), col(binCol).as("payload"))
+      .distinct()
+      .withColumn("dh", graft.plans.DHashBmp(col("payload")))
+      .select(col("name"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iclusters = Dedup
+      .connectedComponents(Dedup.hammingPairs64(sig, "name", "hi", "lo", bands, radius))
+      .withColumnRenamed("cluster", "_icl")
+    val cclusters = Dedup
+      .connectedComponents(Dedup
+        .minhashLshPairs(pairs, pairIdCol, captionCol, n, numHashes, rowsPerBand, threshold)
+        .select(col("id_a"), col("id_b")))
+      .withColumnRenamed("cluster", "_ccl")
+    // no broadcast hints: the cluster relations are usually tiny (paired
+    // nodes only) but on dup-heavy corpora they are not — AQE converts
+    // these to broadcast joins when the build side is genuinely small
+    val celled = pairs
+      .join(sig.select(col("name").as(imgNameCol), col("hi")),
+        Seq(imgNameCol), "left")
+      .join(iclusters.withColumnRenamed("id", imgNameCol),
+        Seq(imgNameCol), "left")
+      .join(cclusters.withColumnRenamed("id", pairIdCol),
+        Seq(pairIdCol), "left")
+      .select(col(pairIdCol).as("pair_id"),
+        when(col("hi").isNull, lit(null))
+          .otherwise(coalesce(col("_icl"), col(imgNameCol))).as("img_cluster"),
+        when(col("hi").isNull, lit(null))
+          .otherwise(coalesce(col("_ccl"), col(pairIdCol))).as("cap_cluster"),
+        col("hi").isNull.as("_quarantined"))
+    val keep = celled.filter(!col("_quarantined"))
+      .groupBy(col("img_cluster"), col("cap_cluster"))
+      .agg(min(col("pair_id")).as("_keep_id"))
+    val labeled = celled
+      .join(keep, Seq("img_cluster", "cap_cluster"), "left")
+      .select(col("pair_id"), col("img_cluster"), col("cap_cluster"),
+        when(col("_quarantined"), "10_quarantined_undecodable")
+          .when(col("pair_id") =!= col("_keep_id"), "20_dropped_dup")
+          .otherwise("30_kept").as("stage"))
+    Dedup.materializeAndRelease(labeled, sig)
+  }
+
+  /** DuckDB mirror of [[crossModalDedup]] over a parquet file of
+    * (pair_id, img_name, payload, caption): dHash replay + brute-force
+    * Hamming scan + recursive closure for image clusters, the mirrored
+    * banded-MinHash pairs + closure for caption clusters, then the same
+    * cell-min rule.
+    */
+  def crossModalDedupSql(parquetPath: String, bands: Int, radius: Int,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""WITH RECURSIVE prs AS (
+       |  SELECT pair_id, img_name, payload, caption
+       |  FROM read_parquet('$parquetPath')),
+       |imgs AS (SELECT DISTINCT img_name, payload FROM prs),
+       |src AS (
+       |  SELECT img_name AS key, hex(payload) AS h, octet_length(payload) AS n
+       |  FROM imgs),
+       |${graft.queries.MediaSql.bmpDHashCtes("src")},
+       |ipairs AS (
+       |${Dedup.hammingPairs64Sql("SELECT key AS id, hi, lo FROM bmpdhash", bands, radius)}
+       |),
+       |iedges AS (
+       |  SELECT id_a AS src2, id_b AS dst FROM ipairs
+       |  UNION ALL SELECT id_b, id_a FROM ipairs),
+       |ireach(id, label) AS (
+       |  SELECT key, key FROM bmpdhash
+       |  UNION
+       |  SELECT e.dst, r.label FROM ireach r JOIN iedges e ON e.src2 = r.id),
+       |iclusters AS (SELECT id, MIN(label) AS cluster FROM ireach GROUP BY id),
+       |cpairs AS (
+       |${Dedup.minhashLshPairsSql("prs", "pair_id", "caption", n, numHashes, rowsPerBand, threshold)}
+       |),
+       |cedges AS (
+       |  SELECT id_a AS src2, id_b AS dst FROM cpairs
+       |  UNION ALL SELECT id_b, id_a FROM cpairs),
+       |creach(id, label) AS (
+       |  SELECT pair_id, pair_id FROM prs
+       |  UNION
+       |  SELECT e.dst, r.label FROM creach r JOIN cedges e ON e.src2 = r.id),
+       |cclusters AS (SELECT id, MIN(label) AS cluster FROM creach GROUP BY id),
+       |celled AS (
+       |  SELECT p.pair_id,
+       |    CASE WHEN d.key IS NULL THEN NULL
+       |         ELSE COALESCE(ic.cluster, p.img_name) END AS img_cluster,
+       |    CASE WHEN d.key IS NULL THEN NULL
+       |         ELSE COALESCE(cc.cluster, p.pair_id) END AS cap_cluster,
+       |    d.key IS NULL AS quarantined
+       |  FROM prs p
+       |  LEFT JOIN bmpdhash d ON d.key = p.img_name
+       |  LEFT JOIN iclusters ic ON ic.id = p.img_name
+       |  LEFT JOIN cclusters cc ON cc.id = p.pair_id),
+       |keep AS (
+       |  SELECT img_cluster, cap_cluster, MIN(pair_id) AS keep_id
+       |  FROM celled WHERE NOT quarantined GROUP BY 1, 2)
+       |SELECT c.pair_id, c.img_cluster, c.cap_cluster,
+       |  CASE WHEN c.quarantined THEN '10_quarantined_undecodable'
+       |       WHEN c.pair_id <> k.keep_id THEN '20_dropped_dup'
+       |       ELSE '30_kept' END AS stage
+       |FROM celled c
+       |LEFT JOIN keep k
+       |  ON k.img_cluster = c.img_cluster AND k.cap_cluster = c.cap_cluster""".stripMargin
+
   /** DuckDB mirror of [[mediaFunnel]] over a parquet file of
     * (name, payload): the dHash replay, brute-force pair scan (equal to
     * the banded join for radius < bands), recursive-closure components,

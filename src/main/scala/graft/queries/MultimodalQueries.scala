@@ -52,6 +52,7 @@ object MultimodalQueries {
   lazy val flacFixturePath: String = fixturePath("flac.parquet")
   lazy val mp3FixturePath: String = fixturePath("audio_mp3.parquet")
   lazy val exifFixturePath: String = fixturePath("images_exif.parquet")
+  lazy val xmodalFixturePath: String = fixturePath("pairs_xmodal.parquet")
 
   val all: Seq[Q] = Seq(
     // Binary metadata extraction over arbitrary payloads: byte length,
@@ -260,6 +261,28 @@ object MultimodalQueries {
              |${MediaSql.wavFpCtes("src", 6000)}
              |SELECT w.name, f.hi AS fp_hi, f.lo AS fp_lo
              |FROM wavs w LEFT JOIN wavfp f ON f.key = w.name""".stripMargin)),
+
+    // CROSS-MODAL pair dedup — the multimodal-training rule neither
+    // side's dedup implements alone: an (image, caption) pair is
+    // redundant only when BOTH sides near-duplicate another pair's.
+    // Perceptual image clusters (banded dHash components, exact for
+    // radius < bands) × caption clusters (banded-MinHash components)
+    // define the CELL; keep the min-pair_id pair per cell. The fixture
+    // plants all four quadrants: same-image+same-caption (dropped),
+    // same-image+new-caption (kept), new-image+same-caption (kept),
+    // undecodable image (quarantined, clusters nulled). The oracle
+    // replays dHash decode + brute-force Hamming + recursive closure on
+    // the image side and the mirrored MinHash bands + closure on the
+    // caption side, then the same cell-min rule.
+    Q("mm17_cross_modal_pair_dedup",
+      (s, _) => graft.operators.PrepPipeline.crossModalDedup(
+        s.read.parquet(xmodalFixturePath),
+        "pair_id", "img_name", "payload", "caption",
+        bands = 4, radius = 3, n = 3, numHashes = 12, rowsPerBand = 3,
+        threshold = 0.8),
+      Some(graft.operators.PrepPipeline.crossModalDedupSql(
+        xmodalFixturePath, bands = 4, radius = 3, n = 3, numHashes = 12,
+        rowsPerBand = 3, threshold = 0.8))),
 
     // WebP coverage for the same Expression: all three bitstream flavors
     // (VP8X extended 24-bit canvas, "VP8 " lossy 14-bit + sync check, VP8L
