@@ -1,0 +1,233 @@
+package graft.ingest
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, Dsir}
+
+/** The END-TO-END incremental multimodal ingest pipeline (m12) — the DAG a
+  * 100 TB training-data operation runs on every arriving batch of
+  * (image, caption) training pairs, composed from pieces that are each
+  * individually oracle-proven:
+  *
+  *   1. DECODE + QUARANTINE — dHash over the image payload
+  *      (`plans.DHashBmp`, codegen); undecodables are rejected with a
+  *      reason, never silently dropped.
+  *   2. INTRA-BATCH DEDUP — banded Hamming pairs within the batch
+  *      ([[Dedup.hammingPairs64]], exact for radius < bands) → connected
+  *      components → each component's min-pair_id member REPRESENTS it
+  *      (d27's documented composition: dedup the batch, then the batch
+  *      against the corpus).
+  *   3. ADMIT/REJECT — representatives' bands join the ACCUMULATED corpus
+  *      index (the committed seed ∪ every previously-admitted batch's
+  *      signatures) via [[Dedup.hammingPairs64Batch]]: no self-join on
+  *      either side, per-batch cost linear in the batch.
+  *   4. DSIR SCORE — admitted captions scored against the trained weight
+  *      table ([[Dsir.withScore]], pure per-row codegen expression).
+  *   5. DRIFT GATE — the batch's caption token distribution chi-squared
+  *      against the trained model ([[Dsir.driftStat]]): one ≤buckets-row
+  *      aggregate + a broadcast join, the retrain trigger riding the
+  *      firehose.
+  *   6. SHARD EXPORT — admitted rows land hash-sharded (m11's manifest
+  *      contract: deterministic md5(pair_id) mod nShards, one shuffle
+  *      keyed by shard).
+  *
+  * EXACTLY-ONCE: every output lands under `ingest_batch=<id>` partitions
+  * written with DYNAMIC partition overwrite — a replayed micro-batch
+  * (kill/restart inside foreachBatch) recomputes the same deterministic
+  * result (its corpus index reads only `ingest_batch < id`) and
+  * OVERWRITES its own partitions, so restarts neither duplicate nor drop
+  * a pair. The streaming checkpoint replays the interrupted batch with
+  * the same batch id; determinism + partition overwrite make the landing
+  * idempotent. Crashed partial writes live under `_temporary` and are
+  * invisible to reads.
+  *
+  * Scale: the only per-batch joins are banded (batch-linear); the index
+  * read is partition-pruned to prior batches; training artifacts are
+  * bounded driver pulls (≤ buckets rows) computed ONCE per corpus
+  * version, not per batch; scoring/sharding are narrow per-row
+  * expressions. Nothing in the loop scans the corpus payloads — only the
+  * 3-column signature index.
+  */
+object IngestPipeline {
+
+  /** Corpus-version artifacts, trained ONCE and shipped to every batch:
+    * DSIR weight table, drift reference distribution, both ≤ `buckets`
+    * rows by construction.
+    */
+  final case class Trained(
+      weights: Map[Long, JBigDecimal],
+      dist: Map[Long, Long],
+      distTotal: Long,
+      buckets: Int,
+      driftThreshold: Double)
+
+  def train(corpusDocs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetSource: String, buckets: Int,
+      driftThreshold: Double): Trained = {
+    val w = Dsir.trainWeights(corpusDocs, idCol, textCol, sourceCol,
+      targetSource, buckets)
+    val (dist, tot) = Dsir.trainDist(corpusDocs, textCol, buckets)
+    Trained(w, dist, tot, buckets, driftThreshold)
+  }
+
+  /** Landed-admitted schema (explicit: reads must survive an empty or
+    * crash-partial output directory where inference has nothing to read).
+    */
+  private val AdmittedSchema =
+    "pair_id BIGINT, img_name STRING, caption STRING, hi BIGINT, lo BIGINT, " +
+      "n_tokens BIGINT, dsir_score DOUBLE, ingest_batch BIGINT, shard BIGINT"
+  private val RejectedSchema =
+    "pair_id BIGINT, img_name STRING, reject_reason STRING, ingest_batch BIGINT"
+  private val DriftSchema =
+    "batch STRING, n_terms BIGINT, chi2_micro BIGINT, drifted BOOLEAN, " +
+      "ingest_batch BIGINT"
+
+  private def read(spark: SparkSession, dir: String, schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** The corpus signature index as batch `belowBatch` must see it:
+    * seed (item_id, hi, lo) ∪ signatures admitted by STRICTLY EARLIER
+    * batches — the filter is what makes a replayed batch deterministic
+    * (its own partial output from a crashed attempt is never an input).
+    */
+  def corpusIndex(spark: SparkSession, seedSig: DataFrame, outDir: String,
+      belowBatch: Long): DataFrame =
+    seedSig.select(col("item_id").cast("string").as("item_id"),
+        col("hi"), col("lo"))
+      .unionByName(read(spark, s"$outDir/admitted", AdmittedSchema)
+        .filter(col("ingest_batch") < belowBatch)
+        .select(col("pair_id").cast("string").as("item_id"),
+          col("hi"), col("lo")))
+
+  /** ONE batch through the whole DAG; lands admitted / rejected / drift
+    * under `ingest_batch=batchId` with dynamic partition overwrite.
+    * `batch` columns: (pair_id BIGINT, img_name, payload BINARY, caption).
+    */
+  def ingestBatch(batch: DataFrame, seedSig: DataFrame, trained: Trained,
+      bands: Int, radius: Int, nShards: Int, outDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sig = batch
+      .select(col("pair_id"), col("img_name"), col("caption"),
+        graft.plans.DHashBmp(col("payload")).as("dh"))
+      .select(col("pair_id"), col("img_name"), col("caption"),
+        col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. intra-batch components; min pair_id represents each component
+    val comp = Dedup.connectedComponents(
+      Dedup.hammingPairs64(sig, "pair_id", "hi", "lo", bands, radius))
+    val withRep = sig.filter(col("hi").isNotNull)
+      .join(comp.withColumnRenamed("id", "pair_id"), Seq("pair_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("pair_id")))
+    // 3. representatives vs the accumulated index (strictly earlier batches)
+    val index = corpusIndex(spark, seedSig, outDir, batchId)
+    val corpusDup = Dedup.hammingPairs64Batch(
+        index,
+        withRep.filter(col("pair_id") === col("rep"))
+          .select(col("pair_id").as("item_id"), col("hi"), col("lo")),
+        "item_id", "hi", "lo", bands, radius)
+      .groupBy(col("id_new").as("rep"))
+      .agg(min(col("id_corpus")).as("corpus_dup_of"))
+    val decided = withRep.join(corpusDup, Seq("rep"), "left")
+      .select(col("pair_id"), col("img_name"), col("caption"),
+        col("hi"), col("lo"),
+        when(col("pair_id") =!= col("rep"),
+          concat(lit("batch_dup:"), col("rep").cast("string")))
+          .when(col("corpus_dup_of").isNotNull,
+            concat(lit("corpus_dup:"), col("corpus_dup_of")))
+          .otherwise(lit(null).cast("string")).as("reject_reason"))
+      .unionByName(sig.filter(col("hi").isNull)
+        .select(col("pair_id"), col("img_name"), col("caption"),
+          col("hi"), col("lo"),
+          lit("quarantined_undecodable").as("reject_reason")))
+    def land(df: DataFrame, sub: String, extraParts: Seq[String]): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(("ingest_batch" +: extraParts): _*)
+        .parquet(s"$outDir/$sub")
+    // 4+6. score admitted captions, shard, land (one shuffle keyed by shard)
+    val admitted = Dsir.withScore(
+        decided.filter(col("reject_reason").isNull), "caption",
+        trained.weights, trained.buckets)
+      .withColumn("shard",
+        pmod(TextFns.md5Hash32(col("pair_id").cast("string")), lit(nShards.toLong)))
+      .withColumn("n_tokens", TextFns.tokenCount(col("caption")))
+      .select(col("pair_id"), col("img_name"), col("caption"), col("hi"),
+        col("lo"), col("n_tokens"), col("dsir_score"), col("shard"))
+      .repartition(nShards, col("shard"))
+    land(admitted, "admitted", Seq("shard"))
+    land(decided.filter(col("reject_reason").isNotNull)
+      .select(col("pair_id"), col("img_name"), col("reject_reason")),
+      "rejected", Nil)
+    // 5. drift gate over the WHOLE batch's captions (the firehose
+    // distribution, not just survivors)
+    land(Dsir.driftStat(sig.select(col("caption").as("text")), "text",
+      trained.dist, trained.distTotal, trained.buckets,
+      trained.driftThreshold, s"batch_$batchId"), "drift", Nil)
+    sig.unpersist()
+  }
+
+  /** The streaming wrapper: a parquet file stream of pair batches driven
+    * through [[ingestBatch]] one micro-batch at a time. The checkpoint
+    * replays an interrupted batch under the same id; [[ingestBatch]]'s
+    * partition overwrite makes that replay exactly-once.
+    */
+  def stream(spark: SparkSession, srcDir: String, seedSig: DataFrame,
+      trained: Trained, bands: Int, radius: Int, nShards: Int,
+      checkpoint: String, outDir: String): StreamingQuery =
+    spark.readStream
+      .schema("pair_id BIGINT, img_name STRING, payload BINARY, caption STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatch(b, seedSig, trained, bands, radius, nShards, outDir, id)
+      }
+      .start()
+
+  /** The audit over the LANDED outputs — what the declared m12 query
+    * hash-checks: one row per pair (status, shard, tokens, score), the
+    * m11-contract shard manifest recomputed FROM the landed files, and
+    * the per-batch drift verdicts. Generic (kind, key, detail, n1, n2, x)
+    * rows so one frame carries all three surfaces.
+    */
+  def audit(spark: SparkSession, outDir: String): DataFrame = {
+    val adm = read(spark, s"$outDir/admitted", AdmittedSchema)
+    val rej = read(spark, s"$outDir/rejected", RejectedSchema)
+    val drift = read(spark, s"$outDir/drift", DriftSchema)
+    val pairRows = adm.select(lit("pair").as("kind"),
+        col("pair_id").cast("string").as("key"),
+        lit("admitted").as("detail"),
+        col("shard").cast("bigint").as("n1"), col("n_tokens").as("n2"),
+        col("dsir_score").as("x"))
+      .unionByName(rej.select(lit("pair").as("kind"),
+        col("pair_id").cast("string").as("key"),
+        col("reject_reason").as("detail"),
+        lit(null).cast("bigint").as("n1"), lit(null).cast("bigint").as("n2"),
+        lit(null).cast("double").as("x")))
+    val manifest = adm.groupBy(col("shard").cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("pair_id")).as("id_checksum"))
+      .select(lit("shard").as("kind"), col("shard").cast("string").as("key"),
+        lit(null).cast("string").as("detail"), col("n_docs").as("n1"),
+        col("sum_tokens").as("n2"), col("id_checksum").cast("double").as("x"))
+    val driftRows = drift.select(lit("drift").as("kind"),
+      col("batch").as("key"), col("drifted").cast("string").as("detail"),
+      col("n_terms").as("n1"), col("chi2_micro").as("n2"),
+      lit(null).cast("double").as("x"))
+    pairRows.unionByName(manifest).unionByName(driftRows)
+  }
+}

@@ -102,6 +102,16 @@ object Dsir {
       round(scoreCol(textCol, w, buckets), 6).as("dsir_score"))
   }
 
+  /** [[serveScores]] keeping EVERY input column — the composition form
+    * (the m12 ingest pipeline scores admitted rows mid-DAG without a
+    * join back). Same codegen expression, same 6dp rounding.
+    */
+  def withScore(docs: DataFrame, textCol: String, w: Map[Long, JBigDecimal],
+      buckets: Int, outCol: String = "dsir_score"): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    docs.withColumn(outCol, round(scoreCol(textCol, w, buckets), 6))
+  }
+
   /** Docs with at least one token, scored: (doc_id, source, swd double).
     * Two corpus passes total (train + score), one ≤-buckets shuffle.
     */

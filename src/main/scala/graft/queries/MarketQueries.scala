@@ -497,5 +497,151 @@ object MarketQueries {
               |  CAST(SUM(${graft.functions.TextFns.tokenCountSql("text")}) AS BIGINT) AS sum_tokens,
               |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               |FROM documents GROUP BY 1""".stripMargin)),
+
+    // END-TO-END incremental multimodal ingest (m12): ONE batch of
+    // (image, caption) pairs through the whole daily-ingest DAG —
+    // decode/quarantine → intra-batch perceptual dedup (components, min
+    // pair represents) → admit/reject against the seed corpus band index
+    // (batch-linear, no self-join) → DSIR-score admitted captions against
+    // weights trained on the corpus → drift gate over the batch's token
+    // distribution → hash-sharded export. The declared result audits the
+    // LANDED files (per-pair status+score+shard, the m11-contract shard
+    // manifest recomputed from the landing, the drift verdict) — the hash
+    // proves the pipeline landed exactly what the composed relational
+    // replay says it must. Corpus seed = the scene_a dHash fixtures;
+    // batch = the 9 committed cross-modal pairs: 4 corpus dups (scene_a
+    // family), 2 intra-batch dups (logo overlay of 4, repeat image of 6),
+    // 2 admits, 1 quarantine. IngestStreamSpec proves the same DAG
+    // exactly-once across a mid-stream kill/restart.
+    Q("m12_incremental_ingest",
+      (s, dir) => {
+        val out = landingDir(s"m12_ingest_$dir") { tmp =>
+          val trained = graft.ingest.IngestPipeline.train(
+            Tables(s, dir).documents, "doc_id", "text", "source",
+            targetSource = "src0", buckets = 512, driftThreshold = 20000.0)
+          val seed = s.read.parquet(MultimodalQueries.dhashFixturePath)
+            .filter(col("name").rlike("^scene_a"))
+            .select(col("name").as("item_id"),
+              graft.plans.DHashBmp(col("payload")).as("dh"))
+            .select(col("item_id"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+          graft.ingest.IngestPipeline.ingestBatch(
+            s.read.parquet(MultimodalQueries.xmodalFixturePath),
+            seed, trained, bands = 4, radius = 3, nShards = 4,
+            tmp.resolve("out").toString, batchId = 0L)
+        }.resolve("out").toString
+        graft.ingest.IngestPipeline.audit(s, out)
+      },
+      Some {
+        import graft.functions.TextFns
+        val xmodal = MultimodalQueries.xmodalFixturePath
+        val dhash = MultimodalQueries.dhashFixturePath
+        val radius = 3
+        val buckets = 512
+        val nShards = 4
+        def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
+        def ham(a: String, b: String) =
+          s"bit_count(xor($a.hi, $b.hi)) + bit_count(xor($a.lo, $b.lo))"
+        s"""WITH RECURSIVE pairsrc AS (
+           |  SELECT pair_id, img_name, payload, caption
+           |  FROM read_parquet('$xmodal')),
+           |src AS (
+           |  SELECT 'b:' || CAST(pair_id AS VARCHAR) AS key,
+           |         hex(payload) AS h, octet_length(payload) AS n
+           |  FROM pairsrc
+           |  UNION ALL
+           |  SELECT 'c:' || name, hex(payload), octet_length(payload)
+           |  FROM read_parquet('$dhash')
+           |  WHERE regexp_matches(name, '^scene_a')),
+           |${MediaSql.bmpDHashCtes("src")},
+           |bsig AS (
+           |  SELECT CAST(substr(key, 3) AS BIGINT) AS pair_id, hi, lo
+           |  FROM bmpdhash WHERE key LIKE 'b:%'),
+           |csig AS (
+           |  SELECT substr(key, 3) AS item_id, hi, lo
+           |  FROM bmpdhash WHERE key LIKE 'c:%'),
+           |ipairs AS (
+           |  SELECT a.pair_id AS id_a, b.pair_id AS id_b
+           |  FROM bsig a JOIN bsig b ON a.pair_id < b.pair_id
+           |  WHERE ${ham("a", "b")} <= $radius),
+           |iedges AS (
+           |  SELECT id_a AS src2, id_b AS dst FROM ipairs
+           |  UNION ALL SELECT id_b, id_a FROM ipairs),
+           |ireach(id, label) AS (
+           |  SELECT pair_id, pair_id FROM bsig
+           |  UNION
+           |  SELECT e.dst, r.label FROM ireach r JOIN iedges e ON e.src2 = r.id),
+           |reps AS (SELECT id AS pair_id, MIN(label) AS rep FROM ireach GROUP BY id),
+           |cdup AS (
+           |  SELECT b.pair_id AS rep, MIN(c.item_id) AS corpus_dup_of
+           |  FROM bsig b
+           |  JOIN reps r ON r.pair_id = b.pair_id AND r.rep = b.pair_id
+           |  JOIN csig c ON ${ham("b", "c")} <= $radius
+           |  GROUP BY 1),
+           |decided AS (
+           |  SELECT p.pair_id, p.caption,
+           |    CASE WHEN d.key IS NULL THEN 'quarantined_undecodable'
+           |         WHEN r.rep <> p.pair_id
+           |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
+           |         WHEN cd.corpus_dup_of IS NOT NULL
+           |           THEN 'corpus_dup:' || cd.corpus_dup_of
+           |         ELSE NULL END AS reject_reason
+           |  FROM pairsrc p
+           |  LEFT JOIN bmpdhash d ON d.key = 'b:' || CAST(p.pair_id AS VARCHAR)
+           |  LEFT JOIN reps r ON r.pair_id = p.pair_id
+           |  LEFT JOIN cdup cd ON cd.rep = p.pair_id),
+           |ctoks2 AS (
+           |  SELECT source, unnest(${TextFns.tokensSql("text")}) AS term
+           |  FROM documents),
+           |by_bucket AS (
+           |  SELECT (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS rc,
+           |         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+           |  FROM ctoks2 GROUP BY 1),
+           |totals AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM by_bucket),
+           |weights AS (
+           |  SELECT bucket,
+           |         ${sd6(s"ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + $buckets AS DOUBLE))")} -
+           |         ${sd6(s"ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + $buckets AS DOUBLE))")} AS w
+           |  FROM by_bucket CROSS JOIN totals),
+           |adm AS (
+           |  SELECT pair_id, caption FROM decided WHERE reject_reason IS NULL),
+           |capfeats AS (
+           |  SELECT pair_id,
+           |         (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS cnt
+           |  FROM (SELECT pair_id, unnest(${TextFns.tokensSql("caption")}) AS term
+           |        FROM adm) GROUP BY 1, 2),
+           |capscore AS (
+           |  SELECT f.pair_id, SUM(f.cnt * w.w) AS sw
+           |  FROM capfeats f JOIN weights w USING (bucket) GROUP BY 1),
+           |admrows AS (
+           |  SELECT a.pair_id,
+           |    ${TextFns.md5Hash32Sql("CAST(a.pair_id AS VARCHAR)")} % $nShards AS shard,
+           |    CAST(${TextFns.tokenCountSql("a.caption")} AS BIGINT) AS n_tokens,
+           |    round(CAST(COALESCE(s.sw, 0) AS DOUBLE), 6) AS dsir_score
+           |  FROM adm a LEFT JOIN capscore s ON s.pair_id = a.pair_id)
+           |SELECT 'pair' AS kind, CAST(pair_id AS VARCHAR) AS key,
+           |  'admitted' AS detail, CAST(shard AS BIGINT) AS n1, n_tokens AS n2,
+           |  dsir_score AS x
+           |FROM admrows
+           |UNION ALL
+           |SELECT 'pair', CAST(pair_id AS VARCHAR), reject_reason,
+           |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+           |FROM decided WHERE reject_reason IS NOT NULL
+           |UNION ALL
+           |SELECT 'shard', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR),
+           |  COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+           |  CAST(CAST(SUM(pair_id) AS BIGINT) AS DOUBLE)
+           |FROM admrows GROUP BY shard
+           |UNION ALL
+           |SELECT 'drift', batch, CAST(drifted AS VARCHAR), n_terms,
+           |  chi2_micro, CAST(NULL AS DOUBLE)
+           |FROM (
+           |${graft.operators.Dsir.driftStatSql(
+               "SELECT caption AS text FROM read_parquet('" + xmodal + "')",
+               "SELECT text FROM documents", "text", buckets,
+               20000.0, "batch_0")}
+           |)""".stripMargin
+      }),
   )
 }

@@ -31,18 +31,20 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.EnvProbe"
   */
 object EnvProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
+  /** The idle-box stage-cost yardstick (seconds per empty shuffle stage)
+    * measured contemporaneously with the round-2 BASELINE record on a
+    * quiet box — the denominator every drift normalization in BASELINE.md
+    * has used since. Bench brackets each record with [[components]] and
+    * scales by `IdleStageSec / measured` so records stay comparable
+    * without waiting for a lucky idle window.
+    */
+  val IdleStageSec: Double = 0.088
+
+  /** (cpu_st_sec, stage_sec, scan_mb_per_s) on the given session — the
+    * callable form Bench embeds before/after its timed sweeps.
+    */
+  def components(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -63,6 +65,7 @@ object EnvProbe {
     cpuLoop(); cpuLoop()
     var sink = 0.0
     val cpuSt = med((1 to 5).map(_ => timed { sink += cpuLoop() }))
+    require(!sink.isNaN) // keep the loop un-eliminable
 
     // 2) per-stage fixed overhead: 24 rounds of a tiny repartition+agg —
     // real shuffle machinery, negligible data (1k longs), so wall time is
@@ -70,7 +73,7 @@ object EnvProbe {
     val tiny = spark.range(1000).toDF("v")
     def stages(): Unit = {
       var df = tiny
-      for (i <- 1 to 24)
+      for (_ <- 1 to 24)
         df = df.repartition(col("v")).agg(sum("v").as("v")).toDF("v")
       df.count()
     }
@@ -87,10 +90,22 @@ object EnvProbe {
     def scan(): Unit = { li.agg(sum("l_extendedprice")).collect(); () }
     scan()
     val scanSec = med((1 to 5).map(_ => timed(scan())))
-    val mbps = bytes / 1e6 / scanSec
+    (cpuSt, stageSec, bytes / 1e6 / scanSec)
+  }
 
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (cpuSt, stageSec, mbps) = components(spark, sfDir)
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    println(s"""{"metric":"env_probe","cpu_st_sec":${r3(cpuSt)},"stage_sec":${r3(stageSec)},"scan_mb_per_s":${r3(mbps)},"cpus":$cpus,"sf":"$sfDir","sink":${sink.isNaN}}""")
+    println(s"""{"metric":"env_probe","cpu_st_sec":${r3(cpuSt)},"stage_sec":${r3(stageSec)},"scan_mb_per_s":${r3(mbps)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ingest.IngestPipeline
+import graft.tools.GenXModalFixtures
+
+/** The m12 pipeline as a STREAM with a mid-stream kill/restart: the
+  * checkpoint replays the interrupted micro-batch under the same id, and
+  * the per-batch dynamic partition overwrite makes the replay exactly-once
+  * — every pair decided once, every admitted signature indexed once, every
+  * batch's drift verdict landed once. The batch split is designed so the
+  * CORPUS INDEX GROWS mid-stream: batch 1's logo-overlay image must be
+  * rejected against a signature ADMITTED in batch 0, and batch 2's repeat
+  * image against one admitted in batch 1.
+  */
+class IngestStreamSpec extends SparkSpec {
+
+  private def trained(): IngestPipeline.Trained = {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} common words here",
+        s"src${i % 2}")).toDF("doc_id", "text", "source")
+    IngestPipeline.train(docs, "doc_id", "text", "source",
+      targetSource = "src0", buckets = 64, driftThreshold = 1e12)
+  }
+
+  private def seedSig(): DataFrame = {
+    import spark.implicits._
+    GenXModalFixtures.fixtures().map(t => (t._2, t._3)).distinct
+      .filter(_._1.startsWith("scene_a"))
+      .toDF("item_id", "payload")
+      .select(col("item_id"), graft.plans.DHashBmp(col("payload")).as("dh"))
+      .select(col("item_id"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+  }
+
+  /** The 9 committed pairs split into 3 mtime-ordered micro-batches. */
+  private def writeSource(src: String): Unit = {
+    import spark.implicits._
+    val byId = GenXModalFixtures.fixtures()
+      .map(t => t._1 -> t).toMap
+    for (batch <- Seq(Seq(1L, 4L, 7L), Seq(5L, 6L, 2L), Seq(8L, 3L, 9L))) {
+      batch.map(byId).toDF("pair_id", "img_name", "payload", "caption")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+  }
+
+  private def runStream(src: String, ckpt: String, out: String,
+      killAfterBatches: Option[Int]): Unit = {
+    val q = IngestPipeline.stream(spark, src, seedSig(), trained(),
+      bands = 4, radius = 3, nShards = 4, ckpt, out)
+    killAfterBatches match {
+      case Some(k) =>
+        val deadline = System.currentTimeMillis() + 120000
+        while (q.recentProgress.count(_.numInputRows > 0) < k &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        q.stop(); q.awaitTermination()
+      case None =>
+        q.processAllAvailable()
+        q.stop(); q.awaitTermination()
+    }
+  }
+
+  private def auditRows(out: String): Set[(String, String, String, Any, Any, Any)] =
+    IngestPipeline.audit(spark, out).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))
+    }.toSet
+
+  test("streamed ingest is exactly-once across kill/restart and grows the index") {
+    val src = tmpDir("ingest_src")
+    val ckpt = tmpDir("ingest_ckpt")
+    val out = tmpDir("ingest_out")
+    writeSource(src)
+    // kill after the first non-empty micro-batch commits, then restart
+    runStream(src, ckpt, out, killAfterBatches = Some(1))
+    runStream(src, ckpt, out, killAfterBatches = None)
+
+    val pairs = IngestPipeline.audit(spark, out)
+      .filter(col("kind") === "pair").collect()
+      .map(r => r.getString(1).toLong -> r.getString(2)).toMap
+    // exactly once: 9 pairs, 9 rows
+    assert(pairs.size == 9)
+    // batch 0: seed corpus rejects 1; 4 is novel; 7 undecodable
+    assert(pairs(1L) == "corpus_dup:scene_a")
+    assert(pairs(4L) == "admitted")
+    assert(pairs(7L) == "quarantined_undecodable")
+    // batch 1: 5 (logo overlay of 4's image) must be rejected against the
+    // signature ADMITTED in batch 0 — the growing index, not the seed
+    assert(pairs(5L) == "corpus_dup:4")
+    assert(pairs(6L) == "admitted")
+    assert(pairs(2L) == "corpus_dup:scene_a")
+    // batch 2: 8 repeats 6's image (admitted in batch 1); 3 and 9 are the
+    // SAME image family within the batch (up2x hashes equal to scene_a),
+    // so 9 folds into 3's component intra-batch and only the
+    // representative 3 is tested — and rejected — against the corpus
+    assert(pairs(8L) == "corpus_dup:6")
+    assert(pairs(3L) == "corpus_dup:scene_a")
+    assert(pairs(9L) == "batch_dup:3")
+    // one drift verdict per batch, each over that batch's 3 captions
+    val drift = IngestPipeline.audit(spark, out)
+      .filter(col("kind") === "drift").collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(drift.keySet == Set("batch_0", "batch_1", "batch_2"))
+    assert(drift.values.forall(_ > 0))
+    // the landed admitted signatures ARE the index contribution
+    val landedSig = spark.read.parquet(s"$out/admitted")
+      .select("pair_id", "hi", "lo").collect()
+    assert(landedSig.map(_.getLong(0)).toSet == Set(4L, 6L))
+    assert(landedSig.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("the interrupted run equals an uninterrupted one, audit row for row") {
+    val src = tmpDir("ingest_src2")
+    writeSource(src)
+    val (ckptA, outA) = (tmpDir("ingest_ckptA"), tmpDir("ingest_outA"))
+    runStream(src, ckptA, outA, killAfterBatches = Some(1))
+    runStream(src, ckptA, outA, killAfterBatches = None)
+    val (ckptB, outB) = (tmpDir("ingest_ckptB"), tmpDir("ingest_outB"))
+    runStream(src, ckptB, outB, killAfterBatches = None)
+    assert(auditRows(outA) == auditRows(outB),
+      "kill/restart must land byte-identical audit rows")
+    assert(auditRows(outA).nonEmpty)
+  }
+}
