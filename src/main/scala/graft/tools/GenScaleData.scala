@@ -117,18 +117,42 @@ object GenScaleData {
     // embeddings" for a pair-count-driven scale point — sf10 lineitem is
     // ~60M rows nobody benches)
     val onlyTables = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    // optional arg 4: output files per table (default 1, mirroring the
+    // driver's single-file layout). At sf30+ a single 175 MB file caps the
+    // scan at ~2 input splits (maxPartitionBytes) and serializes every
+    // downstream token pass on 2 of 32 cores — a LAYOUT artifact that
+    // masquerades as operator super-linearity (t37's first sf30 reading
+    // was 15x for this reason alone). Real 100 TB tables are thousands of
+    // files; pass 32 here when the point of the run is operator scaling.
+    val outFiles = args.lift(3).map(_.toInt).getOrElse(1)
     def write[T](name: String, dsThunk: => Dataset[T]): Unit =
       if (onlyTables.forall(_.contains(name))) writeAll(name, dsThunk)
     def writeAll[T](name: String, ds: Dataset[T]): Unit = {
       val tmp = s"$outDir/_tmp_$name"
-      ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dest = java.nio.file.Paths.get(outDir, s"$name.parquet")
-      java.nio.file.Files.move(part, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ds.coalesce(math.max(1, outFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .iterator()
+      if (outFiles <= 1) {
+        val dest = java.nio.file.Paths.get(outDir, s"$name.parquet")
+        java.nio.file.Files.move(parts.next(), dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // multi-file: land as a DIRECTORY named <table>.parquet (Spark and
+        // DuckDB both read it transparently)
+        val dest = java.nio.file.Paths.get(outDir, s"$name.parquet")
+        org.apache.hadoop.fs.FileUtil.fullyDelete(dest.toFile)
+        java.nio.file.Files.createDirectories(dest)
+        var i = 0
+        while (parts.hasNext) {
+          java.nio.file.Files.move(parts.next(),
+            dest.resolve(f"part-$i%05d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          i += 1
+        }
+      }
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp.toString))
-      println(s"wrote $dest")
+      println(s"wrote $outDir/$name.parquet ($outFiles file(s))")
     }
 
     def ids(n: Long): Dataset[Long] =

@@ -110,10 +110,22 @@ object PerceptualScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench's hygiene discipline: each timed sample starts from a GC'd
+    // heap (the 5M self-join leaves GBs of shuffle garbage that otherwise
+    // bleeds into the NEXT point's first sample), and each shape reports
+    // the median of `runs` samples so one GC pause can't fake a scaling
+    // law in either direction.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
     def timed(f: => Long): (Double, Long) = {
+      System.gc()
       val t0 = System.nanoTime()
       val out = f
       ((System.nanoTime() - t0) / 1e9, out)
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    def sample(f: => Long): (Double, Long) = {
+      val ss = (1 to runs).map(_ => timed(f))
+      (med(ss.map(_._1)), ss.head._2)
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     for (n <- sizes) {
@@ -123,12 +135,12 @@ object PerceptualScaleBench {
       val batch = batchTable(spark, batchRows, n, corpusSalt = 11L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       batch.count()
-      val (batchSec, batchPairs) = timed {
+      val (batchSec, batchPairs) = sample {
         Dedup.hammingPairs64Batch(corpus, batch, "id", "hi", "lo",
           bands, radius = 3).count()
       }
       val (selfSec, selfPairs) =
-        if (runSelf) timed {
+        if (runSelf) sample {
           Dedup.hammingPairs64(corpus, "id", "hi", "lo", bands, radius = 3).count()
         } else (-1.0, -1L)
       println(s"""{"metric":"perceptual_scale","rows":$n,"bands":$bands,""" +
