@@ -60,15 +60,18 @@ object Bench {
 
     // EnvProbe brackets: pin the box's state to numbers INSIDE the record
     // itself (two rounds of bench drift were diagnosed post-hoc from
-    // separate probe runs; a record should carry its own evidence). The
-    // pre probe runs after warm-up, the post probe after the last timed
-    // sweep; the summary reports a stage-cost-normalized total next to
-    // the raw one so cross-round comparisons stop depending on catching
-    // an idle window. Disable with SPARK_GRAFT_BENCH_PROBE=0.
+    // separate probe runs; a record should carry its own evidence). BOTH
+    // probes run on the fully-warmed session — the pre probe AFTER the
+    // untimed warm sweep, the post probe after the last timed sweep — so
+    // their delta reads box-state change, not session warmth (a pre probe
+    // before the warm sweep measured 3x the post consistently: cold
+    // shuffle machinery, not contention). The summary reports a
+    // stage-cost-normalized total next to the raw one so cross-round
+    // comparisons stop depending on catching an idle window. Disable with
+    // SPARK_GRAFT_BENCH_PROBE=0.
     val probe = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") == "1"
     def probeNow(): Option[(Double, Double, Double)] =
       if (probe) Some(graft.tools.EnvProbe.components(spark, sfDir)) else None
-    val envPre = probeNow()
     // one untimed FULL sweep: every query's codegen units get compiled AND
     // JIT-warmed before anything is measured. Without it the first timed
     // sweep pays C2 compilation for the heavy dedup verify joins, which is
@@ -82,6 +85,7 @@ object Bench {
       }
       System.gc()
     }
+    val envPre = probeNow()
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to runs; (name, fn) <- names) {
@@ -116,12 +120,12 @@ object Bench {
     }
     val normalized = (envPre, envPost) match {
       case (Some((_, s1, _)), Some((_, s2, _))) =>
-        r3(total * graft.tools.EnvProbe.IdleStageSec / ((s1 + s2) / 2))
+        r3(total * graft.tools.EnvProbe.RefStageSec / ((s1 + s2) / 2))
       case _ => total
     }
     val envFrag =
       s""","env_pre":${envJson(envPre)},"env_post":${envJson(envPost)}""" +
-        s""","idle_stage_sec":${graft.tools.EnvProbe.IdleStageSec}""" +
+        s""","ref_stage_sec":${graft.tools.EnvProbe.RefStageSec}""" +
         s""","value_stage_normalized":$normalized"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs$envFrag,"queries":${jmap(results)},"sf":"$sfDir"}"""

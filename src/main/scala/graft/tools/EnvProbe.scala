@@ -32,14 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object EnvProbe {
 
-  /** The idle-box stage-cost yardstick (seconds per empty shuffle stage)
-    * measured contemporaneously with the round-2 BASELINE record on a
-    * quiet box — the denominator every drift normalization in BASELINE.md
-    * has used since. Bench brackets each record with [[components]] and
-    * scales by `IdleStageSec / measured` so records stay comparable
-    * without waiting for a lucky idle window.
+  /** The stage-cost yardstick (seconds per empty shuffle stage) for
+    * Bench's in-record normalization. METHODOLOGY MATTERS: a probe inside
+    * a fully-warmed bench session reads ~0.05 s/stage where a standalone
+    * EnvProbe run on the same quiet box reads ~0.088 (cold shuffle
+    * machinery) — the two are not comparable. This constant is the
+    * WARM-SESSION value measured on the quietest observed window
+    * (round 9's post-sweep probe on a settled box, corroborated across
+    * two runs); Bench's brackets run at the same point in session
+    * lifecycle, so `RefStageSec / measured` is apples-to-apples. The
+    * historic standalone-probe idle yardstick 0.088 lives in BASELINE.md
+    * for reading old records; never mix the two.
     */
-  val IdleStageSec: Double = 0.088
+  val RefStageSec: Double = 0.050
 
   /** (cpu_st_sec, stage_sec, scan_mb_per_s) on the given session — the
     * callable form Bench embeds before/after its timed sweeps.
