@@ -20,10 +20,15 @@ import org.apache.spark.sql.types.IntegerType
   * or on an existing session via `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     for ((name, clazz, build) <- GraftExtensions.all)
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), build))
+    // the native as-of join plans through a SparkStrategy; sessions built
+    // with withExtensions get it without touching experimental APIs
+    // (AsOfJoinNative.register remains the post-hoc path)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
