@@ -113,14 +113,22 @@ object IngestPipeline {
   /** ONE batch through the whole DAG; lands admitted / rejected / drift
     * under `ingest_batch=batchId` with dynamic partition overwrite.
     * `batch` columns: (pair_id BIGINT, img_name, payload BINARY, caption).
+    *
+    * `signature` maps the payload column to a struct(hi, lo) 64-bit
+    * perceptual signature (null ⇒ quarantine) — `DHashBmp` for image
+    * assets (default), `AudioFp(_, rate)` for audio: the admit machinery
+    * is pure Hamming-space and does not care which modality produced the
+    * bits, so ONE pipeline serves both ingest streams.
     */
   def ingestBatch(batch: DataFrame, seedSig: DataFrame, trained: Trained,
       bands: Int, radius: Int, nShards: Int, outDir: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.plans.DHashBmp(_)): Unit = {
     val spark = batch.sparkSession
     val sig = batch
       .select(col("pair_id"), col("img_name"), col("caption"),
-        graft.plans.DHashBmp(col("payload")).as("dh"))
+        signature(col("payload")).as("dh"))
       .select(col("pair_id"), col("img_name"), col("caption"),
         col("dh.hi").as("hi"), col("dh.lo").as("lo"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -186,7 +194,9 @@ object IngestPipeline {
     */
   def stream(spark: SparkSession, srcDir: String, seedSig: DataFrame,
       trained: Trained, bands: Int, radius: Int, nShards: Int,
-      checkpoint: String, outDir: String): StreamingQuery =
+      checkpoint: String, outDir: String,
+      signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.plans.DHashBmp(_)): StreamingQuery =
     spark.readStream
       .schema("pair_id BIGINT, img_name STRING, payload BINARY, caption STRING")
       .option("maxFilesPerTrigger", 1)
@@ -194,7 +204,8 @@ object IngestPipeline {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, seedSig, trained, bands, radius, nShards, outDir, id)
+        ingestBatch(b, seedSig, trained, bands, radius, nShards, outDir, id,
+          signature)
       }
       .start()
 

@@ -643,5 +643,149 @@ object MarketQueries {
                20000.0, "batch_0")}
            |)""".stripMargin
       }),
+
+    // The SAME pipeline over AUDIO assets (m13): IngestPipeline's admit
+    // machinery is pure Hamming-space, so swapping the signature column
+    // (AudioFp for DHashBmp) re-targets the whole DAG at an audio ingest
+    // stream — intra-batch clustering collapses every tone_a re-encode
+    // (rate/stereo/gain/dropout) onto one representative, which the seed
+    // corpus (the 44.1k original alone) then rejects; novel tones admit;
+    // non-PCM16 payloads quarantine. Captions are deterministic
+    // name-derived transcripts so DSIR scoring, the drift gate and the
+    // manifest stay oracle-exact. One fingerprint pass per distinct
+    // asset; the oracle replays it per-sample in hex SQL.
+    Q("m13_incremental_ingest_audio",
+      (s, dir) => {
+        val out = landingDir(s"m13_ingest_audio_$dir") { tmp =>
+          val trained = graft.ingest.IngestPipeline.train(
+            Tables(s, dir).documents, "doc_id", "text", "source",
+            targetSource = "src0", buckets = 512, driftThreshold = 20000.0)
+          val wavs = s.read.parquet(MultimodalQueries.audioFpFixturePath)
+          val seed = wavs.filter(col("name") === "fp_tone_a_44k")
+            .select(col("name").as("item_id"),
+              graft.plans.AudioFp(col("payload"), dstRate = 6000).as("fp"))
+            .select(col("item_id"), col("fp.hi").as("hi"), col("fp.lo").as("lo"))
+          val batch = wavs
+            .withColumn("pair_id", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("name")).cast("long"))
+            .select(col("pair_id"), col("name").as("img_name"), col("payload"),
+              concat(lit("audio transcript "), col("name")).as("caption"))
+          graft.ingest.IngestPipeline.ingestBatch(
+            batch, seed, trained, bands = 4, radius = 3, nShards = 4,
+            tmp.resolve("out").toString, batchId = 0L,
+            signature = graft.plans.AudioFp(_, dstRate = 6000))
+        }.resolve("out").toString
+        graft.ingest.IngestPipeline.audit(s, out)
+      },
+      Some {
+        import graft.functions.TextFns
+        val afp = MultimodalQueries.audioFpFixturePath
+        val radius = 3
+        val buckets = 512
+        val nShards = 4
+        def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
+        def ham(a: String, b: String) =
+          s"bit_count(xor($a.hi, $b.hi)) + bit_count(xor($a.lo, $b.lo))"
+        s"""WITH RECURSIVE wavs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('$afp')),
+           |src AS (SELECT name AS key, h, n FROM wavs),
+           |${MediaSql.wavFpCtes("src", 6000)},
+           |prs AS (
+           |  SELECT name,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS pair_id,
+           |    'audio transcript ' || name AS caption
+           |  FROM wavs),
+           |bsig AS (
+           |  SELECT p.pair_id, f.hi, f.lo
+           |  FROM prs p JOIN wavfp f ON f.key = p.name),
+           |csig AS (
+           |  SELECT key AS item_id, hi, lo FROM wavfp
+           |  WHERE key = 'fp_tone_a_44k'),
+           |ipairs AS (
+           |  SELECT a.pair_id AS id_a, b.pair_id AS id_b
+           |  FROM bsig a JOIN bsig b ON a.pair_id < b.pair_id
+           |  WHERE ${ham("a", "b")} <= $radius),
+           |iedges AS (
+           |  SELECT id_a AS src2, id_b AS dst FROM ipairs
+           |  UNION ALL SELECT id_b, id_a FROM ipairs),
+           |ireach(id, label) AS (
+           |  SELECT pair_id, pair_id FROM bsig
+           |  UNION
+           |  SELECT e.dst, r.label FROM ireach r JOIN iedges e ON e.src2 = r.id),
+           |reps AS (SELECT id AS pair_id, MIN(label) AS rep FROM ireach GROUP BY id),
+           |cdup AS (
+           |  SELECT b.pair_id AS rep, MIN(c.item_id) AS corpus_dup_of
+           |  FROM bsig b
+           |  JOIN reps r ON r.pair_id = b.pair_id AND r.rep = b.pair_id
+           |  JOIN csig c ON ${ham("b", "c")} <= $radius
+           |  GROUP BY 1),
+           |decided AS (
+           |  SELECT p.pair_id, p.caption,
+           |    CASE WHEN d.key IS NULL THEN 'quarantined_undecodable'
+           |         WHEN r.rep <> p.pair_id
+           |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
+           |         WHEN cd.corpus_dup_of IS NOT NULL
+           |           THEN 'corpus_dup:' || cd.corpus_dup_of
+           |         ELSE NULL END AS reject_reason
+           |  FROM prs p
+           |  LEFT JOIN wavfp d ON d.key = p.name
+           |  LEFT JOIN reps r ON r.pair_id = p.pair_id
+           |  LEFT JOIN cdup cd ON cd.rep = p.pair_id),
+           |ctoks2 AS (
+           |  SELECT source, unnest(${TextFns.tokensSql("text")}) AS term
+           |  FROM documents),
+           |by_bucket AS (
+           |  SELECT (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS rc,
+           |         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+           |  FROM ctoks2 GROUP BY 1),
+           |totals AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM by_bucket),
+           |weights AS (
+           |  SELECT bucket,
+           |         ${sd6(s"ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + $buckets AS DOUBLE))")} -
+           |         ${sd6(s"ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + $buckets AS DOUBLE))")} AS w
+           |  FROM by_bucket CROSS JOIN totals),
+           |adm AS (
+           |  SELECT pair_id, caption FROM decided WHERE reject_reason IS NULL),
+           |capfeats AS (
+           |  SELECT pair_id,
+           |         (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS cnt
+           |  FROM (SELECT pair_id, unnest(${TextFns.tokensSql("caption")}) AS term
+           |        FROM adm) GROUP BY 1, 2),
+           |capscore AS (
+           |  SELECT f.pair_id, SUM(f.cnt * w.w) AS sw
+           |  FROM capfeats f JOIN weights w USING (bucket) GROUP BY 1),
+           |admrows AS (
+           |  SELECT a.pair_id,
+           |    ${TextFns.md5Hash32Sql("CAST(a.pair_id AS VARCHAR)")} % $nShards AS shard,
+           |    CAST(${TextFns.tokenCountSql("a.caption")} AS BIGINT) AS n_tokens,
+           |    round(CAST(COALESCE(s.sw, 0) AS DOUBLE), 6) AS dsir_score
+           |  FROM adm a LEFT JOIN capscore s ON s.pair_id = a.pair_id)
+           |SELECT 'pair' AS kind, CAST(pair_id AS VARCHAR) AS key,
+           |  'admitted' AS detail, CAST(shard AS BIGINT) AS n1, n_tokens AS n2,
+           |  dsir_score AS x
+           |FROM admrows
+           |UNION ALL
+           |SELECT 'pair', CAST(pair_id AS VARCHAR), reject_reason,
+           |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+           |FROM decided WHERE reject_reason IS NOT NULL
+           |UNION ALL
+           |SELECT 'shard', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR),
+           |  COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+           |  CAST(CAST(SUM(pair_id) AS BIGINT) AS DOUBLE)
+           |FROM admrows GROUP BY shard
+           |UNION ALL
+           |SELECT 'drift', batch, CAST(drifted AS VARCHAR), n_terms,
+           |  chi2_micro, CAST(NULL AS DOUBLE)
+           |FROM (
+           |${graft.operators.Dsir.driftStatSql(
+               "SELECT 'audio transcript ' || name AS text FROM read_parquet('" +
+                 afp + "')",
+               "SELECT text FROM documents", "text", buckets,
+               20000.0, "batch_0")}
+           |)""".stripMargin
+      }),
   )
 }
