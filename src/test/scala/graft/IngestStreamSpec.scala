@@ -115,6 +115,41 @@ class IngestStreamSpec extends SparkSpec {
     assert(landedSig.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("the same DAG ingests an AUDIO stream by swapping the signature column") {
+    import spark.implicits._
+    val fx = graft.tools.GenAudioFpFixtures.fixtures()
+    val src = tmpDir("ingest_audio_src")
+    // batch 0: the original + a novel tone; batch 1: re-encodes of the
+    // batch-0 original (must reject against the GROWN index) + a negative
+    Seq(Seq(("fp_tone_a_44k", 1L), ("fp_tone_b_44k", 2L)),
+        Seq(("fp_tone_a_stereo", 3L), ("fp_tone_a_gain", 4L), ("fp_not_wav", 5L)))
+      .foreach { batch =>
+        batch.map { case (n, id) => (id, n, fx.toMap.apply(n),
+            s"audio transcript $n") }
+          .toDF("pair_id", "img_name", "payload", "caption")
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      }
+    val out = tmpDir("ingest_audio_out")
+    val q = IngestPipeline.stream(spark, src,
+      // empty seed corpus: batch 0 defines the index
+      Seq.empty[(String, Long, Long)].toDF("item_id", "hi", "lo"),
+      trained(), bands = 4, radius = 3, nShards = 4,
+      tmpDir("ingest_audio_ckpt"), out,
+      signature = graft.plans.AudioFp(_, dstRate = 6000))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val pairs = IngestPipeline.audit(spark, out)
+      .filter(col("kind") === "pair").collect()
+      .map(r => r.getString(1).toLong -> r.getString(2)).toMap
+    assert(pairs(1L) == "admitted" && pairs(2L) == "admitted")
+    // the two re-encodes fingerprint identically (both invariances are
+    // algebraic Hamming 0), so they first cluster INTRA-batch — the
+    // representative 3 then rejects against pair 1's signature ADMITTED
+    // in batch 0, and 4 folds into 3's component
+    assert(pairs(3L) == "corpus_dup:1" && pairs(4L) == "batch_dup:3")
+    assert(pairs(5L) == "quarantined_undecodable")
+  }
+
   test("the interrupted run equals an uninterrupted one, audit row for row") {
     val src = tmpDir("ingest_src2")
     writeSource(src)
