@@ -1214,6 +1214,65 @@ object Dedup {
       .select(col("id_new"), col("id_corpus"), col("hamming"))
   }
 
+  /** The PERSISTED corpus band index for [[hammingPairs64Probe]] —
+    * what makes the daily admit shape truly batch-linear. [[hammingPairs64Batch]]
+    * re-explodes and re-SHUFFLES the corpus side on every call: fine for
+    * one-off jobs, O(corpus) shuffle per micro-batch in an ingest loop.
+    * This explodes the corpus ONCE into (bk, id, hi, lo) — bk packs
+    * (band, chunk value) into one BIGINT so a single-column bucketed
+    * layout co-partitions the equi-join — for the caller to land as a
+    * bucketed table (`util.Layout.writeBucketed(idx, tbl, "bk", n)`).
+    * Per-batch probes then shuffle ONLY the batch's bands; the index is
+    * scanned in place, bucket-aligned, zero exchanges on the corpus side
+    * (spec-asserted). Incremental maintenance is the m12 pattern:
+    * admitted signatures append under their ingest_batch partition and
+    * fold into the next index build/compaction cycle.
+    */
+  def bandIndex64(sig: DataFrame, idCol: String, hiCol: String,
+      loCol: String, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands=$bands must cut 64 bits into chunks that divide 32 (no hi/lo straddle)")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val perHalf = 32 / bandBits
+    val bandVals = (0 until bands).map { j =>
+      val half = if (j < perHalf) col(hiCol) else col(loCol)
+      shiftright(half, 32 - bandBits * ((j % perHalf) + 1)).bitwiseAND(lit(mask))
+    }
+    sig.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo"),
+        posexplode(array(bandVals: _*)).as(Seq("band", "bv")))
+      .select((col("band").cast("long") * lit(1L << bandBits) + col("bv")).as("bk"),
+        col("id"), col("hi"), col("lo"))
+  }
+
+  /** [[hammingPairs64Batch]] against a PRE-BUILT [[bandIndex64]] relation
+    * (typically a bucketed table): identical output contract
+    * (id_new, id_corpus, hamming), identical pigeonhole exactness, but
+    * the corpus side is never exploded or shuffled here — only the
+    * batch's bands move.
+    */
+  def hammingPairs64Probe(index: DataFrame, batchSig: DataFrame,
+      idCol: String, hiCol: String, loCol: String, bands: Int = 4,
+      radius: Int = 3): DataFrame = {
+    require(radius < bands,
+      s"pigeonhole exactness needs radius < bands (got radius=$radius, bands=$bands)")
+    val batchBands = bandIndex64(batchSig, idCol, hiCol, loCol, bands)
+      .select(col("bk"), col("id").as("id_new"),
+        col("hi").as("hi_new"), col("lo").as("lo_new"))
+    batchBands
+      .join(index.select(col("bk"), col("id").as("id_corpus"),
+        col("hi").as("hi_corpus"), col("lo").as("lo_corpus")), Seq("bk"))
+      .select(col("id_new"), col("id_corpus"),
+        col("hi_new"), col("lo_new"), col("hi_corpus"), col("lo_corpus"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_new").bitwiseXOR(col("hi_corpus"))) +
+          bit_count(col("lo_new").bitwiseXOR(col("lo_corpus")))).cast("int"))
+      .where(col("hamming") <= radius)
+      .select(col("id_new"), col("id_corpus"), col("hamming"))
+  }
+
   /** [[hammingPairs64Batch]] oracle fragment: brute-force cross scan of
     * `batchRel(id, hi, lo)` against `corpusRel(id, hi, lo)`.
     */

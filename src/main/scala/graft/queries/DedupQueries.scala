@@ -406,6 +406,44 @@ object DedupQueries {
                bands = 4, radius = 3)}""".stripMargin
       }),
 
+    // The PERSISTED band index (d29): d27's admit join against a
+    // pre-built BUCKETED corpus band index instead of re-exploding the
+    // corpus per batch. hammingPairs64Batch shuffles O(corpus) bands on
+    // EVERY call — the band index is exploded once, landed bucketed by
+    // the packed (band, value) key, and per-batch probes shuffle only
+    // the batch's bands (the index scan is bucket-aligned, zero
+    // exchanges corpus-side — spec-asserted on the physical plan). This
+    // is the shape a 10^9-asset corpus actually serves daily ingest
+    // from; identical pigeonhole exactness, same brute-force oracle as
+    // d27.
+    Q("d29_image_dhash_index_probe",
+      (s, _) => {
+        val re = "_(reenc|up2x|bright|logo)$"
+        val sig = s.read.parquet(MultimodalQueries.dhashFixturePath)
+          .select(col("name"), graft.plans.DHashBmp(col("payload")).as("dh"))
+          .select(col("name"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+        val idxTab = s"g_dhash_bandidx_${LayoutQueries.tag("fixtures")}"
+        LayoutQueries.ensureTable(s, idxTab)(graft.util.Layout.writeBucketed(
+          Dedup.bandIndex64(sig.filter(!col("name").rlike(re)),
+            "name", "hi", "lo", bands = 4).repartition(8, col("bk")),
+          idxTab, "bk", 8, Some("bk")))
+        Dedup.hammingPairs64Probe(s.table(idxTab),
+          sig.filter(col("name").rlike(re)), "name", "hi", "lo",
+          bands = 4, radius = 3)
+      },
+      Some {
+        val re = "_(reenc|up2x|bright|logo)$"
+        s"""WITH imgs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('${MultimodalQueries.dhashFixturePath}')),
+           |src AS (SELECT name AS key, h, n FROM imgs),
+           |${graft.queries.MediaSql.bmpDHashCtes("src")}
+           |${Dedup.hammingPairs64BatchSql(
+               s"SELECT key AS id, hi, lo FROM bmpdhash WHERE regexp_matches(key, '$re')",
+               s"SELECT key AS id, hi, lo FROM bmpdhash WHERE NOT regexp_matches(key, '$re')",
+               bands = 4, radius = 3)}""".stripMargin
+      }),
+
     Q("d24_contamination_radius",
       (s, dir) => {
         val t = Tables(s, dir)

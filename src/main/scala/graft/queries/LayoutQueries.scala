@@ -31,7 +31,7 @@ object LayoutQueries {
   private def oncePerKey(key: String)(work: => Unit): Unit =
     written.computeIfAbsent(key, _ => { work; java.lang.Boolean.TRUE })
 
-  private def tag(dir: String): String =
+  private[queries] def tag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
@@ -40,7 +40,7 @@ object LayoutQueries {
     * survives from an earlier JVM — CTAS refuses such a location, so drop
     * the orphaned directory first.
     */
-  private def ensureTable(s: org.apache.spark.sql.SparkSession, table: String)
+  private[queries] def ensureTable(s: org.apache.spark.sql.SparkSession, table: String)
       (write: => Unit): Unit = oncePerKey(table) {
     if (!s.catalog.tableExists(table)) {
       val wh = new org.apache.hadoop.fs.Path(

@@ -115,6 +115,44 @@ class DHashSpec extends SparkSpec {
       "name", "hi", "lo", bands = 4, radius = 3).count() == 0)
   }
 
+  test("band-index probe equals the direct batch join; the index side never shuffles") {
+    import spark.implicits._
+    val sig = fx.toSeq.map { case (n, bytes) =>
+      val dh = dhash(bytes)
+      (n, dh.map(_._1), dh.map(_._2))
+    }.toDF("name", "hi", "lo")
+    val re = "_(reenc|up2x|bright|logo)$"
+    val corpus = sig.filter(!col("name").rlike(re))
+    val batch = sig.filter(col("name").rlike(re))
+    val tab = "g_dhash_bandidx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+    // a fresh catalog may not know a table whose warehouse dir survives
+    // from an earlier JVM — CTAS refuses such a location (the
+    // LayoutQueries.ensureTable discipline)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tab)
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    graft.util.Layout.writeBucketed(
+      graft.operators.Dedup.bandIndex64(corpus, "name", "hi", "lo", bands = 4)
+        .repartition(4, col("bk")),
+      tab, "bk", 4, Some("bk"))
+    val probe = graft.operators.Dedup.hammingPairs64Probe(
+      spark.table(tab), batch, "name", "hi", "lo", bands = 4, radius = 3)
+    val direct = graft.operators.Dedup.hammingPairs64Batch(
+      corpus, batch, "name", "hi", "lo", bands = 4, radius = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows(probe) == rows(direct))
+    assert(rows(probe).nonEmpty)
+    // the point of the index: the corpus side is scanned bucket-aligned,
+    // in place — its FileScan feeds the join with NO Exchange above it
+    probe.count() // settle AQE
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"index scan must be bucketed:\n$plan")
+  }
+
   test("pigeonhole recall: random radius-3 corruptions are always found") {
     // adversarial check of the band math (hi/lo split, MSB-first chunks):
     // flip <=3 random bits of a signature; the banded join must find the
