@@ -51,7 +51,12 @@ import graft.operators.{Dedup, Dsir}
   * bounded driver pulls (≤ buckets rows) computed ONCE per corpus
   * version, not per batch; scoring/sharding are narrow per-row
   * expressions. Nothing in the loop scans the corpus payloads — only the
-  * 3-column signature index.
+  * 3-column signature index. At 10⁹-asset corpus scale, swap the
+  * per-batch [[Dedup.hammingPairs64Batch]] call for a probe against the
+  * PERSISTED bucketed band index ([[Dedup.bandIndex64]] +
+  * [[Dedup.hammingPairs64Probe]], the d29 shape — measured flat across
+  * 50× corpus growth): admitted signatures keep appending per
+  * ingest_batch and fold into the index at each build/compaction cycle.
   */
 object IngestPipeline {
 
