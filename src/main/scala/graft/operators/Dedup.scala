@@ -1250,7 +1250,9 @@ object Dedup {
     * (typically a bucketed table): identical output contract
     * (id_new, id_corpus, hamming), identical pigeonhole exactness, but
     * the corpus side is never exploded or shuffled here — only the
-    * batch's bands move.
+    * batch's bands move. Same id contract as [[hammingPairs64Batch]]:
+    * unique non-null ids within each side, enforced by the caller (the
+    * index build is the natural place to dedup the corpus once).
     */
   def hammingPairs64Probe(index: DataFrame, batchSig: DataFrame,
       idCol: String, hiCol: String, loCol: String, bands: Int = 4,
