@@ -118,15 +118,33 @@ object Bench {
         s"""{"cpu_st_sec":${r3(c)},"stage_sec":${r3(s)},"scan_mb_per_s":${r3(m)}}"""
       case None => "null"
     }
-    val normalized = (envPre, envPost) match {
+    // bracket sanity (ADVICE r9): normalization assumes ONE stable stage
+    // cost across the whole sweep — when the pre/post probes disagree by
+    // >20% the box changed state mid-record and a single noisy bracket
+    // would silently rescale the headline, so fall back to the raw total
+    // and say so in the record.
+    val bracketsAgree = (envPre, envPost) match {
       case (Some((_, s1, _)), Some((_, s2, _))) =>
+        math.abs(s1 - s2) <= 0.2 * math.max(s1, s2)
+      case _ => false
+    }
+    val normalized = (envPre, envPost) match {
+      case (Some((_, s1, _)), Some((_, s2, _))) if bracketsAgree =>
         r3(total * graft.tools.EnvProbe.RefStageSec / ((s1 + s2) / 2))
       case _ => total
     }
+    // self-describing exclusions (ADVICE r9): which verifyDeep queries this
+    // record's "total" does NOT cover, so cross-round total comparisons
+    // can't silently mix inventories.
+    val ran = names.map(_._1).toSet
+    val deepExcluded = deepOnly.toSeq.sorted.filterNot(ran)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val envFrag =
       s""","env_pre":${envJson(envPre)},"env_post":${envJson(envPost)}""" +
         s""","ref_stage_sec":${graft.tools.EnvProbe.RefStageSec}""" +
-        s""","value_stage_normalized":$normalized"""
+        s""","brackets_agree":$bracketsAgree""" +
+        s""","value_stage_normalized":$normalized""" +
+        s""","deep_excluded":$deepExcluded"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs$envFrag,"queries":${jmap(results)},"sf":"$sfDir"}"""
     // the complete per-query record, printed first and optionally filed

@@ -24,8 +24,12 @@ import graft.operators.{Dedup, Dsir}
   *      against the corpus).
   *   3. ADMIT/REJECT — representatives' bands join the ACCUMULATED corpus
   *      index (the committed seed ∪ every previously-admitted batch's
-  *      signatures) via [[Dedup.hammingPairs64Batch]]: no self-join on
-  *      either side, per-batch cost linear in the batch.
+  *      signatures): no self-join on either side, per-batch cost linear
+  *      in the batch. Two interchangeable corpus sides
+  *      ([[BandIndexState]]): the direct [[Dedup.hammingPairs64Batch]]
+  *      join, or the persisted bucketed band-index probe
+  *      ([[Dedup.hammingPairs64Probe]] + tail) whose per-batch cost is
+  *      independent of corpus size.
   *   4. DSIR SCORE — admitted captions scored against the trained weight
   *      table ([[Dsir.withScore]], pure per-row codegen expression).
   *   5. DRIFT GATE — the batch's caption token distribution chi-squared
@@ -51,14 +55,44 @@ import graft.operators.{Dedup, Dsir}
   * bounded driver pulls (≤ buckets rows) computed ONCE per corpus
   * version, not per batch; scoring/sharding are narrow per-row
   * expressions. Nothing in the loop scans the corpus payloads — only the
-  * 3-column signature index. At 10⁹-asset corpus scale, swap the
-  * per-batch [[Dedup.hammingPairs64Batch]] call for a probe against the
-  * PERSISTED bucketed band index ([[Dedup.bandIndex64]] +
-  * [[Dedup.hammingPairs64Probe]], the d29 shape — measured flat across
-  * 50× corpus growth): admitted signatures keep appending per
-  * ingest_batch and fold into the index at each build/compaction cycle.
+  * 3-column signature index. At 10⁹-asset corpus scale the admit step
+  * PROBES the persisted bucketed band index instead of re-shuffling the
+  * accumulated signature relation: pass
+  * `admitIndex = () => Some(BandIndexState(table, watermark))` (the d29
+  * shape — measured flat across 50× corpus growth; [[buildIndex]]
+  * bootstraps it, [[compactIndex]] folds admitted tails in, and the
+  * declared m12/m13 queries run this path). See [[BandIndexState]] for
+  * the exact semantics, including overlap tolerance across
+  * compaction/kill races.
   */
 object IngestPipeline {
+
+  /** The admit step's corpus-pair source for one micro-batch.
+    *
+    * `None` (direct): [[Dedup.hammingPairs64Batch]] against the
+    * accumulated signature relation — re-explodes and re-SHUFFLES the
+    * corpus on every micro-batch. Fine at bootstrap/fixture scale;
+    * O(corpus) per batch in a long-running loop.
+    *
+    * `Some(BandIndexState(table, compactedThrough))` (probe): the d29
+    * shape — a PERSISTED bucketed [[Dedup.bandIndex64]] table covering
+    * seed ∪ admitted(ingest_batch <= compactedThrough) is probed in
+    * place ([[Dedup.hammingPairs64Probe]], zero corpus-side exchanges —
+    * the scan is bucket-aligned), and only the TAIL (signatures admitted
+    * by batches after the watermark) is exploded per batch. Per-batch
+    * cost: O(batch + tail), with the tail bounded by the compaction
+    * cadence — independent of corpus size.
+    *
+    * The state is resolved through a thunk EVERY micro-batch, so a
+    * compaction that lands between batches takes effect without
+    * restarting the stream. Overlap tolerance: if compaction rewrote the
+    * index but the caller's watermark is stale (kill between compaction
+    * and the state swap), the tail re-covers batches already folded into
+    * the index — pairs found on BOTH paths collapse in the admit min()
+    * aggregate, so nothing is duplicated or dropped (spec-asserted,
+    * IngestStreamSpec).
+    */
+  final case class BandIndexState(table: String, compactedThrough: Long)
 
   /** Corpus-version artifacts, trained ONCE and shipped to every batch:
     * DSIR weight table, drift reference distribution, both ≤ `buckets`
@@ -115,6 +149,95 @@ object IngestPipeline {
         .select(col("pair_id").cast("string").as("item_id"),
           col("hi"), col("lo")))
 
+  /** One micro-batch's (batch-representative × corpus) near-dup pairs —
+    * the admit step's corpus side, on either the direct path or the
+    * persisted-index probe path (see [[BandIndexState]]). Factored out of
+    * [[ingestBatch]] so the spec can assert the probe path's PHYSICAL
+    * plan: the index scan is bucket-aligned, with no Exchange above it.
+    * Output (id_new, id_corpus, hamming); duplicates across the
+    * probe/tail union are tolerated by contract — the caller aggregates
+    * with min().
+    */
+  private[graft] def admitPairs(spark: SparkSession, seedSig: DataFrame,
+      reps: DataFrame, outDir: String, batchId: Long, bands: Int,
+      radius: Int, state: Option[BandIndexState]): DataFrame = state match {
+    case None =>
+      Dedup.hammingPairs64Batch(
+        corpusIndex(spark, seedSig, outDir, batchId), reps,
+        "item_id", "hi", "lo", bands, radius)
+    case Some(BandIndexState(table, compactedThrough)) =>
+      // the bucketed index covers seed ∪ admitted(<= compactedThrough):
+      // scanned in place, zero corpus-side exchanges
+      val probed = Dedup.hammingPairs64Probe(spark.table(table), reps,
+        "item_id", "hi", "lo", bands, radius)
+      // the not-yet-compacted tail: admitted by batches after the
+      // watermark and before this one — bounded by compaction cadence
+      val tail = read(spark, s"$outDir/admitted", AdmittedSchema)
+        .filter(col("ingest_batch") > compactedThrough &&
+          col("ingest_batch") < batchId)
+        .select(col("pair_id").cast("string").as("item_id"),
+          col("hi"), col("lo"))
+      probed.unionByName(Dedup.hammingPairs64Batch(tail, reps,
+        "item_id", "hi", "lo", bands, radius))
+  }
+
+  /** Build (or fully REBUILD) the persisted bucketed band index covering
+    * seed ∪ admitted(ingest_batch <= through): the once-per-bootstrap
+    * explode the probe path amortizes. Drops any orphaned warehouse
+    * directory first (a fresh in-memory catalog may not know a table
+    * whose directory survives from an earlier JVM — CTAS refuses such a
+    * location).
+    */
+  def buildIndex(spark: SparkSession, seedSig: DataFrame, outDir: String,
+      table: String, nBuckets: Int, bands: Int, through: Long): BandIndexState = {
+    dropTable(spark, table)
+    graft.util.Layout.writeBucketed(
+      Dedup.bandIndex64(corpusIndex(spark, seedSig, outDir, through + 1),
+          "item_id", "hi", "lo", bands)
+        .repartition(nBuckets, col("bk")),
+      table, "bk", nBuckets, Some("bk"))
+    BandIndexState(table, through)
+  }
+
+  /** FOLD-IN compaction: extend the index from watermark
+    * `state.compactedThrough` to `newThrough` by appending the tail's
+    * band rows — the already-indexed corpus is copied bucket-to-bucket,
+    * never re-exploded or re-banded. Writes a NEW table (`newTable` must
+    * differ from the old: Spark rightly refuses to overwrite a relation
+    * its plan still reads, and versioned tables are the crash-safe shape
+    * anyway — the old index stays readable until the caller swaps its
+    * [[BandIndexState]]). A kill BETWEEN this compaction and the state
+    * swap is safe: the stale state's tail overlaps the new index, and
+    * overlap collapses in the admit min() (see [[BandIndexState]]).
+    * Declared-proven fold-in ≡ rebuild ≡ brute force (d31).
+    */
+  def compactIndex(spark: SparkSession, state: BandIndexState,
+      outDir: String, newTable: String, nBuckets: Int, bands: Int,
+      newThrough: Long): BandIndexState = {
+    require(newTable != state.table,
+      s"compaction must write a NEW versioned table (got ${state.table} twice)")
+    val tailSig = read(spark, s"$outDir/admitted", AdmittedSchema)
+      .filter(col("ingest_batch") > state.compactedThrough &&
+        col("ingest_batch") <= newThrough)
+      .select(col("pair_id").cast("string").as("item_id"),
+        col("hi"), col("lo"))
+    dropTable(spark, newTable)
+    graft.util.Layout.writeBucketed(
+      spark.table(state.table)
+        .unionByName(Dedup.bandIndex64(tailSig, "item_id", "hi", "lo", bands))
+        .repartition(nBuckets, col("bk")),
+      newTable, "bk", nBuckets, Some("bk"))
+    BandIndexState(newTable, newThrough)
+  }
+
+  private def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
   /** ONE batch through the whole DAG; lands admitted / rejected / drift
     * under `ingest_batch=batchId` with dynamic partition overwrite.
     * `batch` columns: (pair_id BIGINT, img_name, payload BINARY, caption).
@@ -129,7 +252,8 @@ object IngestPipeline {
       bands: Int, radius: Int, nShards: Int, outDir: String,
       batchId: Long,
       signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        graft.plans.DHashBmp(_)): Unit = {
+        graft.plans.DHashBmp(_),
+      admitIndex: () => Option[BandIndexState] = () => None): Unit = {
     val spark = batch.sparkSession
     val sig = batch
       .select(col("pair_id"), col("img_name"), col("caption"),
@@ -139,17 +263,18 @@ object IngestPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. intra-batch components; min pair_id represents each component
     val comp = Dedup.connectedComponents(
-      Dedup.hammingPairs64(sig, "pair_id", "hi", "lo", bands, radius))
+      Dedup.hammingPairs64(sig, "pair_id", "hi", "lo", bands, radius,
+        checkIds = false)) // pair_id is the stream's natural unique key
     val withRep = sig.filter(col("hi").isNotNull)
       .join(comp.withColumnRenamed("id", "pair_id"), Seq("pair_id"), "left")
       .withColumn("rep", coalesce(col("cluster"), col("pair_id")))
-    // 3. representatives vs the accumulated index (strictly earlier batches)
-    val index = corpusIndex(spark, seedSig, outDir, batchId)
-    val corpusDup = Dedup.hammingPairs64Batch(
-        index,
-        withRep.filter(col("pair_id") === col("rep"))
-          .select(col("pair_id").as("item_id"), col("hi"), col("lo")),
-        "item_id", "hi", "lo", bands, radius)
+    // 3. representatives vs the accumulated index (strictly earlier
+    // batches) — direct join or persisted-index probe per [[BandIndexState]]
+    val reps = withRep.filter(col("pair_id") === col("rep"))
+      .select(col("pair_id").as("item_id"), col("hi"), col("lo"))
+    val corpusDup =
+      admitPairs(spark, seedSig, reps, outDir, batchId, bands, radius,
+        admitIndex())
       .groupBy(col("id_new").as("rep"))
       .agg(min(col("id_corpus")).as("corpus_dup_of"))
     val decided = withRep.join(corpusDup, Seq("rep"), "left")
@@ -185,10 +310,13 @@ object IngestPipeline {
       .select(col("pair_id"), col("img_name"), col("reject_reason")),
       "rejected", Nil)
     // 5. drift gate over the WHOLE batch's captions (the firehose
-    // distribution, not just survivors)
+    // distribution, not just survivors). allowEmpty: a zero-token batch
+    // lands a drifted=NULL row instead of throwing — a throw inside
+    // foreachBatch replays deterministically and wedges the stream on
+    // that batch forever.
     land(Dsir.driftStat(sig.select(col("caption").as("text")), "text",
       trained.dist, trained.distTotal, trained.buckets,
-      trained.driftThreshold, s"batch_$batchId"), "drift", Nil)
+      trained.driftThreshold, s"batch_$batchId", allowEmpty = true), "drift", Nil)
     sig.unpersist()
   }
 
@@ -201,7 +329,8 @@ object IngestPipeline {
       trained: Trained, bands: Int, radius: Int, nShards: Int,
       checkpoint: String, outDir: String,
       signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        graft.plans.DHashBmp(_)): StreamingQuery =
+        graft.plans.DHashBmp(_),
+      admitIndex: () => Option[BandIndexState] = () => None): StreamingQuery =
     spark.readStream
       .schema("pair_id BIGINT, img_name STRING, payload BINARY, caption STRING")
       .option("maxFilesPerTrigger", 1)
@@ -210,7 +339,7 @@ object IngestPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         ingestBatch(b, seedSig, trained, bands, radius, nShards, outDir, id,
-          signature)
+          signature, admitIndex)
       }
       .start()
 

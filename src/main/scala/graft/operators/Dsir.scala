@@ -254,7 +254,7 @@ object Dsir {
     */
   def driftStat(batch: DataFrame, textCol: String, trained: Map[Long, Long],
       trainTotal: Long, buckets: Int, threshold: Double,
-      label: String): DataFrame = {
+      label: String, allowEmpty: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets ($buckets) must be positive")
     val d = trainTotal + buckets
     val obs = batch
@@ -264,6 +264,29 @@ object Dsir {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = Option(obs.agg(sum(col("obs"))).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (n == 0 && allowEmpty) {
+      // A zero-token batch (all-empty captions, or an empty replayed
+      // micro-batch) carries no distribution to test. In a streaming
+      // foreachBatch a throw here is FATAL-forever: replay is
+      // deterministic, so the same batch throws on every restart and the
+      // stream wedges permanently on it. Callers in the streaming path
+      // ask for a NULL verdict row instead (drifted unknown, not false) —
+      // the landed record still shows the batch happened.
+      obs.unpersist()
+      val spark = batch.sparkSession
+      return spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(label, 0L, 0L, null)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_terms",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("chi2_micro",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("drifted",
+            org.apache.spark.sql.types.BooleanType, nullable = true))))
+    }
     require(n > 0, "drift monitor needs a non-empty batch (0 tokens)")
     // the KsTest/Gini overflow discipline: diff must stay exact in BIGINT
     require(n.toDouble * d < 9e18,

@@ -524,10 +524,23 @@ object MarketQueries {
             .select(col("name").as("item_id"),
               graft.plans.DHashBmp(col("payload")).as("dh"))
             .select(col("item_id"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+          // the DECLARED query runs the PROBE path (the 100 TB shape):
+          // admit joins the persisted bucketed seed band index, not a
+          // per-batch re-shuffle of the signature relation. Seed-only
+          // index (through = -1), pure function of the fixtures ⇒ built
+          // once per session. Identical oracle — the two corpus sides
+          // are pigeonhole-equal by the d29/d31 proofs.
+          val idxTab = "g_m12_seed_bandidx"
+          LayoutQueries.ensureTable(s, idxTab)(
+            graft.ingest.IngestPipeline.buildIndex(s, seed,
+              tmp.resolve("out").toString, idxTab, nBuckets = 8, bands = 4,
+              through = -1L))
           graft.ingest.IngestPipeline.ingestBatch(
             s.read.parquet(MultimodalQueries.xmodalFixturePath),
             seed, trained, bands = 4, radius = 3, nShards = 4,
-            tmp.resolve("out").toString, batchId = 0L)
+            tmp.resolve("out").toString, batchId = 0L,
+            admitIndex = () => Some(
+              graft.ingest.IngestPipeline.BandIndexState(idxTab, -1L)))
         }.resolve("out").toString
         graft.ingest.IngestPipeline.audit(s, out)
       },
@@ -670,10 +683,20 @@ object MarketQueries {
               org.apache.spark.sql.expressions.Window.orderBy("name")).cast("long"))
             .select(col("pair_id"), col("name").as("img_name"), col("payload"),
               concat(lit("audio transcript "), col("name")).as("caption"))
+          // probe path, like m12: seed-only bucketed band index (the
+          // audio seed is one fingerprint — the machinery is identical
+          // because admit is pure Hamming-space)
+          val idxTab = "g_m13_seed_bandidx"
+          LayoutQueries.ensureTable(s, idxTab)(
+            graft.ingest.IngestPipeline.buildIndex(s, seed,
+              tmp.resolve("out").toString, idxTab, nBuckets = 8, bands = 4,
+              through = -1L))
           graft.ingest.IngestPipeline.ingestBatch(
             batch, seed, trained, bands = 4, radius = 3, nShards = 4,
             tmp.resolve("out").toString, batchId = 0L,
-            signature = graft.plans.AudioFp(_, dstRate = 6000))
+            signature = graft.plans.AudioFp(_, dstRate = 6000),
+            admitIndex = () => Some(
+              graft.ingest.IngestPipeline.BandIndexState(idxTab, -1L)))
         }.resolve("out").toString
         graft.ingest.IngestPipeline.audit(s, out)
       },

@@ -129,7 +129,15 @@ object GenScaleData {
       if (onlyTables.forall(_.contains(name))) writeAll(name, dsThunk)
     def writeAll[T](name: String, ds: Dataset[T]): Unit = {
       val tmp = s"$outDir/_tmp_$name"
-      ds.coalesce(math.max(1, outFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // coalesce can only REDUCE partition count — if the generated
+      // dataset has fewer partitions than the requested file count the
+      // split-starvation fix would silently not apply (ADVICE r9), so
+      // repartition (a real shuffle, fine in a generator) when growing.
+      val n = math.max(1, outFiles)
+      val shaped =
+        if (n == 1 || ds.rdd.getNumPartitions >= n) ds.coalesce(n)
+        else ds.repartition(n)
+      shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
       val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .iterator()

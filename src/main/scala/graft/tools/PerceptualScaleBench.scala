@@ -158,7 +158,11 @@ object PerceptualScaleBench {
       }
       val (selfSec, selfPairs) =
         if (runSelf) sample {
-          Dedup.hammingPairs64(corpus, "id", "hi", "lo", bands, radius = 3).count()
+          // checkIds off: ids are a generated sequence (unique by
+          // construction) and the two guard jobs would sit inside the
+          // timed region, skewing the self-shape scaling readout
+          Dedup.hammingPairs64(corpus, "id", "hi", "lo", bands, radius = 3,
+            checkIds = false).count()
         } else (-1.0, -1L)
       println(s"""{"metric":"perceptual_scale","rows":$n,"bands":$bands,""" +
         s""""batch_rows":$batchRows,"batch_sec":${r3(batchSec)},""" +

@@ -48,9 +48,12 @@ class IngestStreamSpec extends SparkSpec {
   }
 
   private def runStream(src: String, ckpt: String, out: String,
-      killAfterBatches: Option[Int]): Unit = {
+      killAfterBatches: Option[Int],
+      admitIndex: () => Option[IngestPipeline.BandIndexState] =
+        () => None): Unit = {
     val q = IngestPipeline.stream(spark, src, seedSig(), trained(),
-      bands = 4, radius = 3, nShards = 4, ckpt, out)
+      bands = 4, radius = 3, nShards = 4, ckpt, out,
+      admitIndex = admitIndex)
     killAfterBatches match {
       case Some(k) =>
         val deadline = System.currentTimeMillis() + 120000
@@ -161,5 +164,99 @@ class IngestStreamSpec extends SparkSpec {
     assert(auditRows(outA) == auditRows(outB),
       "kill/restart must land byte-identical audit rows")
     assert(auditRows(outA).nonEmpty)
+  }
+
+  test("probe path + mid-stream fold-in compaction equals the direct path") {
+    // reference: the direct path, uninterrupted
+    val src = tmpDir("ingest_src_probe")
+    writeSource(src)
+    val refOut = tmpDir("ingest_probe_ref")
+    runStream(src, tmpDir("ingest_probe_refck"), refOut, None)
+    val ref = auditRows(refOut)
+
+    // probe path: seed-only index v0 → two batches → kill → FOLD-IN
+    // compaction to v1 (watermark 1) → swap the state → restart. Batch 2
+    // must reject pair 8 against pair 6's signature, which at that point
+    // lives ONLY in the compacted index (tail is empty past watermark 1).
+    val out = tmpDir("ingest_probe_out")
+    val ckpt = tmpDir("ingest_probe_ck")
+    var state = IngestPipeline.buildIndex(spark, seedSig(), out,
+      "g_ingestspec_idx_v0", nBuckets = 4, bands = 4, through = -1L)
+    runStream(src, ckpt, out, Some(2), () => Some(state))
+    state = IngestPipeline.compactIndex(spark, state, out,
+      "g_ingestspec_idx_v1", nBuckets = 4, bands = 4, newThrough = 1L)
+    runStream(src, ckpt, out, None, () => Some(state))
+    assert(auditRows(out) == ref,
+      "probe path with fold-in compaction must land the direct path's rows")
+    assert(ref.nonEmpty)
+  }
+
+  test("a kill between compaction and the watermark swap neither dups nor drops") {
+    // task-8 failure window: compaction landed (the v1 table exists) but
+    // the process died before the watermark state was swapped — the
+    // restart runs with a STALE watermark, so the tail re-covers batches
+    // already folded into the index it probes... except the stale state
+    // still POINTS at v0. The genuinely dangerous overlap is the other
+    // registration order: state picked up the new TABLE but not the new
+    // watermark. Run exactly that — probe v1 (which contains batches
+    // 0..1) with watermark -1 (tail also re-reads batches 0..1): every
+    // corpus pair is found TWICE, once per side, and the admit min()
+    // must collapse the duplicates so the audit is row-identical.
+    val src = tmpDir("ingest_src_race")
+    writeSource(src)
+    val refOut = tmpDir("ingest_race_ref")
+    runStream(src, tmpDir("ingest_race_refck"), refOut, None)
+    val ref = auditRows(refOut)
+
+    val out = tmpDir("ingest_race_out")
+    val ckpt = tmpDir("ingest_race_ck")
+    var state = IngestPipeline.buildIndex(spark, seedSig(), out,
+      "g_ingestspec_race_v0", nBuckets = 4, bands = 4, through = -1L)
+    runStream(src, ckpt, out, Some(2), () => Some(state))
+    val compacted = IngestPipeline.compactIndex(spark, state, out,
+      "g_ingestspec_race_v1", nBuckets = 4, bands = 4, newThrough = 1L)
+    // stale watermark: new table, OLD watermark — maximal overlap
+    state = IngestPipeline.BandIndexState(compacted.table, -1L)
+    runStream(src, ckpt, out, None, () => Some(state))
+    assert(auditRows(out) == ref,
+      "index/tail overlap after a compaction race must collapse, not dup")
+  }
+
+  test("the probe path's corpus index scans bucket-aligned, no corpus-side exchange") {
+    import spark.implicits._
+    val out = tmpDir("ingest_plan_out")
+    val state = IngestPipeline.buildIndex(spark, seedSig(), out,
+      "g_ingestspec_plan_idx", nBuckets = 4, bands = 4, through = -1L)
+    val reps = Seq(("7", 0x12345678L, 0x0abcdef0L))
+      .toDF("item_id", "hi", "lo")
+    val pairs = IngestPipeline.admitPairs(spark, seedSig(), reps, out,
+      batchId = 5L, bands = 4, radius = 3, Some(state))
+    pairs.count() // settle AQE
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"the admit probe must scan the band index bucket-aligned:\n$plan")
+  }
+
+  test("a zero-token batch lands a drifted=NULL verdict instead of wedging") {
+    import spark.implicits._
+    // empty captions: driftStat's require(n > 0) would throw INSIDE
+    // foreachBatch — and a deterministic replay re-throws forever. The
+    // pipeline must land the batch with an unknown drift verdict instead.
+    val batch = Seq((1L, "img_a", Array[Byte](1, 2, 3), ""),
+        (2L, "img_b", Array[Byte](4, 5, 6), "   "))
+      .toDF("pair_id", "img_name", "payload", "caption")
+    val out = tmpDir("ingest_zerotok_out")
+    IngestPipeline.ingestBatch(batch, seedSig(), trained(),
+      bands = 4, radius = 3, nShards = 4, out, batchId = 0L)
+    val drift = IngestPipeline.audit(spark, out)
+      .filter(col("kind") === "drift").collect()
+    assert(drift.length == 1)
+    assert(drift(0).getString(1) == "batch_0")
+    assert(drift(0).getString(2) == null, "drift verdict must be NULL (unknown)")
+    // replay is not wedged: the same batch lands again, idempotently
+    IngestPipeline.ingestBatch(batch, seedSig(), trained(),
+      bands = 4, radius = 3, nShards = 4, out, batchId = 0L)
+    assert(IngestPipeline.audit(spark, out)
+      .filter(col("kind") === "drift").count() == 1)
   }
 }
