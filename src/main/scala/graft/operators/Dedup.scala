@@ -610,6 +610,81 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / CAST(sb.n_sh + sc.n_sh - n_common AS DOUBLE) >= $threshold""".stripMargin
   }
 
+  /** The PERSISTED MinHash band index for [[incrementalDupPairsProbe]] —
+    * the text-side analog of [[bandIndex64]] (d30 closes the same flaw
+    * d29 closed for perceptual signatures): [[incrementalDupPairs]]
+    * recomputes and re-SHUFFLES the corpus's minhash band relation on
+    * every call — O(corpus) signature work + shuffle per micro-batch in
+    * a daily text-ingest loop. This computes the corpus's signatures and
+    * bands ONCE into (bk, band, sig, id), where `bk = xxhash64(band, sig)`
+    * packs the string band signature into one BIGINT so a single-column
+    * bucketed layout co-partitions the probe join. `bk` is ONLY a
+    * bucketing/join key — the probe also matches the raw (band, sig), so
+    * a 64-bit collision can never fabricate a candidate (and candidates
+    * are exact-Jaccard-verified regardless). Land it with
+    * `util.Layout.writeBucketed(idx, tbl, "bk", n)`; maintenance is the
+    * d31 fold-in pattern: new admitted docs' band rows append and fold in
+    * at each compaction cycle, bucket layout preserved.
+    */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    bandRelation(minhashSignatures(df, idCol, textCol, n, numHashes),
+        numHashes / rowsPerBand, rowsPerBand)
+      .select(xxhash64(col("band"), col("sig")).as("bk"),
+        col("band"), col("sig"), col("id"))
+  }
+
+  /** [[incrementalDupPairs]] against a PRE-BUILT [[minhashBandIndex]]
+    * relation (typically a bucketed table): identical output contract
+    * (batch_id, corpus_id, jaccard) and identical semantics — candidates
+    * from shared band signatures, exact-shingle-Jaccard verification at
+    * `threshold` — but the corpus's signatures are never recomputed and
+    * its band relation never reshuffled here. Per batch this pays:
+    * the BATCH's signature build (batch-linear), a bucket-aligned probe
+    * join (only the batch's bands move — the index scan is in-place,
+    * zero corpus-side exchanges, spec-asserted), and verification whose
+    * corpus side is PRUNED to the candidate ids by a semi-join before
+    * any shingle is computed — candidate counts are batch-linear by the
+    * banding argument, so AQE broadcasts the id set and the corpus scan
+    * stays shuffle-free. `corpus` supplies (idCol, textCol) for exactly
+    * that verification read; ids must be unique within each side and
+    * disjoint across sides (same contract as [[incrementalDupPairs]]).
+    */
+  def incrementalDupPairsProbe(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val numBands = numHashes / rowsPerBand
+    val bBands = bandRelation(
+        minhashSignatures(batch, idCol, textCol, n, numHashes),
+        numBands, rowsPerBand)
+      .select(xxhash64(col("band"), col("sig")).as("bk"),
+        col("band"), col("sig"), col("id").as("id_a"))
+    val cands = bBands
+      .join(index.select(col("bk"), col("band"), col("sig"),
+        col("id").as("id_b")), Seq("bk", "band", "sig"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification reads shingles for the batch plus ONLY the corpus docs
+    // that appear as candidates (left-semi prune before shingling)
+    val prunedCorpus = corpus.join(
+      cands.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val arrs = shingleStructs(
+      prunedCorpus.select(col(idCol), col(textCol))
+        .unionByName(batch.select(col(idCol), col(textCol))),
+      idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(
+      verifyPairs(cands, arrs, threshold)
+        .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+          col("jaccard")),
+      arrs, cands)
+  }
+
   /** The practical corpus-cleaning operator: drop near-duplicates, keeping
     * the lowest-id representative of each duplicate relation. Greedy
     * keep-first (a doc is dropped if it pairs with ANY lower-id doc) — the

@@ -109,6 +109,34 @@ object DedupQueries {
         "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
         "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold))),
 
+    // The PERSISTED MinHash band index (d30): d12's incremental admit
+    // against a pre-built BUCKETED corpus band index — the text-side d29.
+    // incrementalDupPairs recomputes the corpus's minhash signatures and
+    // reshuffles its band relation on EVERY batch (O(corpus) per call);
+    // here the corpus's bands are computed once, landed bucketed by the
+    // packed xxhash64(band, sig) key, and the per-batch probe moves only
+    // the batch's bands — the index scan is bucket-aligned in place
+    // (zero corpus-side exchanges, spec-asserted), and verification
+    // semi-join-prunes the corpus to candidate ids before shingling.
+    // Identical semantics to d12, same oracle.
+    Q("d30_incremental_dups_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val idxTab = s"g_doc_minhash_bandidx_${LayoutQueries.tag(dir)}"
+        LayoutQueries.ensureTable(s, idxTab)(graft.util.Layout.writeBucketed(
+          Dedup.minhashBandIndex(corpus, "doc_id", "text",
+            N, NumHashes, RowsPerBand).repartition(8, col("bk")),
+          idxTab, "bk", 8, Some("bk")))
+        Dedup.incrementalDupPairsProbe(s.table(idxTab), corpus,
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold)
+      },
+      Some(Dedup.incrementalDupPairsSql(
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text", N, NumHashes, RowsPerBand, LshThreshold))),
+
     // Directional containment: a short doc pasted whole into a longer one
     // scores containment ~1 while symmetric Jaccard stays low — the pairs
     // d03/d04 are structurally blind to.
@@ -428,6 +456,56 @@ object DedupQueries {
             "name", "hi", "lo", bands = 4).repartition(8, col("bk")),
           idxTab, "bk", 8, Some("bk")))
         Dedup.hammingPairs64Probe(s.table(idxTab),
+          sig.filter(col("name").rlike(re)), "name", "hi", "lo",
+          bands = 4, radius = 3)
+      },
+      Some {
+        val re = "_(reenc|up2x|bright|logo)$"
+        s"""WITH imgs AS (
+           |  SELECT name, hex(payload) AS h, octet_length(payload) AS n
+           |  FROM read_parquet('${MultimodalQueries.dhashFixturePath}')),
+           |src AS (SELECT name AS key, h, n FROM imgs),
+           |${graft.queries.MediaSql.bmpDHashCtes("src")}
+           |${Dedup.hammingPairs64BatchSql(
+               s"SELECT key AS id, hi, lo FROM bmpdhash WHERE regexp_matches(key, '$re')",
+               s"SELECT key AS id, hi, lo FROM bmpdhash WHERE NOT regexp_matches(key, '$re')",
+               bands = 4, radius = 3)}""".stripMargin
+      }),
+
+    // Index MAINTENANCE (d31): fold-in compaction ≡ full rebuild ≡ brute
+    // force. The d29 index is not static — admitted signatures keep
+    // arriving — and the maintenance contract is that a compaction cycle
+    // APPENDS the tail's band rows to the existing index without
+    // re-exploding (or even re-reading the payloads of) the already-
+    // indexed corpus. Here the corpus is split into an initially-indexed
+    // half and a later-admitted tail; the compacted index = initial
+    // table's rows ∪ bandIndex64(tail), rewritten bucketed. The batch's
+    // logo re-encode can only be found through a TAIL signature
+    // (scene_b lives in the appended half), so the hash proves the
+    // fold-in genuinely extends coverage — against the same brute-force
+    // full-corpus oracle d29 probes its full-rebuild index against,
+    // which makes fold-in ≡ rebuild transitive and both hash-gated.
+    Q("d31_image_index_compaction",
+      (s, _) => {
+        val re = "_(reenc|up2x|bright|logo)$"
+        val sig = s.read.parquet(MultimodalQueries.dhashFixturePath)
+          .select(col("name"), graft.plans.DHashBmp(col("payload")).as("dh"))
+          .select(col("name"), col("dh.hi").as("hi"), col("dh.lo").as("lo"))
+        val corpus = sig.filter(!col("name").rlike(re))
+        val initTab = s"g_dhash_bandidx_init_${LayoutQueries.tag("fixtures")}"
+        val compTab = s"g_dhash_bandidx_comp_${LayoutQueries.tag("fixtures")}"
+        LayoutQueries.ensureTable(s, initTab)(graft.util.Layout.writeBucketed(
+          Dedup.bandIndex64(corpus.filter(col("name") < "scene_b"),
+            "name", "hi", "lo", bands = 4).repartition(8, col("bk")),
+          initTab, "bk", 8, Some("bk")))
+        LayoutQueries.ensureTable(s, compTab)(graft.util.Layout.writeBucketed(
+          s.table(initTab)
+            .unionByName(Dedup.bandIndex64(
+              corpus.filter(col("name") >= "scene_b"),
+              "name", "hi", "lo", bands = 4))
+            .repartition(8, col("bk")),
+          compTab, "bk", 8, Some("bk")))
+        Dedup.hammingPairs64Probe(s.table(compTab),
           sig.filter(col("name").rlike(re)), "name", "hi", "lo",
           bands = 4, radius = 3)
       },

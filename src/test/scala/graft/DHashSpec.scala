@@ -153,6 +153,55 @@ class DHashSpec extends SparkSpec {
       s"index scan must be bucketed:\n$plan")
   }
 
+  test("fold-in compaction preserves the bucketed exchange-free scan") {
+    import spark.implicits._
+    val sig = fx.toSeq.map { case (n, bytes) =>
+      val dh = dhash(bytes)
+      (n, dh.map(_._1), dh.map(_._2))
+    }.toDF("name", "hi", "lo")
+    val re = "_(reenc|up2x|bright|logo)$"
+    val corpus = sig.filter(!col("name").rlike(re))
+    val batch = sig.filter(col("name").rlike(re))
+    def freshTable(tab: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS $tab")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tab)
+      val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (whFs.exists(wh)) whFs.delete(wh, true)
+      tab
+    }
+    val init = freshTable("g_dhash_compact_spec_init")
+    graft.util.Layout.writeBucketed(
+      graft.operators.Dedup.bandIndex64(
+          corpus.filter(col("name") < "scene_b"), "name", "hi", "lo", bands = 4)
+        .repartition(4, col("bk")),
+      init, "bk", 4, Some("bk"))
+    // the fold-in: existing index rows ∪ the tail's band rows only
+    val comp = freshTable("g_dhash_compact_spec_comp")
+    graft.util.Layout.writeBucketed(
+      spark.table(init)
+        .unionByName(graft.operators.Dedup.bandIndex64(
+          corpus.filter(col("name") >= "scene_b"), "name", "hi", "lo", bands = 4))
+        .repartition(4, col("bk")),
+      comp, "bk", 4, Some("bk"))
+    val probe = graft.operators.Dedup.hammingPairs64Probe(
+      spark.table(comp), batch, "name", "hi", "lo", bands = 4, radius = 3)
+    // fold-in equals a full rebuild equals the direct join
+    val direct = graft.operators.Dedup.hammingPairs64Batch(
+      corpus, batch, "name", "hi", "lo", bands = 4, radius = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows(probe) == rows(direct))
+    // a pair only findable through the APPENDED half — the fold-in is
+    // load-bearing, not vacuous
+    assert(rows(probe).exists(_._2 == "scene_b"))
+    // the compacted table still planes the exchange-free bucket-aligned scan
+    probe.count()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"compacted index scan must stay bucketed:\n$plan")
+  }
+
   test("pigeonhole recall: random radius-3 corruptions are always found") {
     // adversarial check of the band math (hi/lo split, MSB-first chunks):
     // flip <=3 random bits of a signature; the banded join must find the
