@@ -277,6 +277,76 @@ object EmbeddingQueries {
         Similarity.cosineTopKSql("embeddings", "vec_id", "embedding",
           Dim, K, "vec_id % 20 = 7 AND vec_id < 200")))),
 
+    // The REBUILD LOOP composed (e21): e19 gives the drift signal,
+    // AnnIndex gives train/append/serve — this row strings them into the
+    // maintenance cycle a production vector store actually runs:
+    // (1) the STALE state — base-trained codebooks serving an appended
+    // batch they never saw (e19's artifact, reused) — and (2) the
+    // REBUILT state — codebooks retrained over the full corpus — each
+    // measured as recall@k of the appended batch against the exact scan,
+    // landed as one relation keyed by phase. The 'rebuilt' rows are the
+    // recovery the e19 alert promises; AnnIndexSpec asserts the dip is
+    // real (planted OOD batch) and strictly recovers. Oracle: both
+    // phases replayed relationally — the stale-codebook chain and the
+    // full-retrain chain — hash-exact, not a tolerance check.
+    // Cost: two guarded one-time builds; at query time two serve probes
+    // + two |Q|·k recall joins — corpus-size-free.
+    Q("e21_ann_rebuild_loop",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val appendPred = col("vec_id") % 20 === 7
+        val staleRoot = annIndexRoot(dir) + "_e19"
+        annIndexBuilt.computeIfAbsent(staleRoot, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings.filter(!appendPred), "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2,
+            staleRoot)
+          graft.operators.AnnIndex.appendIvfPq(
+            t.embeddings.filter(appendPred), "vec_id", "embedding", Dim,
+            staleRoot)
+          java.lang.Boolean.TRUE
+        })
+        val rebuiltRoot = annIndexRoot(dir) + "_e21"
+        annIndexBuilt.computeIfAbsent(rebuiltRoot, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings, "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2,
+            rebuiltRoot)
+          java.lang.Boolean.TRUE
+        })
+        val queries = t.embeddings.filter(appendPred && col("vec_id") < 200)
+        val exact = Similarity.cosineTopK(t.embeddings, queries,
+          "vec_id", "embedding", Dim, K)
+        def phaseRecall(root: String, phase: String) =
+          Similarity.recallAtK(
+            approx = graft.operators.AnnIndex.queryIvfPq(
+              corpus = t.embeddings, queries = queries,
+              idCol = "vec_id", vecCol = "embedding", dim = Dim, k = K,
+              nprobe = 4, rerank = 20, dir = root),
+            exact = exact)
+            .select(lit(phase).as("phase"), col("query_id"), col("hits"),
+              col("n_exact"), col("recall"))
+        phaseRecall(staleRoot, "stale")
+          .unionByName(phaseRecall(rebuiltRoot, "rebuilt"))
+      },
+      Some {
+        val qp = "vec_id % 20 = 7 AND vec_id < 200"
+        val exactSql = Similarity.cosineTopKSql("embeddings", "vec_id",
+          "embedding", Dim, K, qp)
+        s"""SELECT 'stale' AS phase, * FROM (
+           |${Similarity.recallAtKSql(
+               Similarity.ivfPqTopKStaleSql("embeddings", "vec_id", "embedding",
+                 Dim, K, 16, 2, 4, 8, 16, 2, 20,
+                 trainPred = "vec_id % 20 <> 7", queryPred = qp),
+               exactSql)})
+           |UNION ALL
+           |SELECT 'rebuilt' AS phase, * FROM (
+           |${Similarity.recallAtKSql(
+               Similarity.ivfPqTopKSql("embeddings", "vec_id", "embedding",
+                 Dim, K, 16, 2, 4, 8, 16, 2, 20, qp),
+               exactSql)})""".stripMargin
+      }),
+
     // FILTERED vector search over the shared persisted index (e18's
     // artifact, untouched): a metadata predicate restricts the codes scan
     // BEFORE probing — pre-filter semantics, so the top-k is exact over
