@@ -678,6 +678,94 @@ object TextQueries {
           graft.operators.Dsir.driftStatSql(shifted, corpus, "text", 512,
             DriftThreshold, "shifted_upper")
       }),
+
+    // Drift-FIRED retrain (t38) — t37 gives the signal, this row ACTS on
+    // it, closing the monitoring loop the same way e21 closes the ANN
+    // one: the planted domain-shifted batch (upper(text): token
+    // identities move buckets) trips the drift gate — verified with a
+    // 1-row driver pull, the retrain genuinely gated on it — then the
+    // DSIR weights are RETRAINED over corpus ∪ the admitted shifted
+    // batch and the batch re-scored under both models. The declared
+    // result is the per-doc (score_pre, score_post) shift: post-retrain
+    // the raw distribution knows the shifted domain (its buckets'
+    // raw-counts rise while target counts don't), so the importance of
+    // the shifted docs drops — the model stops mistaking novelty for
+    // importance. Oracle: both training chains replayed relationally
+    // with the same 6dp-decimal quantization as t35/m12.
+    // Cost: two ≤buckets-row training pulls + two pure-codegen scoring
+    // passes over the batch — corpus passes are training-time, the
+    // scored relation is batch-sized.
+    Q("t38_dsir_drift_retrain",
+      (s, dir) => {
+        val docs = Tables(s, dir).documents
+        val buckets = 512
+        val shifted = docs.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), upper(col("text")).as("text"),
+            lit("shifted").as("source"))
+        // the gate: retrain ONLY because the monitor fired
+        val (dist, tot) = graft.operators.Dsir.trainDist(docs, "text", buckets)
+        val fired = graft.operators.Dsir.driftStat(shifted, "text", dist,
+            tot, buckets, DriftThreshold, "shifted")
+          .collect()(0).getAs[Boolean]("drifted")
+        require(fired,
+          "t38 declares the fired path: the planted shift must trip t37's gate")
+        val base = docs.select(col("doc_id"), col("text"), col("source"))
+        val w0 = graft.operators.Dsir.trainWeights(base, "doc_id", "text",
+          "source", "src0", buckets)
+        val w1 = graft.operators.Dsir.trainWeights(
+          base.unionByName(shifted.select(
+            (col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+            col("source"))),
+          "doc_id", "text", "source", "src0", buckets)
+        graft.operators.Dsir.serveScores(shifted, "doc_id", "text", w0, buckets)
+          .withColumnRenamed("dsir_score", "score_pre")
+          .join(graft.operators.Dsir
+            .serveScores(shifted, "doc_id", "text", w1, buckets)
+            .withColumnRenamed("dsir_score", "score_post"), Seq("doc_id"))
+      },
+      Some {
+        val buckets = 512
+        def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
+        def weightsCtes(tag: String, rel: String) =
+          s"""t$tag AS (
+             |  SELECT source, unnest(${TextFns.tokensSql("text")}) AS term
+             |  FROM ($rel)),
+             |b$tag AS (
+             |  SELECT (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+             |         COUNT(*) AS rc,
+             |         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+             |  FROM t$tag GROUP BY 1),
+             |tot$tag AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM b$tag),
+             |w$tag AS (
+             |  SELECT bucket,
+             |    ${sd6(s"ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + $buckets AS DOUBLE))")} -
+             |    ${sd6(s"ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + $buckets AS DOUBLE))")} AS w
+             |  FROM b$tag CROSS JOIN tot$tag)""".stripMargin
+        s"""WITH shifted AS (
+           |  SELECT doc_id, upper(text) AS text, 'shifted' AS source
+           |  FROM documents WHERE doc_id % 7 = 3),
+           |base AS (SELECT doc_id, text, source FROM documents),
+           |${weightsCtes("0", "SELECT * FROM base")},
+           |${weightsCtes("1",
+              "SELECT * FROM base UNION ALL " +
+                "SELECT doc_id + 1000000 AS doc_id, text, source FROM shifted")},
+           |f AS (
+           |  SELECT doc_id,
+           |         (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(${TextFns.tokensSql("text")}) AS term
+           |        FROM shifted) GROUP BY 1, 2),
+           |s0 AS (SELECT f.doc_id, SUM(f.cnt * w.w) AS sw
+           |       FROM f JOIN w0 w USING (bucket) GROUP BY 1),
+           |s1 AS (SELECT f.doc_id, SUM(f.cnt * w.w) AS sw
+           |       FROM f JOIN w1 w USING (bucket) GROUP BY 1)
+           |SELECT sh.doc_id,
+           |  round(CAST(COALESCE(s0.sw, 0) AS DOUBLE), 6) AS score_pre,
+           |  round(CAST(COALESCE(s1.sw, 0) AS DOUBLE), 6) AS score_post
+           |FROM shifted sh
+           |LEFT JOIN s0 ON s0.doc_id = sh.doc_id
+           |LEFT JOIN s1 ON s1.doc_id = sh.doc_id""".stripMargin
+      }),
   )
 
 }
