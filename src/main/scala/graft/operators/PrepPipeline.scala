@@ -173,6 +173,17 @@ object PrepPipeline {
         when(col("hi").isNull, lit(null))
           .otherwise(coalesce(col("_ccl"), col(pairIdCol))).as("cap_cluster"),
         col("hi").isNull.as("_quarantined"))
+    cellTail(celled, sig)
+  }
+
+  /** The CELL rule of [[crossModalDedup]] over an already-celled relation
+    * (pair_id, img_cluster, cap_cluster, _quarantined) — factored so the
+    * scale bench (`tools.CrossModalScaleBench`) drives the exact
+    * production aggregation/join tail at signature level instead of a
+    * re-implementation that could drift from it.
+    */
+  private[graft] def cellTail(celled: DataFrame,
+      cached: DataFrame*): DataFrame = {
     val keep = celled.filter(!col("_quarantined"))
       .groupBy(col("img_cluster"), col("cap_cluster"))
       .agg(min(col("pair_id")).as("_keep_id"))
@@ -182,7 +193,7 @@ object PrepPipeline {
         when(col("_quarantined"), "10_quarantined_undecodable")
           .when(col("pair_id") =!= col("_keep_id"), "20_dropped_dup")
           .otherwise("30_kept").as("stage"))
-    Dedup.materializeAndRelease(labeled, sig)
+    Dedup.materializeAndRelease(labeled, cached: _*)
   }
 
   /** DuckDB mirror of [[crossModalDedup]] over a parquet file of

@@ -33,8 +33,23 @@ object TextScaleBench {
 
   private val Vocab = 5000
 
+  /** Full 64-bit finalizer (splitmix-style) between the doc id and the
+    * RNG seed. A bare multiply is NOT enough: SplittableRandom advances
+    * its state by the golden gamma per draw, so seeds in arithmetic
+    * progression with the gamma yield SHIFTED copies of one token stream
+    * — ids 15 apart came out as 11/12-shingle near-dups and the planted
+    * dup structure drowned in accidental chains (observed at 50k docs
+    * before this mix was added).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private def tokens(seed: Long): String = {
-    val r = new SplittableRandom(seed * 0x9e3779b97f4a7c15L + 0x2545f491L)
+    val r = new SplittableRandom(mix64(seed))
     val sb = new StringBuilder
     var i = 0
     while (i < 12) {
