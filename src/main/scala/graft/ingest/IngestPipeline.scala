@@ -126,7 +126,7 @@ object IngestPipeline {
     "batch STRING, n_terms BIGINT, chi2_micro BIGINT, drifted BOOLEAN, " +
       "ingest_batch BIGINT"
 
-  private def read(spark: SparkSession, dir: String, schema: String): DataFrame = {
+  private[ingest] def read(spark: SparkSession, dir: String, schema: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
@@ -230,7 +230,7 @@ object IngestPipeline {
     BandIndexState(newTable, newThrough)
   }
 
-  private def dropTable(spark: SparkSession, table: String): Unit = {
+  private[ingest] def dropTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

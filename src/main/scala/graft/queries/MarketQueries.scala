@@ -810,5 +810,221 @@ object MarketQueries {
                20000.0, "batch_0")}
            |)""".stripMargin
       }),
+
+    // END-TO-END incremental TEXT ingest (m14): the m12 DAG re-targeted
+    // at a document corpus — quality gate (integer-exact token bounds;
+    // heuristic langId stamped as metadata) → intra-batch MinHash-LSH
+    // dedup (verified pairs → components, min doc_id represents) →
+    // admit/reject against the PERSISTED bucketed MinHash band index of
+    // the seed corpus (the d30 probe: zero corpus-side exchanges) → DSIR
+    // score → drift gate over the whole batch → hash-sharded export.
+    // Corpus = documents with doc_id % 5 <> 0 (d12's split); batch =
+    // constructed from the % 5 = 0 docs with planted outcomes per block
+    // of four: a corpus dup (text copied from a corpus neighbor), a
+    // fresh doc, an intra-batch dup of that fresh doc, and a gate reject
+    // (alternating too-short / too-long). The declared result audits the
+    // LANDED files; TextIngestStreamSpec proves the same DAG exactly-once
+    // across a mid-stream kill/restart on the probe path.
+    Q("m14_incremental_ingest_text",
+      (s, dir) => {
+        val out = landingDir(s"m14_ingest_text_$dir") { tmp =>
+          val docs = Tables(s, dir).documents
+          val trained = graft.ingest.IngestPipeline.train(
+            docs, "doc_id", "text", "source",
+            targetSource = "src0", buckets = 512, driftThreshold = 20000.0)
+          val seed = docs.filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), col("text"))
+          val batch = docs.as("b")
+            .filter(col("b.doc_id") % 5 === 0)
+            .join(docs.select(col("doc_id").as("cid"), col("text").as("ctext")),
+              col("b.doc_id") + 1 === col("cid"), "left")
+            .join(docs.select(col("doc_id").as("pid"), col("text").as("ptext")),
+              col("b.doc_id") - 5 === col("pid"), "left")
+            .select((col("b.doc_id") + 1000000L).as("doc_id"),
+              when(col("b.doc_id") % 20 === 0, coalesce(col("ctext"), col("b.text")))
+                .when(col("b.doc_id") % 20 === 10, coalesce(col("ptext"), col("b.text")))
+                .when(col("b.doc_id") % 40 === 15, lit("too short doc"))
+                .when(col("b.doc_id") % 40 === 35,
+                  repeat(concat(col("b.text"), lit(" ")), 60))
+                .otherwise(col("b.text")).as("text"))
+          // the DECLARED query runs the PROBE path (the 100 TB shape):
+          // admit joins the persisted bucketed seed band index, not a
+          // per-batch re-signature of the corpus. Seed-only index
+          // (through = -1), a pure function of the documents table.
+          val idxTab = s"g_m14_seed_textidx_${LayoutQueries.tag(dir)}"
+          val outP = tmp.resolve("out").toString
+          LayoutQueries.ensureTable(s, idxTab)(
+            graft.ingest.TextIngestPipeline.buildIndex(s, seed, outP,
+              idxTab, nBuckets = 8, n = 3, numHashes = 12, rowsPerBand = 3,
+              through = -1L))
+          graft.ingest.TextIngestPipeline.ingestBatch(
+            batch, seed, trained, n = 3, numHashes = 12, rowsPerBand = 3,
+            threshold = 0.8, minTokens = 5L, maxTokens = 400L, nShards = 4,
+            outP, batchId = 0L,
+            admitIndex = () => Some(
+              graft.ingest.TextIngestPipeline.TextIndexState(idxTab, -1L)))
+        }.resolve("out").toString
+        graft.ingest.TextIngestPipeline.audit(s, out)
+      },
+      Some {
+        import graft.functions.TextFns
+        val buckets = 512
+        val nShards = 4
+        val thr = 0.8
+        def sd6(e: String) = s"CAST(round($e, 6) AS DECIMAL(18,6))"
+        // one batch-construction fragment, shared by the main replay and
+        // the drift subquery (drift runs over the WHOLE batch's text)
+        val batchSelect =
+          """SELECT b.doc_id + 1000000 AS doc_id,
+            |  CASE WHEN b.doc_id % 20 = 0 THEN COALESCE(c.text, b.text)
+            |       WHEN b.doc_id % 20 = 10 THEN COALESCE(p.text, b.text)
+            |       WHEN b.doc_id % 40 = 15 THEN 'too short doc'
+            |       WHEN b.doc_id % 40 = 35 THEN repeat(b.text || ' ', 60)
+            |       ELSE b.text END AS text
+            |FROM documents b
+            |LEFT JOIN documents c ON c.doc_id = b.doc_id + 1
+            |LEFT JOIN documents p ON p.doc_id = b.doc_id - 5
+            |WHERE b.doc_id % 5 = 0""".stripMargin
+        val minCols = graft.operators.Dedup.minhashCoeffs(12).zipWithIndex
+          .map { case ((a, b), i) =>
+            s"MIN((base * $a + $b) % ${graft.operators.Dedup.MinhashP}) AS m$i"
+          }.mkString(", ")
+        def bandSelects(minsCte: String) = (0 until 4).map { j =>
+          val sig = ((j * 3) until ((j + 1) * 3))
+            .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT id, $j AS band, $sig AS sig FROM $minsCte"
+        }.mkString(" UNION ALL ")
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+           |batch AS ($batchSelect),
+           |gated AS (
+           |  SELECT doc_id, text,
+           |    CAST(${TextFns.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+           |    CASE WHEN ${TextFns.tokenCountSql("text")} < 5
+           |           THEN 'below_min_tokens'
+           |         WHEN ${TextFns.tokenCountSql("text")} > 400
+           |           THEN 'above_max_tokens' END AS gate_reason
+           |  FROM batch),
+           |surv AS (SELECT doc_id, text FROM gated WHERE gate_reason IS NULL),
+           |bsh AS (
+           |  SELECT DISTINCT doc_id AS id, unnest(${TextFns.shinglesSql("text", 3)}) AS sh
+           |  FROM surv),
+           |csh AS (
+           |  SELECT DISTINCT doc_id AS id, unnest(${TextFns.shinglesSql("text", 3)}) AS sh
+           |  FROM corpus),
+           |bbased AS (SELECT id, ${TextFns.md5Hash32Sql("sh")} AS base FROM bsh),
+           |cbased AS (SELECT id, ${TextFns.md5Hash32Sql("sh")} AS base FROM csh),
+           |bmins AS (SELECT id, $minCols FROM bbased GROUP BY id),
+           |cmins AS (SELECT id, $minCols FROM cbased GROUP BY id),
+           |bbands AS (${bandSelects("bmins")}),
+           |cbands AS (${bandSelects("cmins")}),
+           |bsizes AS (SELECT id, COUNT(*) AS n_sh FROM bsh GROUP BY id),
+           |csizes AS (SELECT id, COUNT(*) AS n_sh FROM csh GROUP BY id),
+           |icands AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM bbands a JOIN bbands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+           |icommon AS (
+           |  SELECT id_a, id_b, COUNT(*) AS n_common
+           |  FROM icands JOIN bsh x ON id_a = x.id
+           |  JOIN bsh y ON id_b = y.id AND x.sh = y.sh
+           |  GROUP BY 1, 2),
+           |ipairs AS (
+           |  SELECT id_a, id_b
+           |  FROM icommon JOIN bsizes sa ON id_a = sa.id
+           |  JOIN bsizes sb ON id_b = sb.id
+           |  WHERE CAST(n_common AS DOUBLE) /
+           |        CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $thr),
+           |iedges AS (
+           |  SELECT id_a AS src2, id_b AS dst FROM ipairs
+           |  UNION ALL SELECT id_b, id_a FROM ipairs),
+           |ireach(id, label) AS (
+           |  SELECT doc_id, doc_id FROM surv
+           |  UNION
+           |  SELECT e.dst, r.label FROM ireach r JOIN iedges e ON e.src2 = r.id),
+           |reps AS (SELECT id AS doc_id, MIN(label) AS rep FROM ireach GROUP BY id),
+           |repbands AS (
+           |  SELECT b.* FROM bbands b
+           |  JOIN reps r ON r.doc_id = b.id AND r.rep = b.id),
+           |xcands AS (
+           |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+           |  FROM repbands b JOIN cbands c ON b.band = c.band AND b.sig = c.sig),
+           |xcommon AS (
+           |  SELECT batch_id, corpus_id, COUNT(*) AS n_common
+           |  FROM xcands JOIN bsh x ON batch_id = x.id
+           |  JOIN csh y ON corpus_id = y.id AND x.sh = y.sh
+           |  GROUP BY 1, 2),
+           |xdup AS (
+           |  SELECT batch_id, MIN(corpus_id) AS corpus_dup_of
+           |  FROM xcommon JOIN bsizes sb ON batch_id = sb.id
+           |  JOIN csizes sc ON corpus_id = sc.id
+           |  WHERE CAST(n_common AS DOUBLE) /
+           |        CAST(sb.n_sh + sc.n_sh - n_common AS DOUBLE) >= $thr
+           |  GROUP BY 1),
+           |decided AS (
+           |  SELECT g.doc_id, g.text, g.n_tokens,
+           |    CASE WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
+           |         WHEN r.rep <> g.doc_id
+           |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
+           |         WHEN x.corpus_dup_of IS NOT NULL
+           |           THEN 'corpus_dup:' || CAST(x.corpus_dup_of AS VARCHAR)
+           |         ELSE NULL END AS reject_reason
+           |  FROM gated g
+           |  LEFT JOIN reps r ON r.doc_id = g.doc_id
+           |  LEFT JOIN xdup x ON x.batch_id = g.doc_id),
+           |ctoks2 AS (
+           |  SELECT source, unnest(${TextFns.tokensSql("text")}) AS term
+           |  FROM documents),
+           |by_bucket AS (
+           |  SELECT (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS rc,
+           |         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+           |  FROM ctoks2 GROUP BY 1),
+           |totals AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM by_bucket),
+           |weights AS (
+           |  SELECT bucket,
+           |         ${sd6(s"ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + $buckets AS DOUBLE))")} -
+           |         ${sd6(s"ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + $buckets AS DOUBLE))")} AS w
+           |  FROM by_bucket CROSS JOIN totals),
+           |adm AS (
+           |  SELECT doc_id, text, n_tokens FROM decided
+           |  WHERE reject_reason IS NULL),
+           |feats AS (
+           |  SELECT doc_id,
+           |         (${TextFns.md5Hash32Sql("term")}) % $buckets AS bucket,
+           |         COUNT(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(${TextFns.tokensSql("text")}) AS term
+           |        FROM adm) GROUP BY 1, 2),
+           |score AS (
+           |  SELECT f.doc_id, SUM(f.cnt * w.w) AS sw
+           |  FROM feats f JOIN weights w USING (bucket) GROUP BY 1),
+           |admrows AS (
+           |  SELECT a.doc_id, ${TextFns.langIdSql("a.text")} AS lang,
+           |    ${TextFns.md5Hash32Sql("CAST(a.doc_id AS VARCHAR)")} % $nShards AS shard,
+           |    a.n_tokens,
+           |    round(CAST(COALESCE(s.sw, 0) AS DOUBLE), 6) AS dsir_score
+           |  FROM adm a LEFT JOIN score s ON s.doc_id = a.doc_id)
+           |SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS key,
+           |  'admitted:' || lang AS detail, CAST(shard AS BIGINT) AS n1,
+           |  n_tokens AS n2, dsir_score AS x
+           |FROM admrows
+           |UNION ALL
+           |SELECT 'doc', CAST(doc_id AS VARCHAR), reject_reason,
+           |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+           |FROM decided WHERE reject_reason IS NOT NULL
+           |UNION ALL
+           |SELECT 'shard', CAST(shard AS VARCHAR), CAST(NULL AS VARCHAR),
+           |  COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+           |  CAST(CAST(SUM(doc_id) AS BIGINT) AS DOUBLE)
+           |FROM admrows GROUP BY shard
+           |UNION ALL
+           |SELECT 'drift', batch, CAST(drifted AS VARCHAR), n_terms,
+           |  chi2_micro, CAST(NULL AS DOUBLE)
+           |FROM (
+           |${graft.operators.Dsir.driftStatSql(batchSelect,
+               "SELECT text FROM documents", "text", buckets,
+               20000.0, "batch_0")}
+           |)""".stripMargin
+      }),
   )
 }
