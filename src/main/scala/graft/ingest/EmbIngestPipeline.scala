@@ -1,0 +1,276 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.VectorFns
+import graft.operators.{AnnIndex, Dedup, Similarity}
+
+/** The END-TO-END incremental EMBEDDING ingest pipeline (m15) — the
+  * m12/m14 DAG re-targeted at a vector corpus, where the near-dup
+  * signal is exact cosine and the corpus index IS the serving ANN index
+  * ([[AnnIndex]]): one artifact answers both "is this vector a
+  * duplicate?" (admit) and "what are this query's neighbors?" (serve).
+  * Every arriving batch of (vec_id, embedding) rows runs:
+  *
+  *   1. GATE — exact decisions only: null/mis-sized vectors reject as
+  *      `bad_vector`, zero-norm vectors as `zero_norm` (cosine is
+  *      undefined on them), never silently dropped.
+  *   2. INTRA-BATCH DEDUP — exact cosine pairs at `threshold` within the
+  *      batch ([[Similarity.cosineNearDupPairs]], the guarded exact form:
+  *      batches are bounded by construction; the documented scale path
+  *      for huge batches is [[Similarity.lshNearDupPairs]]) → connected
+  *      components → min vec_id represents.
+  *   3. ADMIT/REJECT — representatives PROBE the persisted IVF-PQ index
+  *      (top-1, exact-cosine rerank): a hit at `cos >= threshold` rejects
+  *      as `corpus_dup`. The probe scans only `ingest_batch < id` code
+  *      partitions, so a replayed batch never sees its own crashed
+  *      attempt — the per-batch cost is the serve cost (probe + code scan
+  *      + bounded rerank), NEVER an exact scan of the corpus. This is the
+  *      d29/d30 move for vectors: the index is the persisted admit
+  *      structure.
+  *   4. APPEND — admitted vectors land (the corpus growth) and their PQ
+  *      codes append to the index under an `ingest_batch=<id>` partition
+  *      with dynamic overwrite ([[AnnIndex.appendIvfPq]]'s exactly-once
+  *      mode) — stale-codebook encoding by the IVF contract; fresh
+  *      vectors ride stale books until a rebuild.
+  *   5. RECALL MONITOR — recall@k of a bounded sample of the batch's own
+  *      admitted vectors (served from the just-appended index) against
+  *      the exact scan: e19's drift signal riding the ingest loop. A
+  *      verdict row lands per batch; `fired` = mean recall below target.
+  *   6. REBUILD — [[rebuildIndex]] retrains over the accumulated corpus
+  *      into a NEW versioned index directory (e21's recovery); the
+  *      stream's index thunk swaps to it between batches. Decisions are
+  *      index-version-dependent by nature (an approximate probe), so the
+  *      swap point is an explicit operational event; replays of any one
+  *      batch remain exactly-once via partition overwrite.
+  *
+  * EXACTLY-ONCE: identical contract to [[IngestPipeline]]/[[
+  * TextIngestPipeline]] — admitted/rejected/monitor land under
+  * `ingest_batch=<id>` with dynamic partition overwrite, the code append
+  * uses the same mode inside the index, and every read the batch depends
+  * on is filtered to strictly earlier batches.
+  *
+  * Scale: the admit probe is corpus-size-free at query time (nprobe/nlist
+  * of the bucketed code scan); the rerank fetch broadcasts candidates and
+  * never shuffles the corpus; the monitor is bounded by `monitorMax`
+  * queries; training artifacts load as k-row driver constants. Batch and
+  * corpus vec_ids must be unique and disjoint (mint batch ids with an
+  * offset).
+  */
+object EmbIngestPipeline {
+
+  private[ingest] val AdmittedSchema =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, ingest_batch BIGINT"
+  private[ingest] val RejectedSchema =
+    "vec_id BIGINT, reject_reason STRING, dup_cos DOUBLE, ingest_batch BIGINT"
+  private[ingest] val MonitorSchema =
+    "batch STRING, n_queries BIGINT, mean_recall DOUBLE, fired BOOLEAN, " +
+      "ingest_batch BIGINT"
+
+  /** Tunables for one pipeline instance; `index` is resolved EVERY
+    * micro-batch (like the band-index thunks) so a rebuild's directory
+    * swap takes effect live.
+    */
+  final case class Params(
+      dim: Int, threshold: Double, nlist: Int, itersCoarse: Int, m: Int,
+      ksub: Int, itersPq: Int, nprobe: Int, rerank: Int,
+      monitorK: Int, monitorMax: Int, recallTarget: Double,
+      maxQueryRows: Long = 1L << 20)
+
+  /** The corpus vectors as batch `belowBatch` must see them: seed
+    * (vec_id, embedding) ∪ vectors admitted by STRICTLY EARLIER batches.
+    */
+  def corpusVecs(spark: SparkSession, seedVecs: DataFrame, outDir: String,
+      belowBatch: Long): DataFrame =
+    seedVecs.select(col("vec_id"), col("embedding"))
+      .unionByName(IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
+        .filter(col("ingest_batch") < belowBatch)
+        .select(col("vec_id"), col("embedding")))
+
+  /** Build (or REBUILD) the index over seed ∪ admitted(<= through) into
+    * `dir` — fresh codebooks, full re-encode, partitioned codes layout
+    * (the bootstrap lands as `ingest_batch=-1`). Rebuilds write a NEW
+    * versioned directory; the old index stays serveable until the
+    * caller's thunk swaps.
+    */
+  def rebuildIndex(spark: SparkSession, seedVecs: DataFrame, outDir: String,
+      dir: String, p: Params, through: Long): String = {
+    AnnIndex.buildIvfPq(corpusVecs(spark, seedVecs, outDir, through + 1),
+      "vec_id", "embedding", p.dim, p.nlist, p.itersCoarse, p.m, p.ksub,
+      p.itersPq, dir, ingestBatch = Some(-1L))
+    dir
+  }
+
+  /** ONE batch through the whole DAG; lands admitted / rejected /
+    * monitor under `ingest_batch=batchId` and appends the admitted PQ
+    * codes under the same partition inside the index.
+    * `batch` columns: (vec_id BIGINT, embedding ARRAY<FLOAT>).
+    */
+  def ingestBatch(batch: DataFrame, seedVecs: DataFrame, p: Params,
+      outDir: String, batchId: Long, index: () => String): Unit = {
+    val spark = batch.sparkSession
+    val idxDir = index()
+    // 1. gate — size check BEFORE any norm is computed on a bad vector
+    val gated = batch
+      .select(col("vec_id"), col("embedding"),
+        when(col("embedding").isNull || size(col("embedding")) =!= p.dim,
+          lit("bad_vector")).as("g1"))
+      .withColumn("gate_reason",
+        when(col("g1").isNotNull, col("g1"))
+          .when(VectorFns.norm(col("embedding"), p.dim) === 0.0,
+            lit("zero_norm")))
+      .select(col("vec_id"), col("embedding"), col("gate_reason"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surv = gated.filter(col("gate_reason").isNull)
+      .select(col("vec_id"), col("embedding"))
+    // 2. intra-batch components; min vec_id represents each component
+    val comp = Dedup.connectedComponents(
+      Similarity.cosineNearDupPairs(surv, "vec_id", "embedding", p.dim,
+          p.threshold, maxRows = p.maxQueryRows)
+        .select(col("id_a"), col("id_b")))
+    val withRep = surv
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("vec_id")))
+    // 3. representatives probe the index (strictly earlier partitions)
+    val reps = withRep.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val corpusDup = AnnIndex.queryIvfPq(
+        corpus = corpusVecs(spark, seedVecs, outDir, batchId),
+        queries = reps, idCol = "vec_id", vecCol = "embedding", dim = p.dim,
+        k = 1, nprobe = p.nprobe, rerank = p.rerank, dir = idxDir,
+        maxQueryRows = p.maxQueryRows,
+        scanPred = Some(col("ingest_batch") < batchId))
+      .filter(col("cos_sim") >= p.threshold)
+      .select(col("query_id").as("rep"),
+        col("neighbor_id").as("corpus_dup_of"), col("cos_sim").as("dup_cos"))
+    val decided = withRep.join(corpusDup, Seq("rep"), "left")
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") =!= col("rep"),
+          concat(lit("batch_dup:"), col("rep").cast("string")))
+          .when(col("corpus_dup_of").isNotNull,
+            concat(lit("corpus_dup:"), col("corpus_dup_of").cast("string")))
+          .otherwise(lit(null).cast("string")).as("reject_reason"),
+        when(col("vec_id") === col("rep"), col("dup_cos")).as("dup_cos"))
+      .unionByName(gated.filter(col("gate_reason").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          col("gate_reason").as("reject_reason"),
+          lit(null).cast("double").as("dup_cos")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def land(df: DataFrame, sub: String): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$outDir/$sub")
+    // 4. land the corpus growth, then append its codes exactly-once
+    val admitted = decided.filter(col("reject_reason").isNull)
+      .select(col("vec_id"), col("embedding"))
+    land(admitted, "admitted")
+    land(decided.filter(col("reject_reason").isNotNull)
+      .select(col("vec_id"), col("reject_reason"), col("dup_cos")),
+      "rejected")
+    AnnIndex.appendIvfPq(
+      IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
+        .filter(col("ingest_batch") === batchId)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", p.dim, idxDir, ingestBatch = Some(batchId))
+    // 5. recall monitor over a bounded, deterministic admitted sample,
+    // served from the index INCLUDING this batch's codes. An empty
+    // sample lands a fired=NULL row (the drift-gate allowEmpty rule: a
+    // throw inside foreachBatch wedges the stream on replay).
+    val sample = IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
+      .filter(col("ingest_batch") === batchId)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(p.monitorMax)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSample = sample.count()
+    val monitor =
+      if (nSample == 0)
+        spark.sql(s"""SELECT 'batch_$batchId' AS batch,
+          CAST(0 AS BIGINT) AS n_queries,
+          CAST(NULL AS DOUBLE) AS mean_recall,
+          CAST(NULL AS BOOLEAN) AS fired""")
+      else {
+        val served = corpusVecs(spark, seedVecs, outDir, batchId + 1)
+        val rec = Similarity.recallAtK(
+          approx = AnnIndex.queryIvfPq(
+            corpus = served, queries = sample, idCol = "vec_id",
+            vecCol = "embedding", dim = p.dim, k = p.monitorK,
+            nprobe = p.nprobe, rerank = p.rerank, dir = idxDir,
+            maxQueryRows = p.maxQueryRows,
+            scanPred = Some(col("ingest_batch") <= batchId)),
+          exact = Similarity.cosineTopK(served, sample, "vec_id",
+            "embedding", p.dim, p.monitorK))
+        rec.agg(count(lit(1)).as("n_queries"),
+            avg(col("recall")).as("mean_recall"))
+          .select(lit(s"batch_$batchId").as("batch"), col("n_queries"),
+            col("mean_recall"),
+            (col("mean_recall") < p.recallTarget).as("fired"))
+      }
+    land(monitor, "monitor")
+    sample.unpersist(); decided.unpersist(); gated.unpersist()
+  }
+
+  /** The streaming wrapper: a parquet file stream of vector batches
+    * driven through [[ingestBatch]] one micro-batch at a time —
+    * checkpoint replay + partition overwrite = exactly-once, as in the
+    * image/text pipelines. The `index` thunk is re-resolved per batch so
+    * a [[rebuildIndex]] swap takes effect live.
+    */
+  def stream(spark: SparkSession, srcDir: String, seedVecs: DataFrame,
+      p: Params, checkpoint: String, outDir: String,
+      index: () => String): StreamingQuery =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatch(b, seedVecs, p, outDir, id, index)
+      }
+      .start()
+
+  /** The audit over the LANDED outputs plus the index's appended code
+    * partitions: one row per vector (status, dup cosine), the per-list
+    * codes manifest of everything appended since bootstrap (counts, id
+    * and code0 checksums — the proof of WHAT entered the index), and the
+    * per-batch recall verdicts. Monitor rows are spec-gated, not
+    * oracle-gated (their recall math is hash-proven by e19/e21); the
+    * declared m15 query filters them out — `includeMonitor = false`.
+    */
+  def audit(spark: SparkSession, outDir: String, indexDir: String,
+      includeMonitor: Boolean = true): DataFrame = {
+    val adm = IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
+    val rej = IngestPipeline.read(spark, s"$outDir/rejected", RejectedSchema)
+    val vecRows = adm.select(lit("vec").as("kind"),
+        col("vec_id").cast("string").as("key"), lit("admitted").as("detail"),
+        lit(null).cast("bigint").as("n1"), lit(null).cast("bigint").as("n2"),
+        lit(null).cast("double").as("x"))
+      .unionByName(rej.select(lit("vec").as("kind"),
+        col("vec_id").cast("string").as("key"),
+        col("reject_reason").as("detail"),
+        lit(null).cast("bigint").as("n1"), lit(null).cast("bigint").as("n2"),
+        col("dup_cos").as("x")))
+    val listRows = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("ingest_batch") >= 0)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_codes"),
+        sum(col("code0")).as("code0_checksum"),
+        sum(col("neighbor_id")).as("id_checksum"))
+      .select(lit("list").as("kind"), col("list_id").cast("string").as("key"),
+        lit(null).cast("string").as("detail"), col("n_codes").as("n1"),
+        col("code0_checksum").cast("bigint").as("n2"),
+        col("id_checksum").cast("double").as("x"))
+    val base = vecRows.unionByName(listRows)
+    if (!includeMonitor) base
+    else base.unionByName(
+      IngestPipeline.read(spark, s"$outDir/monitor", MonitorSchema)
+        .select(lit("monitor").as("kind"), col("batch").as("key"),
+          col("fired").cast("string").as("detail"),
+          col("n_queries").as("n1"), lit(null).cast("bigint").as("n2"),
+          col("mean_recall").as("x")))
+  }
+}

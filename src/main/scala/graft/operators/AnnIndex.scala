@@ -43,9 +43,18 @@ import graft.functions.VectorFns
   */
 object AnnIndex {
 
+  /** `ingestBatch`, when set, lands the codes PARTITIONED by an
+    * `ingest_batch` column (this build stamped with the given id, e.g.
+    * -1 for a bootstrap) with dynamic partition overwrite — the layout
+    * the incremental ingest pipeline (m15) needs so that per-batch
+    * [[appendIvfPq]] calls are EXACTLY-ONCE under streaming replay (a
+    * replayed batch overwrites its own partition instead of appending a
+    * duplicate file). All codes under one root must use the same mode:
+    * never mix partitioned and flat layouts in one index directory.
+    */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int, itersCoarse: Int, m: Int, ksub: Int, itersPq: Int,
-      dir: String): Unit = {
+      dir: String, ingestBatch: Option[Long] = None): Unit = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -68,9 +77,9 @@ object AnnIndex {
     val enc = Similarity.pqEncode(
       Similarity.withCoarseList(c0, "cvec", "cnorm", cents, "list_id"),
       books, dsub)
-    enc.select(col("neighbor_id") +: col("list_id") +: col("cnorm") +:
-        (0 until m).map(j => col(s"code$j")): _*)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    writeCodes(enc.select(col("neighbor_id") +: col("list_id") +:
+      col("cnorm") +: (0 until m).map(j => col(s"code$j")): _*),
+      dir, ingestBatch, bootstrap = true)
   }
 
   /** INCREMENTAL maintenance: encode `newRows` with the index's STORED
@@ -78,12 +87,16 @@ object AnnIndex {
     * fresh vectors ride stale codebooks until the next rebuild, which is
     * scheduled on corpus drift, not on every append) and append their
     * codes to the codes table. One narrow encode pass over the new rows;
-    * nothing existing is rewritten. Delivery is caller-owned: appending
-    * the same rows twice duplicates them (pair with a ledger/anti-join
-    * upstream, the SNK-idempotency pattern, for exactly-once).
+    * nothing existing is rewritten. Delivery: with `ingestBatch = None`
+    * it is caller-owned — appending the same rows twice duplicates them
+    * (pair with a ledger/anti-join upstream, the SNK-idempotency
+    * pattern). With `ingestBatch = Some(id)` the codes land under an
+    * `ingest_batch=id` partition with dynamic overwrite, so a streaming
+    * replay of the same batch is EXACTLY-ONCE (requires the index to
+    * have been built with the partitioned layout — see [[buildIvfPq]]).
     */
   def appendIvfPq(newRows: DataFrame, idCol: String, vecCol: String,
-      dim: Int, dir: String): Unit = {
+      dim: Int, dir: String, ingestBatch: Option[Long] = None): Unit = {
     val spark = newRows.sparkSession
     val (cents, books) = loadConstants(spark, dir, dim)
     val m = books.size
@@ -94,9 +107,27 @@ object AnnIndex {
     val enc = Similarity.pqEncode(
       Similarity.withCoarseList(c0, "cvec", "cnorm", cents, "list_id"),
       books, dsub)
-    enc.select(col("neighbor_id") +: col("list_id") +: col("cnorm") +:
-        (0 until m).map(j => col(s"code$j")): _*)
-      .write.mode("append").parquet(s"$dir/codes")
+    writeCodes(enc.select(col("neighbor_id") +: col("list_id") +:
+      col("cnorm") +: (0 until m).map(j => col(s"code$j")): _*),
+      dir, ingestBatch, bootstrap = false)
+  }
+
+  private def writeCodes(codes: DataFrame, dir: String,
+      ingestBatch: Option[Long], bootstrap: Boolean): Unit = ingestBatch match {
+    case Some(id) =>
+      // bootstrap: STATIC overwrite truncates the whole codes dir (a
+      // rebuild into a dirty directory must not merge with stale
+      // appends); append: DYNAMIC overwrite replaces only this batch's
+      // partition — the streaming-replay exactly-once contract.
+      val w = codes.withColumn("ingest_batch", lit(id))
+        .write.mode("overwrite")
+      (if (bootstrap) w
+       else w.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy("ingest_batch")
+        .parquet(s"$dir/codes")
+    case None =>
+      codes.write.mode(if (bootstrap) "overwrite" else "append")
+        .parquet(s"$dir/codes")
   }
 
   /** Top-`k` per query against the index at `dir`. `corpus` supplies ONLY

@@ -917,10 +917,18 @@ object Similarity {
     * constants round-trip exactly and reload cid-sorted (AnnIndex
     * Scaladoc), which is the equality this mirror leans on.
     */
+  /** `encodePred` restricts which rows are ENCODED into the replayed
+    * index (default: the whole table — the e19 post-append shape);
+    * `queryRel`, when set, replaces `$table WHERE $queryPred` as the
+    * query relation (any SQL exposing ($idCol, $vecCol) — e.g. a
+    * constructed ingest batch that is NOT a table row set). Both default
+    * to the original behavior, so e19/e21 oracles are untouched.
+    */
   def ivfPqTopKStaleSql(table: String, idCol: String, vecCol: String,
       dim: Int, k: Int, nlist: Int, itersCoarse: Int, nprobe: Int, m: Int,
       ksub: Int, itersPq: Int, rerank: Int, trainPred: String,
-      queryPred: String): String = {
+      queryPred: String, encodePred: String = "TRUE",
+      queryRel: Option[String] = None): String = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val dsub = dim / m
     val trainTable = s"(SELECT * FROM $table WHERE $trainPred)"
@@ -962,12 +970,12 @@ object Similarity {
        |$pqChains,
        |fullq AS (
        |  SELECT $idCol AS vec_id, ${KMeans.quantizeSql(vecCol)} AS q
-       |  FROM $table),
+       |  FROM $table WHERE $encodePred),
        |$encCtes,
        |c AS (
        |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
-       |  FROM $table),
+       |  FROM $table WHERE $encodePred),
        |assigned AS (${nearListSql("c", "neighbor_id", "cvec", "cnorm", 1, "list_id", dim)}),
        |codes AS (
        |  SELECT enc0.vec_id AS neighbor_id, $codeCols
@@ -978,7 +986,7 @@ object Similarity {
        |  SELECT $idCol AS query_id, $vecCol AS qvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS qnorm,
        |         ${KMeans.quantizeSql(vecCol)} AS qq
-       |  FROM $table WHERE $queryPred),
+       |  FROM ${queryRel.map(r => s"($r) _qr").getOrElse(s"$table WHERE $queryPred")}),
        |probes AS (${nearListSql("q0", "query_id", "qvec", "qnorm", nprobe, "probe_list", dim)}),
        |scored AS (
        |  SELECT q.query_id, c.neighbor_id, q.qvec, c.cvec, q.qnorm, c.cnorm,
@@ -1001,6 +1009,62 @@ object Similarity {
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
        |  FROM rer)
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Relational replay of the PQ ENCODE of `rowsRel`'s vectors under
+    * codebooks trained on `$table WHERE $trainPred` (the stale-codebook
+    * contract of [[graft.operators.AnnIndex.appendIvfPq]]), rolled up as
+    * the per-list codes MANIFEST: (list_id, n_codes, id_checksum,
+    * code0_checksum). This is the oracle for an ingest pipeline's "what
+    * exactly was appended to the index this batch" audit — the id sums
+    * prove membership, the code0 sum proves the appended rows carry the
+    * stale-encode PQ codes (transitively pinning the whole encode chain:
+    * code0 is the same argmin fold as every other subspace).
+    * `rowsRel` is any SQL exposing ($idCol, $vecCol).
+    */
+  def pqListManifestSql(table: String, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, itersCoarse: Int, m: Int, ksub: Int,
+      itersPq: Int, trainPred: String, rowsRel: String): String = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val dsub = dim / m
+    val trainTable = s"(SELECT * FROM $table WHERE $trainPred)"
+    val (coarseCtes, _) = KMeans.assignCtes(trainTable, idCol, vecCol, dim,
+      nlist.toString, itersCoarse)
+    val pqChains = (0 until m).map { j =>
+      val sub = s"(SELECT $idCol AS vid, " +
+        s"list_slice($vecCol, ${j * dsub + 1}, ${(j + 1) * dsub}) AS sub FROM $trainTable)"
+      KMeans.assignCtes(sub, "vid", "sub", dsub, ksub.toString, itersPq, s"s${j}_")._1
+    }.mkString(",\n")
+    val encCtes = (0 until m).map { j =>
+      val sliceQ = s"list_slice(f.q, ${j * dsub + 1}, ${(j + 1) * dsub})"
+      s"""enc$j AS (
+         |  SELECT vec_id, cluster AS code$j FROM (
+         |    SELECT f.vec_id, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${KMeans.distSqSql(sliceQ, "c.cent", dsub)} ASC,
+         |                 c.cluster ASC) AS rn
+         |    FROM fullq f CROSS JOIN s${j}_centd$itersPq c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coarseCtes,
+       |cents AS (
+       |  SELECT cluster AS cent_id, cent AS cvec2,
+       |         ${VectorFns.normSql("cent", dim)} AS cnorm2
+       |  FROM centd$itersCoarse),
+       |$pqChains,
+       |fullq AS (
+       |  SELECT $idCol AS vec_id, ${KMeans.quantizeSql(vecCol)} AS q
+       |  FROM ($rowsRel) _rr),
+       |$encCtes,
+       |c AS (
+       |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
+       |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
+       |  FROM ($rowsRel) _rr),
+       |assigned AS (${nearListSql("c", "neighbor_id", "cvec", "cnorm", 1, "list_id", dim)})
+       |SELECT a.list_id, COUNT(*) AS n_codes,
+       |  CAST(SUM(a.neighbor_id) AS BIGINT) AS id_checksum,
+       |  CAST(SUM(e.code0) AS BIGINT) AS code0_checksum
+       |FROM assigned a JOIN enc0 e ON e.vec_id = a.neighbor_id
+       |GROUP BY a.list_id""".stripMargin
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.

@@ -1026,5 +1026,146 @@ object MarketQueries {
                20000.0, "batch_0")}
            |)""".stripMargin
       }),
+
+    // END-TO-END incremental EMBEDDING ingest (m15): the m12/m14 DAG
+    // re-targeted at a vector corpus, where the corpus index IS the
+    // serving ANN index — zero-norm gate → intra-batch exact-cosine
+    // dedup (pairs → components, min vec_id represents) → admit/reject
+    // by PROBING the persisted IVF-PQ index (top-1 + exact rerank at the
+    // threshold: per-batch admit cost is the SERVE cost, never a corpus
+    // scan — the d29/d30 move for vectors) → exactly-once PQ-code append
+    // under an ingest_batch partition → recall monitor (spec-gated; its
+    // math is hash-proven by e19/e21, so the declared audit filters
+    // monitor rows). Corpus = embeddings with vec_id % 5 <> 0; batch =
+    // constructed from the % 5 = 0 vectors per block of four: a corpus
+    // dup (copy of a seed neighbor), a fresh vector, an intra-batch dup
+    // of that fresh vector, and a zero-norm gate reject. The audit's
+    // 'list' rows prove WHAT entered the index (per-list counts, id and
+    // stale-encode code checksums); EmbIngestStreamSpec proves the same
+    // DAG exactly-once across kill/restart plus the drift-fire → rebuild
+    // → recovery loop in-stream.
+    Q("m15_incremental_ingest_embeddings",
+      (s, dir) => {
+        val tmp = landingDir(s"m15_ingest_emb_$dir") { tmp =>
+          val emb = Tables(s, dir).embeddings
+          val seed = emb.filter(col("vec_id") % 5 =!= 0)
+            .select(col("vec_id"), col("embedding"))
+          val batch = emb.as("b").filter(col("b.vec_id") % 5 === 0)
+            .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cvec2")),
+              col("b.vec_id") + 1 === col("cid"), "left")
+            .join(emb.select(col("vec_id").as("pid"), col("embedding").as("pvec2")),
+              col("b.vec_id") - 5 === col("pid"), "left")
+            .select((col("b.vec_id") + 1000000L).as("vec_id"),
+              when(col("b.vec_id") % 20 === 0, coalesce(col("cvec2"), col("b.embedding")))
+                .when(col("b.vec_id") % 20 === 10, coalesce(col("pvec2"), col("b.embedding")))
+                .when(col("b.vec_id") % 40 === 15, array_repeat(lit(0.0f), 64))
+                .otherwise(col("b.embedding")).as("embedding"))
+          val p = graft.ingest.EmbIngestPipeline.Params(
+            dim = 64, threshold = 0.95, nlist = 16, itersCoarse = 2,
+            m = 8, ksub = 16, itersPq = 2, nprobe = 4, rerank = 20,
+            monitorK = 5, monitorMax = 50, recallTarget = 0.7)
+          val idxDir = tmp.resolve("index").toString
+          val outP = tmp.resolve("out").toString
+          graft.ingest.EmbIngestPipeline.rebuildIndex(s, seed, outP,
+            idxDir, p, through = -1L)
+          graft.ingest.EmbIngestPipeline.ingestBatch(batch, seed, p, outP,
+            batchId = 0L, () => idxDir)
+        }
+        graft.ingest.EmbIngestPipeline.audit(s, tmp.resolve("out").toString,
+          tmp.resolve("index").toString, includeMonitor = false)
+      },
+      Some {
+        val thr = 0.95
+        val dim = 64
+        val seedPred = "vec_id % 5 <> 0"
+        val batchSelect =
+          """SELECT b.vec_id + 1000000 AS vec_id,
+            |  CASE WHEN b.vec_id % 20 = 0 THEN COALESCE(c.embedding, b.embedding)
+            |       WHEN b.vec_id % 20 = 10 THEN COALESCE(p.embedding, b.embedding)
+            |       WHEN b.vec_id % 40 = 15
+            |         THEN CAST(list_transform(range(64), x -> 0.0) AS FLOAT[])
+            |       ELSE b.embedding END AS embedding
+            |FROM embeddings b
+            |LEFT JOIN embeddings c ON c.vec_id = b.vec_id + 1
+            |LEFT JOIN embeddings p ON p.vec_id = b.vec_id - 5
+            |WHERE b.vec_id % 5 = 0""".stripMargin
+        import graft.functions.VectorFns
+        // the shared decision chain: gate → intra-batch pairs →
+        // components → representatives (standalone, reused textually)
+        val chain =
+          s"""batch AS ($batchSelect),
+             |gated AS (
+             |  SELECT vec_id, embedding,
+             |    CASE WHEN embedding IS NULL OR len(embedding) <> $dim
+             |           THEN 'bad_vector'
+             |         WHEN ${VectorFns.normSql("embedding", dim)} = 0
+             |           THEN 'zero_norm' END AS gate_reason
+             |  FROM batch),
+             |surv AS (SELECT vec_id, embedding FROM gated WHERE gate_reason IS NULL),
+             |v AS (
+             |  SELECT vec_id AS id, embedding AS vec,
+             |         ${VectorFns.normSql("embedding", dim)} AS nrm
+             |  FROM surv),
+             |ip AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM v a JOIN v b ON a.id < b.id
+             |  WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $thr),
+             |ie AS (
+             |  SELECT id_a AS src2, id_b AS dst FROM ip
+             |  UNION ALL SELECT id_b, id_a FROM ip),
+             |ir(id, label) AS (
+             |  SELECT vec_id, vec_id FROM surv
+             |  UNION
+             |  SELECT e.dst, r.label FROM ir r JOIN ie e ON e.src2 = r.id),
+             |reps AS (SELECT id, MIN(label) AS rep FROM ir GROUP BY id)""".stripMargin
+        val repsRel =
+          s"""WITH RECURSIVE $chain
+             |SELECT s.vec_id, s.embedding FROM surv s
+             |JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id""".stripMargin
+        val top1Sql = graft.operators.Similarity.ivfPqTopKStaleSql("embeddings", "vec_id",
+          "embedding", dim, 1, 16, 2, 4, 8, 16, 2, 20,
+          trainPred = seedPred, queryPred = "TRUE",
+          encodePred = seedPred, queryRel = Some(repsRel))
+        val admittedRel =
+          s"""WITH RECURSIVE $chain,
+             |top1 AS (
+             |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Sql) _t
+             |  WHERE cos_sim >= $thr)
+             |SELECT s.vec_id, s.embedding FROM surv s
+             |JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id
+             |LEFT JOIN top1 t ON t.query_id = s.vec_id
+             |WHERE t.query_id IS NULL""".stripMargin
+        val manifestSql = graft.operators.Similarity.pqListManifestSql("embeddings",
+          "vec_id", "embedding", dim, 16, 2, 8, 16, 2,
+          trainPred = seedPred, rowsRel = admittedRel)
+        s"""WITH RECURSIVE $chain,
+           |top1 AS (
+           |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Sql) _t
+           |  WHERE cos_sim >= $thr),
+           |decided AS (
+           |  SELECT g.vec_id,
+           |    CASE WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
+           |         WHEN r.rep <> g.vec_id
+           |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
+           |         WHEN t.neighbor_id IS NOT NULL
+           |           THEN 'corpus_dup:' || CAST(t.neighbor_id AS VARCHAR)
+           |         ELSE NULL END AS reject_reason,
+           |    t.cos_sim AS dup_cos
+           |  FROM gated g
+           |  LEFT JOIN reps r ON r.id = g.vec_id
+           |  LEFT JOIN top1 t ON t.query_id = g.vec_id)
+           |SELECT 'vec' AS kind, CAST(vec_id AS VARCHAR) AS key,
+           |  'admitted' AS detail, CAST(NULL AS BIGINT) AS n1,
+           |  CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS x
+           |FROM decided WHERE reject_reason IS NULL
+           |UNION ALL
+           |SELECT 'vec', CAST(vec_id AS VARCHAR), reject_reason,
+           |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), dup_cos
+           |FROM decided WHERE reject_reason IS NOT NULL
+           |UNION ALL
+           |SELECT 'list', CAST(list_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           |  n_codes, code0_checksum, CAST(id_checksum AS DOUBLE)
+           |FROM ($manifestSql) _m""".stripMargin
+      }),
   )
 }

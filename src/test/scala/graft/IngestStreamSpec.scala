@@ -47,24 +47,18 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  /** `killInBatch = Some(k)` dies INSIDE micro-batch k (0-based, offsets
+    * already committed) via the admit-index thunk — see
+    * SparkSpec.killingThunk for why this is the deterministic kill.
+    */
   private def runStream(src: String, ckpt: String, out: String,
-      killAfterBatches: Option[Int],
+      killInBatch: Option[Int],
       admitIndex: () => Option[IngestPipeline.BandIndexState] =
         () => None): Unit = {
     val q = IngestPipeline.stream(spark, src, seedSig(), trained(),
       bands = 4, radius = 3, nShards = 4, ckpt, out,
-      admitIndex = admitIndex)
-    killAfterBatches match {
-      case Some(k) =>
-        val deadline = System.currentTimeMillis() + 120000
-        while (q.recentProgress.count(_.numInputRows > 0) < k &&
-            System.currentTimeMillis() < deadline)
-          Thread.sleep(100)
-        q.stop(); q.awaitTermination()
-      case None =>
-        q.processAllAvailable()
-        q.stop(); q.awaitTermination()
-    }
+      admitIndex = killingThunk(killInBatch.map(_ + 1), admitIndex))
+    driveStream(q, expectKill = killInBatch.isDefined)
   }
 
   private def auditRows(out: String): Set[(String, String, String, Any, Any, Any)] =
@@ -81,8 +75,8 @@ class IngestStreamSpec extends SparkSpec {
     val out = tmpDir("ingest_out")
     writeSource(src)
     // kill after the first non-empty micro-batch commits, then restart
-    runStream(src, ckpt, out, killAfterBatches = Some(1))
-    runStream(src, ckpt, out, killAfterBatches = None)
+    runStream(src, ckpt, out, killInBatch = Some(1))
+    runStream(src, ckpt, out, killInBatch = None)
 
     val pairs = IngestPipeline.audit(spark, out)
       .filter(col("kind") === "pair").collect()
@@ -157,10 +151,10 @@ class IngestStreamSpec extends SparkSpec {
     val src = tmpDir("ingest_src2")
     writeSource(src)
     val (ckptA, outA) = (tmpDir("ingest_ckptA"), tmpDir("ingest_outA"))
-    runStream(src, ckptA, outA, killAfterBatches = Some(1))
-    runStream(src, ckptA, outA, killAfterBatches = None)
+    runStream(src, ckptA, outA, killInBatch = Some(1))
+    runStream(src, ckptA, outA, killInBatch = None)
     val (ckptB, outB) = (tmpDir("ingest_ckptB"), tmpDir("ingest_outB"))
-    runStream(src, ckptB, outB, killAfterBatches = None)
+    runStream(src, ckptB, outB, killInBatch = None)
     assert(auditRows(outA) == auditRows(outB),
       "kill/restart must land byte-identical audit rows")
     assert(auditRows(outA).nonEmpty)

@@ -55,25 +55,19 @@ class TextIngestStreamSpec extends SparkSpec {
     }
   }
 
+  /** `killInBatch = Some(k)` dies INSIDE micro-batch k (0-based, offsets
+    * already committed) via the admit-index thunk — see
+    * SparkSpec.killingThunk for why this is the deterministic kill.
+    */
   private def runStream(src: String, ckpt: String, out: String,
-      killAfterBatches: Option[Int],
+      killInBatch: Option[Int],
       admitIndex: () => Option[TextIngestPipeline.TextIndexState] =
         () => None): Unit = {
     val q = TextIngestPipeline.stream(spark, src, seedDocs(), trained(),
       n = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.8,
       minTokens = 5L, maxTokens = 30L, nShards = 4, ckpt, out,
-      admitIndex = admitIndex)
-    killAfterBatches match {
-      case Some(k) =>
-        val deadline = System.currentTimeMillis() + 120000
-        while (q.recentProgress.count(_.numInputRows > 0) < k &&
-            System.currentTimeMillis() < deadline)
-          Thread.sleep(100)
-        q.stop(); q.awaitTermination()
-      case None =>
-        q.processAllAvailable()
-        q.stop(); q.awaitTermination()
-    }
+      admitIndex = killingThunk(killInBatch.map(_ + 1), admitIndex))
+    driveStream(q, expectKill = killInBatch.isDefined)
   }
 
   private def auditRows(out: String): Set[(String, String, String, Any, Any, Any)] =
@@ -89,8 +83,8 @@ class TextIngestStreamSpec extends SparkSpec {
     val ckpt = tmpDir("tingest_ckpt")
     val out = tmpDir("tingest_out")
     writeSource(src)
-    runStream(src, ckpt, out, killAfterBatches = Some(1))
-    runStream(src, ckpt, out, killAfterBatches = None)
+    runStream(src, ckpt, out, killInBatch = Some(1))
+    runStream(src, ckpt, out, killInBatch = None)
 
     val docs = TextIngestPipeline.audit(spark, out)
       .filter(col("kind") === "doc").collect()
@@ -129,10 +123,10 @@ class TextIngestStreamSpec extends SparkSpec {
     val src = tmpDir("tingest_src2")
     writeSource(src)
     val (ckptA, outA) = (tmpDir("tingest_ckptA"), tmpDir("tingest_outA"))
-    runStream(src, ckptA, outA, killAfterBatches = Some(1))
-    runStream(src, ckptA, outA, killAfterBatches = None)
+    runStream(src, ckptA, outA, killInBatch = Some(1))
+    runStream(src, ckptA, outA, killInBatch = None)
     val (ckptB, outB) = (tmpDir("tingest_ckptB"), tmpDir("tingest_outB"))
-    runStream(src, ckptB, outB, killAfterBatches = None)
+    runStream(src, ckptB, outB, killInBatch = None)
     assert(auditRows(outA) == auditRows(outB),
       "kill/restart must land byte-identical audit rows")
     assert(auditRows(outA).nonEmpty)
