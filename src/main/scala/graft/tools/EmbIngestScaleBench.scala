@@ -1,0 +1,143 @@
+package graft.tools
+
+import java.util.SplittableRandom
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.EmbIngestPipeline
+import graft.ingest.EmbIngestPipeline.Params
+import graft.operators.{AnnIndex, Similarity}
+
+/** The EMBEDDING ingest-loop shape at corpus scale — the m15 analog of
+  * IngestScaleBench: the whole m15 foreachBatch DAG (gate → intra-batch
+  * exact-cosine dedup → index-probe admit → exactly-once code append →
+  * recall monitor) measured per micro-batch as the seed corpus grows,
+  * with the per-batch EXACT-SCAN admit (top-1 cosine of the batch's reps
+  * against the full corpus — what a pipeline without the index would
+  * run) timed alongside as the contrast. The claim under test: the
+  * probe admit rides the IVF serve path (a shuffle-free codes scan +
+  * bounded rerank), while the exact scan pays O(corpus·batch) dot
+  * products per batch.
+  *
+  * Honest cost notes baked into the readout: (a) the codes scan is
+  * corpus-linear in BYTES (m small codes per row) though shuffle-free —
+  * at fleet scale the codes table is additionally bucketed by list_id
+  * so nprobe prunes the scan itself; (b) the recall monitor's exact
+  * side is corpus-linear by definition (bounded here by monitorMax=10
+  * sampled queries, the production cadence knob).
+  *
+  * Vectors are synthetic 64-dim floats: corpus ids anchor on id%32
+  * even-ish dims with deterministic noise; batch composition per
+  * micro-batch: ~25% corpus dups (exact copies of seed vectors), ~25%
+  * intra-batch dup pairs, ~50% novel random vectors.
+  *
+  *   sbt "runMain graft.tools.EmbIngestScaleBench 100000,300000,1000000"
+  */
+object EmbIngestScaleBench {
+
+  private val Dim = 64
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic corpus vector: anchored cluster + small noise. */
+  private def corpusVec(id: Long): Seq[Float] = {
+    val r = new SplittableRandom(mix(id ^ 0x5eedL))
+    val anchor = ((id % 32) * 2).toInt
+    (0 until Dim).map(d =>
+      ((if (d == anchor) 1.0 else 0.0) + 0.05 * (r.nextDouble() - 0.5)).toFloat)
+  }
+
+  /** Novel batch vector: random direction, no anchor — far from corpus. */
+  private def novelVec(seed: Long): Seq[Float] = {
+    val r = new SplittableRandom(mix(seed ^ 0x707e1L))
+    (0 until Dim).map(_ => (r.nextDouble() - 0.5).toFloat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("100000,300000,1000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val batchRows = sys.env.getOrElse("SPARK_GRAFT_BATCH_ROWS", "2000").toLong
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_N_BATCHES", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val p = Params(dim = Dim, threshold = 0.99999, nlist = 32,
+      itersCoarse = 1, m = 4, ksub = 16, itersPq = 1, nprobe = 4,
+      rerank = 32, monitorK = 5, monitorMax = 10, recallTarget = 0.0)
+
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    for (n <- sizes) {
+      val seed = spark.createDataFrame(
+          spark.range(n).rdd.map(id => Row(id, corpusVec(id))),
+          schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seed.count()
+      // batches land as one parquet file each, mtime-ordered
+      val src = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"embscale_src_$n").toString
+      for (b <- 0 until nBatches) {
+        val rows = (0L until batchRows).map { i =>
+          val vid = 10000000L + b * batchRows + i
+          val vec =
+            if (i % 4 == 0) corpusVec((vid * 31) % n) // corpus dup (exact copy)
+            else if (i % 4 == 1) novelVec(vid - 2)    // intra dup of row i-2
+            else novelVec(vid)                        // novel
+          Row(vid, vec)
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      }
+
+      // probe path: the persisted IVF index built once, untimed (the
+      // amortized bootstrap), then the WHOLE pipeline per micro-batch
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"embscale_out_$n").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"embscale_ck_$n").toString
+      val idx = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"embscale_idx_$n").toString
+      EmbIngestPipeline.rebuildIndex(spark, seed, out, idx, p, through = -1L)
+      val q = EmbIngestPipeline.stream(spark, src, seed, p, ckpt, out, () => idx)
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      val probe = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(_.batchDuration / 1000.0)
+
+      // contrast: the exact-scan admit alone (top-1 cosine of each
+      // batch's rows against the seed corpus) — the O(corpus·batch)
+      // term the index probe replaces
+      val files = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+      val exact = files.toSeq.map { f =>
+        val batch = spark.read.schema(schema).parquet(f.toString)
+        val t0 = System.nanoTime()
+        Similarity.cosineTopK(seed, batch, "vec_id", "embedding", Dim, 1)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"""{"metric":"emb_ingest_scale","corpus":$n,"batch_rows":$batchRows,""" +
+        s""""n_batches":${probe.size},""" +
+        s""""probe_pipeline_batch_sec":[${probe.map(r3).mkString(",")}],""" +
+        s""""exact_admit_batch_sec":[${exact.map(r3).mkString(",")}]}""")
+      seed.unpersist()
+      Seq(src, out, ckpt, idx).foreach(d =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    }
+    spark.stop()
+  }
+}
