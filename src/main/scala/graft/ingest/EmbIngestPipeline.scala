@@ -158,8 +158,12 @@ object EmbIngestPipeline {
           col("gate_reason").as("reject_reason"),
           lit(null).cast("double").as("dup_cos")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coalesce(4): a per-batch partition written at shuffle width lands
+    // dozens of tiny files, and every later batch's corpus read pays
+    // per-file overhead for ALL of them — file count, not row count, is
+    // what accumulates in a long-running loop (see AnnIndex.writeCodes)
     def land(df: DataFrame, sub: String): Unit =
-      df.withColumn("ingest_batch", lit(batchId))
+      df.coalesce(4).withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")

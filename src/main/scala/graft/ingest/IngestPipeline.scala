@@ -306,8 +306,14 @@ object IngestPipeline {
         col("lo"), col("n_tokens"), col("dsir_score"), col("shard"))
       .repartition(nShards, col("shard"))
     land(admitted, "admitted", Seq("shard"))
+    // coalesce(4): per-batch partitions written at shuffle width land
+    // dozens of tiny files whose open/footer cost every later batch's
+    // corpus read pays — file count, not row count, accumulates in a
+    // long-running loop (admitted is already width-controlled by the
+    // shard repartition)
     land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("pair_id"), col("img_name"), col("reject_reason")),
+      .select(col("pair_id"), col("img_name"), col("reject_reason"))
+      .coalesce(4),
       "rejected", Nil)
     // 5. drift gate over the WHOLE batch's captions (the firehose
     // distribution, not just survivors). allowEmpty: a zero-token batch

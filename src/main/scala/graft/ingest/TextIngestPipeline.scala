@@ -244,8 +244,11 @@ object TextIngestPipeline {
         col("dsir_score"), col("shard"))
       .repartition(nShards, col("shard"))
     land(admitted, "admitted", Seq("shard"))
+    // coalesce(4): file count, not row count, accumulates across a
+    // long-running loop's per-batch partitions (see IngestPipeline)
     land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("doc_id"), col("reject_reason")), "rejected", Nil)
+      .select(col("doc_id"), col("reject_reason")).coalesce(4),
+      "rejected", Nil)
     // 5. drift gate over the WHOLE batch's text (the firehose
     // distribution, not just survivors); allowEmpty — see scaladoc
     land(Dsir.driftStat(gated.select(col("text")), "text",

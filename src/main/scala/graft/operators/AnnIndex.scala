@@ -118,8 +118,17 @@ object AnnIndex {
       // bootstrap: STATIC overwrite truncates the whole codes dir (a
       // rebuild into a dirty directory must not merge with stale
       // appends); append: DYNAMIC overwrite replaces only this batch's
-      // partition — the streaming-replay exactly-once contract.
-      val w = codes.withColumn("ingest_batch", lit(id))
+      // partition — the streaming-replay exactly-once contract. An
+      // APPENDED batch is coalesced hard: a per-batch partition written
+      // at shuffle-partition width lands dozens of sub-row-group files,
+      // and every subsequent probe pays per-file open/footer/task setup
+      // for ALL accumulated batches — measured as linear per-batch admit
+      // growth (~3 s per 32-file batch at 100k corpus) that the data
+      // volume itself (≈10³ rows/batch) in no way explains. File COUNT,
+      // not row count, is the accumulating term; periodic rebuilds fold
+      // all batch partitions back into the bootstrap partition.
+      val w = (if (bootstrap) codes else codes.coalesce(4))
+        .withColumn("ingest_batch", lit(id))
         .write.mode("overwrite")
       (if (bootstrap) w
        else w.option("partitionOverwriteMode", "dynamic"))
