@@ -129,7 +129,12 @@ object EmbIngestScaleBench {
       // corpus-linear by construction and batch-invariant.
       val files = new java.io.File(src).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
-      val exact = files.toSeq.take(1).map { f =>
+      // SPARK_GRAFT_EXACT_MAX_CORPUS skips the contrast above a size —
+      // it is corpus-linear by construction, so measured small points
+      // pin the slope without paying the large ones' full scan
+      val exactCap = sys.env.getOrElse("SPARK_GRAFT_EXACT_MAX_CORPUS",
+        Long.MaxValue.toString).toLong
+      val exact = files.toSeq.take(1).filter(_ => n <= exactCap).map { f =>
         val batch = spark.read.schema(schema).parquet(f.toString)
         val t0 = System.nanoTime()
         Similarity.cosineTopK(seed, batch, "vec_id", "embedding", Dim, 1)
