@@ -175,10 +175,16 @@ object AnnIndex {
       .withColumn("qscore", Similarity.pqScore(m, dsub))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    // the candidate window shuffles EVERY probed code row — keep its
+    // payload narrow (ids + scalars only). Carrying qvec/qnorm here was
+    // measured to cost more than the ADC scan saves at a 300k corpus
+    // (the dim-floats-per-candidate shuffle dwarfs the rerank it feeds);
+    // the query vectors re-join AFTER the rerank cut, on |Q|·rerank rows.
     val cands = scored.withColumn("_qrank", row_number().over(wq))
       .filter(col("_qrank") <= rerank)
-      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("qnorm"),
-        col("cnorm"))
+      .select(col("query_id"), col("neighbor_id"), col("cnorm"))
+      .join(broadcast(q0.select(col("query_id"), col("qvec"), col("qnorm"))),
+        Seq("query_id"))
     // candidate-vector fetch: corpus stays the streamed side, candidates
     // broadcast — the only corpus touch in the whole query path
     val fetched = corpus
