@@ -37,8 +37,10 @@ import graft.operators.{AnnIndex, Dedup, Similarity}
   *      vectors ride stale books until a rebuild.
   *   5. RECALL MONITOR — recall@k of a bounded sample of the batch's own
   *      admitted vectors (served from the just-appended index) against
-  *      the exact scan: e19's drift signal riding the ingest loop. A
-  *      verdict row lands per batch; `fired` = mean recall below target.
+  *      the exact scan: e19's drift signal riding the ingest loop.
+  *      CADENCED by `monitorEvery` (the exact side is the loop's only
+  *      O(corpus) term — see [[Params]]); a verdict row lands per
+  *      monitored batch, `fired` = mean recall below target.
   *   6. REBUILD — [[rebuildIndex]] retrains over the accumulated corpus
   *      into a NEW versioned index directory (e21's recovery); the
   *      stream's index thunk swaps to it between batches. Decisions are
@@ -52,12 +54,17 @@ import graft.operators.{AnnIndex, Dedup, Similarity}
   * uses the same mode inside the index, and every read the batch depends
   * on is filtered to strictly earlier batches.
   *
-  * Scale: the admit probe is corpus-size-free at query time (nprobe/nlist
-  * of the bucketed code scan); the rerank fetch broadcasts candidates and
-  * never shuffles the corpus; the monitor is bounded by `monitorMax`
-  * queries; training artifacts load as k-row driver constants. Batch and
-  * corpus vec_ids must be unique and disjoint (mint batch ids with an
-  * offset).
+  * Scale: the admit probe is corpus-size-free at query time (nprobe
+  * coarse lists of the list_id-partitioned code scan — the partition
+  * pruning makes the scanned bytes track nprobe/nlist too); the rerank
+  * fetch broadcasts candidates and never shuffles the corpus; the
+  * monitor is bounded by `monitorMax` queries AND cadenced by
+  * `monitorEvery` (its exact side is the loop's only O(corpus) term);
+  * training artifacts load as k-row driver constants; [[AnnIndex
+  * .compactCodes]] folds accumulated per-batch code partitions back into
+  * the base between batches, bounding file-count growth without a
+  * retrain. Batch and corpus vec_ids must be unique and disjoint (mint
+  * batch ids with an offset).
   */
 object EmbIngestPipeline {
 
@@ -72,12 +79,27 @@ object EmbIngestPipeline {
   /** Tunables for one pipeline instance; `index` is resolved EVERY
     * micro-batch (like the band-index thunks) so a rebuild's directory
     * swap takes effect live.
+    *
+    * `maxBatchRows` guards the INTRA-batch exact-cosine dedup (quadratic
+    * in the batch — kept at the documented 100k all-pairs guard; route
+    * bigger batches through [[graft.operators.Similarity.lshNearDupPairs]]
+    * or shard them upstream), a separate knob from `maxQueryRows`, which
+    * only bounds the probe/monitor QUERY sides (linear broadcasts).
+    *
+    * `monitorEvery` is the recall monitor's cadence: the monitor's exact
+    * side is an O(corpus) scan by definition, so running it every batch
+    * puts a full-corpus term inside a loop whose admit step was built to
+    * avoid exactly that. Every Nth batch amortizes it N× (drift is a
+    * corpus-scale phenomenon — it does not appear and vanish between
+    * adjacent micro-batches); non-monitored batches land no monitor row.
     */
   final case class Params(
       dim: Int, threshold: Double, nlist: Int, itersCoarse: Int, m: Int,
       ksub: Int, itersPq: Int, nprobe: Int, rerank: Int,
       monitorK: Int, monitorMax: Int, recallTarget: Double,
-      maxQueryRows: Long = 1L << 20)
+      maxQueryRows: Long = 1L << 20,
+      maxBatchRows: Long = 100000,
+      monitorEvery: Int = 1)
 
   /** The corpus vectors as batch `belowBatch` must see them: seed
     * (vec_id, embedding) ∪ vectors admitted by STRICTLY EARLIER batches.
@@ -85,8 +107,8 @@ object EmbIngestPipeline {
   def corpusVecs(spark: SparkSession, seedVecs: DataFrame, outDir: String,
       belowBatch: Long): DataFrame =
     seedVecs.select(col("vec_id"), col("embedding"))
-      .unionByName(IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
-        .filter(col("ingest_batch") < belowBatch)
+      .unionByName(Frame.strictlyEarlier(spark, s"$outDir/admitted",
+          AdmittedSchema, belowBatch)
         .select(col("vec_id"), col("embedding")))
 
   /** Build (or REBUILD) the index over seed ∪ admitted(<= through) into
@@ -107,9 +129,13 @@ object EmbIngestPipeline {
     * monitor under `ingest_batch=batchId` and appends the admitted PQ
     * codes under the same partition inside the index.
     * `batch` columns: (vec_id BIGINT, embedding ARRAY<FLOAT>).
+    * `timer` brackets the four materialization points (admit / reject /
+    * append / monitor) so a bench can name the dominant per-batch term
+    * instead of guessing it; the default is a no-op passthrough.
     */
   def ingestBatch(batch: DataFrame, seedVecs: DataFrame, p: Params,
-      outDir: String, batchId: Long, index: () => String): Unit = {
+      outDir: String, batchId: Long, index: () => String,
+      timer: (String, () => Unit) => Unit = (_, f) => f()): Unit = {
     val spark = batch.sparkSession
     val idxDir = index()
     // 1. gate — size check BEFORE any norm is computed on a bad vector
@@ -128,14 +154,17 @@ object EmbIngestPipeline {
     // 2. intra-batch components; min vec_id represents each component
     val comp = Dedup.connectedComponents(
       Similarity.cosineNearDupPairs(surv, "vec_id", "embedding", p.dim,
-          p.threshold, maxRows = p.maxQueryRows)
+          p.threshold, maxRows = p.maxBatchRows)
         .select(col("id_a"), col("id_b")))
-    val withRep = surv
-      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
-      .withColumn("rep", coalesce(col("cluster"), col("vec_id")))
-    // 3. representatives probe the index (strictly earlier partitions)
+    val withRep = Frame.withRepresentative(surv, "vec_id", comp)
+    // 3. representatives probe the index (strictly earlier partitions).
+    // Persisted: the serve path evaluates its query relation three times
+    // (probed-list pruning collect, probe broadcast, post-cut vector
+    // re-join), and reps sits on top of the connected-components
+    // iteration — without the pin each evaluation would re-run CC.
     val reps = withRep.filter(col("vec_id") === col("rep"))
       .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusDup = AnnIndex.queryIvfPq(
         corpus = corpusVecs(spark, seedVecs, outDir, batchId),
         queries = reps, idCol = "vec_id", vecCol = "embedding", dim = p.dim,
@@ -171,50 +200,66 @@ object EmbIngestPipeline {
     // 4. land the corpus growth, then append its codes exactly-once
     val admitted = decided.filter(col("reject_reason").isNull)
       .select(col("vec_id"), col("embedding"))
-    land(admitted, "admitted")
-    land(decided.filter(col("reject_reason").isNotNull)
+    timer("admit", () => land(admitted, "admitted"))
+    timer("reject", () => land(decided.filter(col("reject_reason").isNotNull)
       .select(col("vec_id"), col("reject_reason"), col("dup_cos")),
-      "rejected")
-    AnnIndex.appendIvfPq(
+      "rejected"))
+    timer("append", () => AnnIndex.appendIvfPq(
       IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
         .filter(col("ingest_batch") === batchId)
         .select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", p.dim, idxDir, ingestBatch = Some(batchId))
-    // 5. recall monitor over a bounded, deterministic admitted sample,
-    // served from the index INCLUDING this batch's codes. An empty
-    // sample lands a fired=NULL row (the drift-gate allowEmpty rule: a
-    // throw inside foreachBatch wedges the stream on replay).
-    val sample = IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
-      .filter(col("ingest_batch") === batchId)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(p.monitorMax)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSample = sample.count()
-    val monitor =
-      if (nSample == 0)
-        spark.sql(s"""SELECT 'batch_$batchId' AS batch,
-          CAST(0 AS BIGINT) AS n_queries,
-          CAST(NULL AS DOUBLE) AS mean_recall,
-          CAST(NULL AS BOOLEAN) AS fired""")
-      else {
-        val served = corpusVecs(spark, seedVecs, outDir, batchId + 1)
-        val rec = Similarity.recallAtK(
-          approx = AnnIndex.queryIvfPq(
-            corpus = served, queries = sample, idCol = "vec_id",
-            vecCol = "embedding", dim = p.dim, k = p.monitorK,
-            nprobe = p.nprobe, rerank = p.rerank, dir = idxDir,
-            maxQueryRows = p.maxQueryRows,
-            scanPred = Some(col("ingest_batch") <= batchId)),
-          exact = Similarity.cosineTopK(served, sample, "vec_id",
-            "embedding", p.dim, p.monitorK))
-        rec.agg(count(lit(1)).as("n_queries"),
-            avg(col("recall")).as("mean_recall"))
-          .select(lit(s"batch_$batchId").as("batch"), col("n_queries"),
-            col("mean_recall"),
-            (col("mean_recall") < p.recallTarget).as("fired"))
-      }
-    land(monitor, "monitor")
-    sample.unpersist(); decided.unpersist(); gated.unpersist()
+      "vec_id", "embedding", p.dim, idxDir, ingestBatch = Some(batchId)))
+    // 5. recall monitor — CADENCED (p.monitorEvery): its exact side is an
+    // O(corpus) scan by definition, the one term in this loop that cannot
+    // ride the index, so it runs every Nth batch instead of shadowing
+    // every batch of a pipeline whose admit step was built to avoid
+    // exactly that scan. The cadence decision is a pure function of
+    // batchId, so a replayed batch agrees with its first attempt; a
+    // skipped batch lands NO monitor row. On monitored batches: recall@k
+    // of a bounded, deterministic admitted sample, served from the index
+    // INCLUDING this batch's codes. An empty sample lands a fired=NULL
+    // row (the drift-gate allowEmpty rule: a throw inside foreachBatch
+    // wedges the stream on replay).
+    if (batchId % p.monitorEvery == 0) timer("monitor", () => {
+      val sample = IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
+        .filter(col("ingest_batch") === batchId)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(p.monitorMax)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSample = sample.count()
+      val monitor =
+        if (nSample == 0)
+          spark.sql(s"""SELECT 'batch_$batchId' AS batch,
+            CAST(0 AS BIGINT) AS n_queries,
+            CAST(NULL AS DOUBLE) AS mean_recall,
+            CAST(NULL AS BOOLEAN) AS fired""")
+        else {
+          val served = corpusVecs(spark, seedVecs, outDir, batchId + 1)
+          val rec = Similarity.recallAtK(
+            approx = AnnIndex.queryIvfPq(
+              corpus = served, queries = sample, idCol = "vec_id",
+              vecCol = "embedding", dim = p.dim, k = p.monitorK,
+              nprobe = p.nprobe, rerank = p.rerank, dir = idxDir,
+              maxQueryRows = p.maxQueryRows,
+              scanPred = Some(col("ingest_batch") <= batchId)),
+            exact = Similarity.cosineTopK(served, sample, "vec_id",
+              "embedding", p.dim, p.monitorK))
+          // MICRO-averaged recall (total hits / total truth): integer
+          // sums + one double division — bit-reproducible across engines
+          // (a mean of per-query double ratios is summation-order-
+          // dependent in the last ulp), which is what lets the monitor
+          // row be DECLARED and hash-gated (m16) instead of spec-only
+          rec.agg(count(lit(1)).as("n_queries"),
+              (sum(col("hits")).cast("double") /
+                sum(col("n_exact")).cast("double")).as("mean_recall"))
+            .select(lit(s"batch_$batchId").as("batch"), col("n_queries"),
+              col("mean_recall"),
+              (col("mean_recall") < p.recallTarget).as("fired"))
+        }
+      land(monitor, "monitor")
+      sample.unpersist()
+    })
+    reps.unpersist(); decided.unpersist(); gated.unpersist()
   }
 
   /** The streaming wrapper: a parquet file stream of vector batches
@@ -258,7 +303,7 @@ object EmbIngestPipeline {
         col("reject_reason").as("detail"),
         lit(null).cast("bigint").as("n1"), lit(null).cast("bigint").as("n2"),
         col("dup_cos").as("x")))
-    val listRows = spark.read.parquet(s"$indexDir/codes")
+    val listRows = AnnIndex.readCodes(spark, indexDir)
       .filter(col("ingest_batch") >= 0)
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_codes"),

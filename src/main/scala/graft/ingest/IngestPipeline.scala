@@ -126,14 +126,11 @@ object IngestPipeline {
     "batch STRING, n_terms BIGINT, chi2_micro BIGINT, drifted BOOLEAN, " +
       "ingest_batch BIGINT"
 
-  private[ingest] def read(spark: SparkSession, dir: String, schema: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
-  }
+  /** Delegates to the shared frame ([[Frame.readOrEmpty]]); kept as the
+    * module-local name every pipeline read goes through.
+    */
+  private[ingest] def read(spark: SparkSession, dir: String, schema: String): DataFrame =
+    Frame.readOrEmpty(spark, dir, schema)
 
   /** The corpus signature index as batch `belowBatch` must see it:
     * seed (item_id, hi, lo) ∪ signatures admitted by STRICTLY EARLIER
@@ -144,8 +141,8 @@ object IngestPipeline {
       belowBatch: Long): DataFrame =
     seedSig.select(col("item_id").cast("string").as("item_id"),
         col("hi"), col("lo"))
-      .unionByName(read(spark, s"$outDir/admitted", AdmittedSchema)
-        .filter(col("ingest_batch") < belowBatch)
+      .unionByName(Frame.strictlyEarlier(spark, s"$outDir/admitted",
+          AdmittedSchema, belowBatch)
         .select(col("pair_id").cast("string").as("item_id"),
           col("hi"), col("lo")))
 
@@ -230,13 +227,8 @@ object IngestPipeline {
     BandIndexState(newTable, newThrough)
   }
 
-  private[ingest] def dropTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(wh)) fs.delete(wh, true)
-  }
+  private[ingest] def dropTable(spark: SparkSession, table: String): Unit =
+    Frame.dropTable(spark, table)
 
   /** ONE batch through the whole DAG; lands admitted / rejected / drift
     * under `ingest_batch=batchId` with dynamic partition overwrite.
@@ -265,9 +257,8 @@ object IngestPipeline {
     val comp = Dedup.connectedComponents(
       Dedup.hammingPairs64(sig, "pair_id", "hi", "lo", bands, radius,
         checkIds = false)) // pair_id is the stream's natural unique key
-    val withRep = sig.filter(col("hi").isNotNull)
-      .join(comp.withColumnRenamed("id", "pair_id"), Seq("pair_id"), "left")
-      .withColumn("rep", coalesce(col("cluster"), col("pair_id")))
+    val withRep = Frame.withRepresentative(
+      sig.filter(col("hi").isNotNull), "pair_id", comp)
     // 3. representatives vs the accumulated index (strictly earlier
     // batches) — direct join or persisted-index probe per [[BandIndexState]]
     val reps = withRep.filter(col("pair_id") === col("rep"))
@@ -280,49 +271,35 @@ object IngestPipeline {
     val decided = withRep.join(corpusDup, Seq("rep"), "left")
       .select(col("pair_id"), col("img_name"), col("caption"),
         col("hi"), col("lo"),
-        when(col("pair_id") =!= col("rep"),
-          concat(lit("batch_dup:"), col("rep").cast("string")))
-          .when(col("corpus_dup_of").isNotNull,
-            concat(lit("corpus_dup:"), col("corpus_dup_of")))
-          .otherwise(lit(null).cast("string")).as("reject_reason"))
+        Frame.rejectReason("pair_id").as("reject_reason"))
       .unionByName(sig.filter(col("hi").isNull)
         .select(col("pair_id"), col("img_name"), col("caption"),
           col("hi"), col("lo"),
           lit("quarantined_undecodable").as("reject_reason")))
-    def land(df: DataFrame, sub: String, extraParts: Seq[String]): Unit =
-      df.withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(("ingest_batch" +: extraParts): _*)
-        .parquet(s"$outDir/$sub")
     // 4+6. score admitted captions, shard, land (one shuffle keyed by shard)
     val admitted = Dsir.withScore(
         decided.filter(col("reject_reason").isNull), "caption",
         trained.weights, trained.buckets)
-      .withColumn("shard",
-        pmod(TextFns.md5Hash32(col("pair_id").cast("string")), lit(nShards.toLong)))
+      .withColumn("shard", Frame.shardOf("pair_id", nShards))
       .withColumn("n_tokens", TextFns.tokenCount(col("caption")))
       .select(col("pair_id"), col("img_name"), col("caption"), col("hi"),
         col("lo"), col("n_tokens"), col("dsir_score"), col("shard"))
       .repartition(nShards, col("shard"))
-    land(admitted, "admitted", Seq("shard"))
-    // coalesce(4): per-batch partitions written at shuffle width land
-    // dozens of tiny files whose open/footer cost every later batch's
-    // corpus read pays — file count, not row count, accumulates in a
-    // long-running loop (admitted is already width-controlled by the
-    // shard repartition)
-    land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("pair_id"), col("img_name"), col("reject_reason"))
-      .coalesce(4),
-      "rejected", Nil)
+    Frame.land(admitted, outDir, "admitted", batchId, Seq("shard"))
+    // coalesceTo=4 (Frame.land's file-count contract): admitted is
+    // already width-controlled by the shard repartition, rejected is not
+    Frame.land(decided.filter(col("reject_reason").isNotNull)
+      .select(col("pair_id"), col("img_name"), col("reject_reason")),
+      outDir, "rejected", batchId, coalesceTo = Some(4))
     // 5. drift gate over the WHOLE batch's captions (the firehose
     // distribution, not just survivors). allowEmpty: a zero-token batch
     // lands a drifted=NULL row instead of throwing — a throw inside
     // foreachBatch replays deterministically and wedges the stream on
     // that batch forever.
-    land(Dsir.driftStat(sig.select(col("caption").as("text")), "text",
+    Frame.land(Dsir.driftStat(sig.select(col("caption").as("text")), "text",
       trained.dist, trained.distTotal, trained.buckets,
-      trained.driftThreshold, s"batch_$batchId", allowEmpty = true), "drift", Nil)
+      trained.driftThreshold, s"batch_$batchId", allowEmpty = true),
+      outDir, "drift", batchId)
     sig.unpersist()
   }
 
@@ -337,17 +314,12 @@ object IngestPipeline {
       signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.plans.DHashBmp(_),
       admitIndex: () => Option[BandIndexState] = () => None): StreamingQuery =
-    spark.readStream
-      .schema("pair_id BIGINT, img_name STRING, payload BINARY, caption STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, seedSig, trained, bands, radius, nShards, outDir, id,
-          signature, admitIndex)
-      }
-      .start()
+    Frame.fileStream(spark, srcDir,
+      "pair_id BIGINT, img_name STRING, payload BINARY, caption STRING",
+      checkpoint) { (b, id) =>
+      ingestBatch(b, seedSig, trained, bands, radius, nShards, outDir, id,
+        signature, admitIndex)
+    }
 
   /** The audit over the LANDED outputs — what the declared m12 query
     * hash-checks: one row per pair (status, shard, tokens, score), the

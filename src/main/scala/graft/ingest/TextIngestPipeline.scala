@@ -99,8 +99,8 @@ object TextIngestPipeline {
   def corpusDocs(spark: SparkSession, seedDocs: DataFrame, outDir: String,
       belowBatch: Long): DataFrame =
     seedDocs.select(col("doc_id"), col("text"))
-      .unionByName(IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
-        .filter(col("ingest_batch") < belowBatch)
+      .unionByName(Frame.strictlyEarlier(spark, s"$outDir/admitted",
+          AdmittedSchema, belowBatch)
         .select(col("doc_id"), col("text")))
 
   /** One micro-batch's (representative × corpus) near-dup pairs on either
@@ -204,9 +204,7 @@ object TextIngestPipeline {
       Dedup.minhashLshPairs(surv, "doc_id", "text", n, numHashes,
           rowsPerBand, threshold)
         .select(col("id_a"), col("id_b")))
-    val withRep = surv
-      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+    val withRep = Frame.withRepresentative(surv, "doc_id", comp)
     // 3. representatives vs the accumulated corpus — direct join or
     // persisted-index probe per [[TextIndexState]]
     val reps = withRep.filter(col("doc_id") === col("rep"))
@@ -218,42 +216,31 @@ object TextIngestPipeline {
       .agg(min(col("corpus_id")).as("corpus_dup_of"))
     val decided = withRep.join(corpusDup, Seq("rep"), "left")
       .select(col("doc_id"), col("text"),
-        when(col("doc_id") =!= col("rep"),
-          concat(lit("batch_dup:"), col("rep").cast("string")))
-          .when(col("corpus_dup_of").isNotNull,
-            concat(lit("corpus_dup:"), col("corpus_dup_of").cast("string")))
-          .otherwise(lit(null).cast("string")).as("reject_reason"))
+        Frame.rejectReason("doc_id").as("reject_reason"))
       .unionByName(gated.filter(col("gate_reason").isNotNull)
         .select(col("doc_id"), col("text"),
           col("gate_reason").as("reject_reason")))
-    def land(df: DataFrame, sub: String, extraParts: Seq[String]): Unit =
-      df.withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(("ingest_batch" +: extraParts): _*)
-        .parquet(s"$outDir/$sub")
     // 4+6. score admitted docs, shard, land (one shuffle keyed by shard)
     val admitted = Dsir.withScore(
         decided.filter(col("reject_reason").isNull), "text",
         trained.weights, trained.buckets)
-      .withColumn("shard",
-        pmod(TextFns.md5Hash32(col("doc_id").cast("string")), lit(nShards.toLong)))
+      .withColumn("shard", Frame.shardOf("doc_id", nShards))
       .join(gated.select(col("doc_id"), col("lang"), col("n_tokens")),
         Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"),
         col("dsir_score"), col("shard"))
       .repartition(nShards, col("shard"))
-    land(admitted, "admitted", Seq("shard"))
-    // coalesce(4): file count, not row count, accumulates across a
-    // long-running loop's per-batch partitions (see IngestPipeline)
-    land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("doc_id"), col("reject_reason")).coalesce(4),
-      "rejected", Nil)
+    Frame.land(admitted, outDir, "admitted", batchId, Seq("shard"))
+    // coalesceTo=4 (Frame.land's file-count contract)
+    Frame.land(decided.filter(col("reject_reason").isNotNull)
+      .select(col("doc_id"), col("reject_reason")),
+      outDir, "rejected", batchId, coalesceTo = Some(4))
     // 5. drift gate over the WHOLE batch's text (the firehose
     // distribution, not just survivors); allowEmpty — see scaladoc
-    land(Dsir.driftStat(gated.select(col("text")), "text",
+    Frame.land(Dsir.driftStat(gated.select(col("text")), "text",
       trained.dist, trained.distTotal, trained.buckets,
-      trained.driftThreshold, s"batch_$batchId", allowEmpty = true), "drift", Nil)
+      trained.driftThreshold, s"batch_$batchId", allowEmpty = true),
+      outDir, "drift", batchId)
     gated.unpersist()
   }
 
@@ -267,17 +254,11 @@ object TextIngestPipeline {
       rowsPerBand: Int, threshold: Double, minTokens: Long, maxTokens: Long,
       nShards: Int, checkpoint: String, outDir: String,
       admitIndex: () => Option[TextIndexState] = () => None): StreamingQuery =
-    spark.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, seedDocs, trained, n, numHashes, rowsPerBand,
-          threshold, minTokens, maxTokens, nShards, outDir, id, admitIndex)
-      }
-      .start()
+    Frame.fileStream(spark, srcDir, "doc_id BIGINT, text STRING",
+      checkpoint) { (b, id) =>
+      ingestBatch(b, seedDocs, trained, n, numHashes, rowsPerBand,
+        threshold, minTokens, maxTokens, nShards, outDir, id, admitIndex)
+    }
 
   /** The audit over the LANDED outputs — what the declared m14 query
     * hash-checks: one row per doc (status+lang, shard, tokens, score),

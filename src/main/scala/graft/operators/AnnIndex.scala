@@ -18,10 +18,17 @@ import graft.functions.VectorFns
   * Layout under `dir`:
   *   centroids/  (cid, cent)            — nlist rows
   *   codebooks/  (subspace, cid, codeword) — m·ksub rows
-  *   codes/      (neighbor_id, list_id, cnorm, code0..code{m-1})
+  *   codes/      (neighbor_id, cnorm, code0..code{m-1}),
+  *               hive-PARTITIONED by list_id (and, in ingest mode, by
+  *               ingest_batch above it)
   *
   * The codes table is the only corpus-sized relation and holds m small
   * codes per row instead of dim floats — the scan-bytes win PQ exists for.
+  * list_id is a PARTITION column: a probe at `nprobe` lists physically
+  * prunes the codes scan to those lists' directories, so scan bytes per
+  * query track nprobe/nlist of the corpus instead of the whole corpus
+  * (the IVF promise made physical — without it the scan is shuffle-free
+  * but still corpus-linear in bytes).
   * Original vectors are NOT duplicated into the index: the exact rerank
   * fetches the ≤ |queries|·rerank candidate vectors from the corpus by an
   * id join with the small side broadcast (the corpus never shuffles).
@@ -113,30 +120,98 @@ object AnnIndex {
   }
 
   private def writeCodes(codes: DataFrame, dir: String,
-      ingestBatch: Option[Long], bootstrap: Boolean): Unit = ingestBatch match {
-    case Some(id) =>
-      // bootstrap: STATIC overwrite truncates the whole codes dir (a
-      // rebuild into a dirty directory must not merge with stale
-      // appends); append: DYNAMIC overwrite replaces only this batch's
-      // partition — the streaming-replay exactly-once contract. An
-      // APPENDED batch is coalesced hard: a per-batch partition written
-      // at shuffle-partition width lands dozens of sub-row-group files,
-      // and every subsequent probe pays per-file open/footer/task setup
-      // for ALL accumulated batches — measured as linear per-batch admit
-      // growth (~3 s per 32-file batch at 100k corpus) that the data
-      // volume itself (≈10³ rows/batch) in no way explains. File COUNT,
-      // not row count, is the accumulating term; periodic rebuilds fold
-      // all batch partitions back into the bootstrap partition.
-      val w = (if (bootstrap) codes else codes.coalesce(4))
-        .withColumn("ingest_batch", lit(id))
-        .write.mode("overwrite")
-      (if (bootstrap) w
-       else w.option("partitionOverwriteMode", "dynamic"))
-        .partitionBy("ingest_batch")
-        .parquet(s"$dir/codes")
-    case None =>
-      codes.write.mode(if (bootstrap) "overwrite" else "append")
-        .parquet(s"$dir/codes")
+      ingestBatch: Option[Long], bootstrap: Boolean): Unit = {
+    // ONE file per coarse list per write: repartitioning on list_id puts
+    // each list's rows in exactly one task, so partitionBy emits one file
+    // per list present in the write (at fleet scale, salt hot lists
+    // across more tasks). File COUNT, not row count, is the accumulating
+    // term in a long-running ingest loop — measured as linear per-batch
+    // admit growth (~3 s per 32-file batch at 100k corpus) that the data
+    // volume itself in no way explains; a per-batch append touches only
+    // the lists its rows land in, and compactCodes folds accumulated
+    // batch partitions back into the bootstrap partition.
+    val byList = codes.repartition(col("list_id"))
+    ingestBatch match {
+      case Some(id) =>
+        // bootstrap: STATIC overwrite truncates the whole codes dir (a
+        // rebuild into a dirty directory must not merge with stale
+        // appends) — pinned per-write because several pipelines set the
+        // SESSION default to dynamic, which would silently keep stale
+        // batch partitions alongside the new bootstrap; append: DYNAMIC
+        // overwrite replaces only this batch's partitions — the
+        // streaming-replay exactly-once contract.
+        byList.withColumn("ingest_batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode",
+            if (bootstrap) "static" else "dynamic")
+          .partitionBy("ingest_batch", "list_id")
+          .parquet(s"$dir/codes")
+      case None =>
+        val w = byList.write.mode(if (bootstrap) "overwrite" else "append")
+        (if (bootstrap) w.option("partitionOverwriteMode", "static") else w)
+          .partitionBy("list_id")
+          .parquet(s"$dir/codes")
+    }
+  }
+
+  /** The codes relation with partition-column types normalized: hive
+    * partition inference types `list_id`/`ingest_batch` as INT, but every
+    * consumer joins and checksums them as the BIGINT ids they are.
+    * Casting on a partition column keeps partition PRUNING intact — a
+    * literal predicate over the cast still references only the partition
+    * attribute, so it is evaluated against partition values at planning,
+    * never against data files.
+    */
+  def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/codes")
+    val cast = raw.withColumn("list_id", col("list_id").cast("long"))
+    if (raw.columns.contains("ingest_batch"))
+      cast.withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    else cast
+  }
+
+  /** CODES COMPACTION — the fold-in analog for the ANN index, WITHOUT
+    * retraining (rebuilding the whole index just to fix file layout is
+    * the wrong tool): the per-batch `ingest_batch=<id>` partitions that
+    * [[appendIvfPq]] accretes one-per-batch-forever are folded into the
+    * bootstrap `ingest_batch=-1` partition of a NEW versioned index
+    * directory; centroids and codebooks are copied as-is (parquet
+    * doubles round-trip exactly), so every probe's tie-break folds
+    * replay identically — probe-after-compaction ≡ probe-before
+    * (declared e22 + spec-asserted). Codes themselves are never
+    * re-encoded: the stale-codebook encode is a function of the
+    * persisted constants, which are unchanged.
+    *
+    * Batches AFTER `through` keep their own partitions — they may still
+    * be replayed by a restarted stream, and folding a replayable batch
+    * would break appendIvfPq's dynamic-overwrite exactly-once contract
+    * (the replay would overwrite an empty `ingest_batch=<id>` partition
+    * while the folded copy survives in `-1`, duplicating every row). So
+    * `through` must be a checkpoint-COMMITTED watermark, same discipline
+    * as [[graft.ingest.IngestPipeline.compactIndex]]. The old directory
+    * is untouched and stays serveable until the caller's index thunk
+    * swaps; a kill between compaction and the swap leaves the old index
+    * exactly as it was (EmbIngestStreamSpec race test).
+    */
+  def compactCodes(spark: SparkSession, oldDir: String, newDir: String,
+      through: Long): Unit = {
+    require(newDir != oldDir,
+      s"compaction must write a NEW versioned index dir (got $oldDir twice)")
+    for (sub <- Seq("centroids", "codebooks"))
+      spark.read.parquet(s"$oldDir/$sub")
+        .coalesce(1).write.mode("overwrite").parquet(s"$newDir/$sub")
+    val codes = readCodes(spark, oldDir)
+    require(codes.columns.contains("ingest_batch"),
+      "compactCodes requires the partitioned codes layout " +
+        "(an index built/appended with ingestBatch = Some(id))")
+    codes.withColumn("ingest_batch",
+        when(col("ingest_batch") <= through, lit(-1L))
+          .otherwise(col("ingest_batch")))
+      .repartition(col("list_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ingest_batch", "list_id")
+      .parquet(s"$newDir/codes")
   }
 
   /** Top-`k` per query against the index at `dir`. `corpus` supplies ONLY
@@ -161,14 +236,24 @@ object AnnIndex {
     val (cents, books) = loadConstants(spark, dir, dim)
     val m = books.size
     val dsub = books.head.head._2.length
-    var codes = spark.read.parquet(s"$dir/codes")
+    var codes = readCodes(spark, dir)
     scanPred.foreach { p => codes = codes.filter(p) }
-    for (j <- books.indices)
-      codes = codes.withColumn(s"_recon$j", Similarity.reconCol(books(j), s"code$j"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
       .withColumn("qq", KMeans.quantize(col("qvec")))
     val probes = Similarity.probeLists(q0, cents, nprobe)
+    // prune the codes SCAN to the probed lists: the equi-join below
+    // already filters on list_id logically, but only a literal predicate
+    // becomes a PARTITION filter on the list_id-partitioned layout — the
+    // distinct probed set is a bounded driver pull (≤ nlist values, the
+    // same order as the centroid constants already on the driver), and
+    // with it the scan reads only the probed lists' files instead of
+    // every code row (scan bytes ∝ nprobe/nlist of the corpus).
+    val probedLists = probes.select(col("probe_list")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    codes = codes.filter(col("list_id").isin(probedLists: _*))
+    for (j <- books.indices)
+      codes = codes.withColumn(s"_recon$j", Similarity.reconCol(books(j), s"code$j"))
     val scored = codes.join(broadcast(probes),
         col("neighbor_id") =!= col("query_id") &&
           col("list_id") === col("probe_list"))

@@ -69,17 +69,25 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** `corpusRel`/`queryRel`, when set, replace the table scan as the
+    * corpus/query relation (any SQL exposing ($idCol, $vecCol)) — the
+    * exact side of replays whose row sets are not table predicates
+    * (e.g. the m16 monitor's seed ∪ admitted corpus). Defaults keep
+    * every existing oracle byte-identical.
+    */
   def cosineTopKSql(table: String, idCol: String, vecCol: String,
-      dim: Int, k: Int, queryPred: String): String = {
+      dim: Int, k: Int, queryPred: String,
+      corpusRel: Option[String] = None,
+      queryRel: Option[String] = None): String = {
     val dot = VectorFns.dotSql("q.qvec", "c.cvec", dim)
     s"""WITH c AS (
        |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
-       |  FROM $table),
+       |  FROM ${corpusRel.map(r => s"($r) _cr").getOrElse(table)}),
        |q AS (
        |  SELECT $idCol AS query_id, $vecCol AS qvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS qnorm
-       |  FROM $table WHERE $queryPred),
+       |  FROM ${queryRel.map(r => s"($r) _qr").getOrElse(s"$table WHERE $queryPred")}),
        |scored AS (
        |  SELECT q.query_id, c.neighbor_id,
        |         ($dot) / (q.qnorm * c.cnorm) AS cos_sim
@@ -921,14 +929,18 @@ object Similarity {
     * index (default: the whole table — the e19 post-append shape);
     * `queryRel`, when set, replaces `$table WHERE $queryPred` as the
     * query relation (any SQL exposing ($idCol, $vecCol) — e.g. a
-    * constructed ingest batch that is NOT a table row set). Both default
-    * to the original behavior, so e19/e21 oracles are untouched.
+    * constructed ingest batch that is NOT a table row set); `encodeRel`
+    * likewise replaces `$table WHERE $encodePred` as the ENCODED corpus
+    * (e.g. seed ∪ an ingest batch's admitted rows — the m16 monitor
+    * replay). All default to the original behavior, so e19/e21 oracles
+    * are untouched.
     */
   def ivfPqTopKStaleSql(table: String, idCol: String, vecCol: String,
       dim: Int, k: Int, nlist: Int, itersCoarse: Int, nprobe: Int, m: Int,
       ksub: Int, itersPq: Int, rerank: Int, trainPred: String,
       queryPred: String, encodePred: String = "TRUE",
-      queryRel: Option[String] = None): String = {
+      queryRel: Option[String] = None,
+      encodeRel: Option[String] = None): String = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val dsub = dim / m
     val trainTable = s"(SELECT * FROM $table WHERE $trainPred)"
@@ -970,12 +982,12 @@ object Similarity {
        |$pqChains,
        |fullq AS (
        |  SELECT $idCol AS vec_id, ${KMeans.quantizeSql(vecCol)} AS q
-       |  FROM $table WHERE $encodePred),
+       |  FROM ${encodeRel.map(r => s"($r) _er").getOrElse(s"$table WHERE $encodePred")}),
        |$encCtes,
        |c AS (
        |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
        |         ${VectorFns.normSql(vecCol, dim)} AS cnorm
-       |  FROM $table WHERE $encodePred),
+       |  FROM ${encodeRel.map(r => s"($r) _er2").getOrElse(s"$table WHERE $encodePred")}),
        |assigned AS (${nearListSql("c", "neighbor_id", "cvec", "cnorm", 1, "list_id", dim)}),
        |codes AS (
        |  SELECT enc0.vec_id AS neighbor_id, $codeCols

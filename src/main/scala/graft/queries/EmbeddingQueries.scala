@@ -347,6 +347,77 @@ object EmbeddingQueries {
                exactSql)})""".stripMargin
       }),
 
+    // CODES COMPACTION (e22, the d31 fold-in analog for the ANN index):
+    // appendIvfPq accretes one ingest_batch partition per batch forever;
+    // AnnIndex.compactCodes folds the committed partitions back into the
+    // bootstrap partition of a NEW versioned directory WITHOUT retraining
+    // — codebooks/centroids copied, codes never re-encoded, file count
+    // reset to one-per-list. This row proves the fold is invisible:
+    // serve-from-compacted ≡ the stale-codebook replay (the same oracle
+    // e19 rides — if compaction moved, dropped, or duplicated a single
+    // code row, the probe ranking would shift), and the whole-index
+    // per-list manifest ≡ the relational stale-encode of the full corpus
+    // (counts + id and code0 checksums pin WHAT is in the index).
+    // Engine: base-built index (ingest layout) + two appended batches +
+    // compactCodes(through=1); AnnIndexSpec adds the partial-fold replay
+    // race, EmbIngestStreamSpec the kill-between-compaction-and-swap race.
+    Q("e22_codes_compaction",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val appendPred = col("vec_id") % 20 === 7
+        val root = annIndexRoot(dir) + "_e22"
+        val compacted = root + "_v2"
+        annIndexBuilt.computeIfAbsent(compacted, _ => {
+          graft.operators.AnnIndex.buildIvfPq(
+            t.embeddings.filter(!appendPred), "vec_id", "embedding", Dim,
+            nlist = 16, itersCoarse = 2, m = 8, ksub = 16, itersPq = 2,
+            root, ingestBatch = Some(-1L))
+          graft.operators.AnnIndex.appendIvfPq(
+            t.embeddings.filter(appendPred && col("vec_id") % 40 === 7),
+            "vec_id", "embedding", Dim, root, ingestBatch = Some(0L))
+          graft.operators.AnnIndex.appendIvfPq(
+            t.embeddings.filter(appendPred && col("vec_id") % 40 === 27),
+            "vec_id", "embedding", Dim, root, ingestBatch = Some(1L))
+          graft.operators.AnnIndex.compactCodes(s, root, compacted,
+            through = 1L)
+          java.lang.Boolean.TRUE
+        })
+        val queries = t.embeddings.filter(appendPred && col("vec_id") < 200)
+        graft.operators.AnnIndex.queryIvfPq(
+            corpus = t.embeddings, queries = queries, idCol = "vec_id",
+            vecCol = "embedding", dim = Dim, k = K, nprobe = 4, rerank = 20,
+            dir = compacted)
+          .select(lit("query").as("kind"), col("query_id").as("k1"),
+            col("neighbor_id").as("k2"), col("rank").as("n1"),
+            lit(null).cast("bigint").as("n2"), col("cos_sim").as("x"))
+          .unionByName(graft.operators.AnnIndex.readCodes(s, compacted)
+            .groupBy(col("list_id"))
+            .agg(count(lit(1)).as("n_codes"),
+              sum(col("neighbor_id")).as("id_checksum"),
+              sum(col("code0")).as("code0_checksum"))
+            .select(lit("list").as("kind"), col("list_id").as("k1"),
+              col("id_checksum").as("k2"), col("n_codes").as("n1"),
+              col("code0_checksum").cast("bigint").as("n2"),
+              lit(null).cast("double").as("x")))
+      },
+      Some {
+        val qp = "vec_id % 20 = 7 AND vec_id < 200"
+        s"""SELECT 'query' AS kind, query_id AS k1, neighbor_id AS k2,
+           |  rank AS n1, CAST(NULL AS BIGINT) AS n2, cos_sim AS x
+           |FROM (
+           |${Similarity.ivfPqTopKStaleSql("embeddings", "vec_id", "embedding",
+               Dim, K, 16, 2, 4, 8, 16, 2, 20,
+               trainPred = "vec_id % 20 <> 7", queryPred = qp)}) _q
+           |UNION ALL
+           |SELECT 'list', list_id, id_checksum, n_codes, code0_checksum,
+           |  CAST(NULL AS DOUBLE)
+           |FROM (
+           |${Similarity.pqListManifestSql("embeddings", "vec_id", "embedding",
+               Dim, 16, 2, 8, 16, 2,
+               trainPred = "vec_id % 20 <> 7",
+               rowsRel = "SELECT vec_id, embedding FROM embeddings")}) _m""".stripMargin
+      }),
+
     // FILTERED vector search over the shared persisted index (e18's
     // artifact, untouched): a metadata predicate restricts the codes scan
     // BEFORE probing — pre-filter semantics, so the top-k is exact over

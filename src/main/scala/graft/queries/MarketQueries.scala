@@ -1046,126 +1046,249 @@ object MarketQueries {
     // → recovery loop in-stream.
     Q("m15_incremental_ingest_embeddings",
       (s, dir) => {
-        val tmp = landingDir(s"m15_ingest_emb_$dir") { tmp =>
-          val emb = Tables(s, dir).embeddings
-          val seed = emb.filter(col("vec_id") % 5 =!= 0)
-            .select(col("vec_id"), col("embedding"))
-          val batch = emb.as("b").filter(col("b.vec_id") % 5 === 0)
-            .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cvec2")),
-              col("b.vec_id") + 1 === col("cid"), "left")
-            .join(emb.select(col("vec_id").as("pid"), col("embedding").as("pvec2")),
-              col("b.vec_id") - 5 === col("pid"), "left")
-            .select((col("b.vec_id") + 1000000L).as("vec_id"),
-              when(col("b.vec_id") % 20 === 0, coalesce(col("cvec2"), col("b.embedding")))
-                .when(col("b.vec_id") % 20 === 10, coalesce(col("pvec2"), col("b.embedding")))
-                .when(col("b.vec_id") % 40 === 15, array_repeat(lit(0.0f), 64))
-                .otherwise(col("b.embedding")).as("embedding"))
-          val p = graft.ingest.EmbIngestPipeline.Params(
-            dim = 64, threshold = 0.95, nlist = 16, itersCoarse = 2,
-            m = 8, ksub = 16, itersPq = 2, nprobe = 4, rerank = 20,
-            monitorK = 5, monitorMax = 50, recallTarget = 0.7)
-          val idxDir = tmp.resolve("index").toString
-          val outP = tmp.resolve("out").toString
-          graft.ingest.EmbIngestPipeline.rebuildIndex(s, seed, outP,
-            idxDir, p, through = -1L)
-          graft.ingest.EmbIngestPipeline.ingestBatch(batch, seed, p, outP,
-            batchId = 0L, () => idxDir)
-        }
+        val tmp = m15Landing(s, dir)
         graft.ingest.EmbIngestPipeline.audit(s, tmp.resolve("out").toString,
           tmp.resolve("index").toString, includeMonitor = false)
       },
-      Some {
-        val thr = 0.95
-        val dim = 64
-        val seedPred = "vec_id % 5 <> 0"
-        val batchSelect =
-          """SELECT b.vec_id + 1000000 AS vec_id,
-            |  CASE WHEN b.vec_id % 20 = 0 THEN COALESCE(c.embedding, b.embedding)
-            |       WHEN b.vec_id % 20 = 10 THEN COALESCE(p.embedding, b.embedding)
-            |       WHEN b.vec_id % 40 = 15
-            |         THEN CAST(list_transform(range(64), x -> 0.0) AS FLOAT[])
-            |       ELSE b.embedding END AS embedding
-            |FROM embeddings b
-            |LEFT JOIN embeddings c ON c.vec_id = b.vec_id + 1
-            |LEFT JOIN embeddings p ON p.vec_id = b.vec_id - 5
-            |WHERE b.vec_id % 5 = 0""".stripMargin
-        import graft.functions.VectorFns
-        // the shared decision chain: gate → intra-batch pairs →
-        // components → representatives (standalone, reused textually)
-        val chain =
-          s"""batch AS ($batchSelect),
-             |gated AS (
-             |  SELECT vec_id, embedding,
-             |    CASE WHEN embedding IS NULL OR len(embedding) <> $dim
-             |           THEN 'bad_vector'
-             |         WHEN ${VectorFns.normSql("embedding", dim)} = 0
-             |           THEN 'zero_norm' END AS gate_reason
-             |  FROM batch),
-             |surv AS (SELECT vec_id, embedding FROM gated WHERE gate_reason IS NULL),
-             |v AS (
-             |  SELECT vec_id AS id, embedding AS vec,
-             |         ${VectorFns.normSql("embedding", dim)} AS nrm
-             |  FROM surv),
-             |ip AS (
-             |  SELECT a.id AS id_a, b.id AS id_b
-             |  FROM v a JOIN v b ON a.id < b.id
-             |  WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $thr),
-             |ie AS (
-             |  SELECT id_a AS src2, id_b AS dst FROM ip
-             |  UNION ALL SELECT id_b, id_a FROM ip),
-             |ir(id, label) AS (
-             |  SELECT vec_id, vec_id FROM surv
-             |  UNION
-             |  SELECT e.dst, r.label FROM ir r JOIN ie e ON e.src2 = r.id),
-             |reps AS (SELECT id, MIN(label) AS rep FROM ir GROUP BY id)""".stripMargin
-        val repsRel =
-          s"""WITH RECURSIVE $chain
-             |SELECT s.vec_id, s.embedding FROM surv s
-             |JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id""".stripMargin
-        val top1Sql = graft.operators.Similarity.ivfPqTopKStaleSql("embeddings", "vec_id",
-          "embedding", dim, 1, 16, 2, 4, 8, 16, 2, 20,
-          trainPred = seedPred, queryPred = "TRUE",
-          encodePred = seedPred, queryRel = Some(repsRel))
-        val admittedRel =
-          s"""WITH RECURSIVE $chain,
-             |top1 AS (
-             |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Sql) _t
-             |  WHERE cos_sim >= $thr)
-             |SELECT s.vec_id, s.embedding FROM surv s
-             |JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id
-             |LEFT JOIN top1 t ON t.query_id = s.vec_id
-             |WHERE t.query_id IS NULL""".stripMargin
-        val manifestSql = graft.operators.Similarity.pqListManifestSql("embeddings",
-          "vec_id", "embedding", dim, 16, 2, 8, 16, 2,
-          trainPred = seedPred, rowsRel = admittedRel)
-        s"""WITH RECURSIVE $chain,
-           |top1 AS (
-           |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Sql) _t
-           |  WHERE cos_sim >= $thr),
-           |decided AS (
-           |  SELECT g.vec_id,
-           |    CASE WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
-           |         WHEN r.rep <> g.vec_id
-           |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
-           |         WHEN t.neighbor_id IS NOT NULL
-           |           THEN 'corpus_dup:' || CAST(t.neighbor_id AS VARCHAR)
-           |         ELSE NULL END AS reject_reason,
-           |    t.cos_sim AS dup_cos
-           |  FROM gated g
-           |  LEFT JOIN reps r ON r.id = g.vec_id
-           |  LEFT JOIN top1 t ON t.query_id = g.vec_id)
-           |SELECT 'vec' AS kind, CAST(vec_id AS VARCHAR) AS key,
-           |  'admitted' AS detail, CAST(NULL AS BIGINT) AS n1,
-           |  CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS x
-           |FROM decided WHERE reject_reason IS NULL
-           |UNION ALL
-           |SELECT 'vec', CAST(vec_id AS VARCHAR), reject_reason,
-           |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), dup_cos
-           |FROM decided WHERE reject_reason IS NOT NULL
-           |UNION ALL
-           |SELECT 'list', CAST(list_id AS VARCHAR), CAST(NULL AS VARCHAR),
-           |  n_codes, code0_checksum, CAST(id_checksum AS DOUBLE)
-           |FROM ($manifestSql) _m""".stripMargin
-      }),
+      Some(M15Sql.baseAudit)),
+
+    // m16: the m15 audit INCLUDING the per-batch recall-monitor verdict —
+    // the embedding ingest loop's last spec-only surface promoted to a
+    // declared, hash-gated row. The oracle replays the monitor end to
+    // end: approx = the stale-codebook IVF-PQ serve over seed ∪ admitted
+    // (encodeRel — exactly the codes the engine's index holds after the
+    // batch-0 append), queried by the deterministic admitted sample
+    // (ORDER BY vec_id LIMIT monitorMax); exact = brute-force cosine
+    // top-k over the same corpus; verdict = MICRO-averaged recall (total
+    // hits / total truth — integer sums, one double division, which is
+    // what makes the landed double bit-comparable across engines) tested
+    // against the 0.7 target. Same landed artifact as m15 (shared
+    // landingDir), so the two rows prove the same run from two angles.
+    Q("m16_emb_ingest_monitor",
+      (s, dir) => {
+        val tmp = m15Landing(s, dir)
+        graft.ingest.EmbIngestPipeline.audit(s, tmp.resolve("out").toString,
+          tmp.resolve("index").toString, includeMonitor = true)
+      },
+      Some(M15Sql.m16Audit)),
   )
+
+  /** m15/m16's shared landed artifact: ONE embedding ingest batch driven
+    * through the full m15 DAG (bootstrap index + ingestBatch 0) over the
+    * sf tables — built once per (query, sfDir), read by both declared
+    * rows (m15 = decisions + index manifest, m16 = + monitor verdict).
+    */
+  private def m15Landing(s: org.apache.spark.sql.SparkSession,
+      dir: String): java.nio.file.Path =
+    landingDir(s"m15_ingest_emb_$dir") { tmp =>
+      val emb = Tables(s, dir).embeddings
+      val seed = emb.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val batch = emb.as("b").filter(col("b.vec_id") % 5 === 0)
+        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cvec2")),
+          col("b.vec_id") + 1 === col("cid"), "left")
+        .join(emb.select(col("vec_id").as("pid"), col("embedding").as("pvec2")),
+          col("b.vec_id") - 5 === col("pid"), "left")
+        .select((col("b.vec_id") + 1000000L).as("vec_id"),
+          when(col("b.vec_id") % 20 === 0, coalesce(col("cvec2"), col("b.embedding")))
+            .when(col("b.vec_id") % 20 === 10, coalesce(col("pvec2"), col("b.embedding")))
+            .when(col("b.vec_id") % 40 === 15, array_repeat(lit(0.0f), 64))
+            .otherwise(col("b.embedding")).as("embedding"))
+      val p = graft.ingest.EmbIngestPipeline.Params(
+        dim = 64, threshold = 0.95, nlist = 16, itersCoarse = 2,
+        m = 8, ksub = 16, itersPq = 2, nprobe = 4, rerank = 20,
+        monitorK = 5, monitorMax = 50, recallTarget = 0.7)
+      val idxDir = tmp.resolve("index").toString
+      val outP = tmp.resolve("out").toString
+      graft.ingest.EmbIngestPipeline.rebuildIndex(s, seed, outP,
+        idxDir, p, through = -1L)
+      graft.ingest.EmbIngestPipeline.ingestBatch(batch, seed, p, outP,
+        batchId = 0L, () => idxDir)
+    }
+
+  /** The m15/m16 oracle, assembled once: the full relational replay of
+    * the embedding ingest batch (gate → intra-batch CC → stale-codebook
+    * probe admit → per-list codes manifest), plus the monitor replay m16
+    * adds on top.
+    */
+  private object M15Sql {
+    import graft.functions.VectorFns
+    private val thr = 0.95
+    private val dim = 64
+    private val seedPred = "vec_id % 5 <> 0"
+    private val batchSelect =
+      """SELECT b.vec_id + 1000000 AS vec_id,
+        |  CASE WHEN b.vec_id % 20 = 0 THEN COALESCE(c.embedding, b.embedding)
+        |       WHEN b.vec_id % 20 = 10 THEN COALESCE(p.embedding, b.embedding)
+        |       WHEN b.vec_id % 40 = 15
+        |         THEN CAST(list_transform(range(64), x -> 0.0) AS FLOAT[])
+        |       ELSE b.embedding END AS embedding
+        |FROM embeddings b
+        |LEFT JOIN embeddings c ON c.vec_id = b.vec_id + 1
+        |LEFT JOIN embeddings p ON p.vec_id = b.vec_id - 5
+        |WHERE b.vec_id % 5 = 0""".stripMargin
+    // the shared decision chain: gate → intra-batch pairs →
+    // components → representatives (standalone, reused textually)
+    private val chain =
+      s"""batch AS ($batchSelect),
+         |gated AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN embedding IS NULL OR len(embedding) <> $dim
+         |           THEN 'bad_vector'
+         |         WHEN ${VectorFns.normSql("embedding", dim)} = 0
+         |           THEN 'zero_norm' END AS gate_reason
+         |  FROM batch),
+         |surv AS (SELECT vec_id, embedding FROM gated WHERE gate_reason IS NULL),
+         |v AS (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |         ${VectorFns.normSql("embedding", dim)} AS nrm
+         |  FROM surv),
+         |ip AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM v a JOIN v b ON a.id < b.id
+         |  WHERE (${VectorFns.dotSql("a.vec", "b.vec", dim)}) / (a.nrm * b.nrm) >= $thr),
+         |ie AS (
+         |  SELECT id_a AS src2, id_b AS dst FROM ip
+         |  UNION ALL SELECT id_b, id_a FROM ip),
+         |ir(id, label) AS (
+         |  SELECT vec_id, vec_id FROM surv
+         |  UNION
+         |  SELECT e.dst, r.label FROM ir r JOIN ie e ON e.src2 = r.id),
+         |reps AS (SELECT id, MIN(label) AS rep FROM ir GROUP BY id)""".stripMargin
+    private val repsRel =
+      s"""WITH RECURSIVE $chain
+         |SELECT s.vec_id, s.embedding FROM surv s
+         |JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id""".stripMargin
+    private val top1Sql = graft.operators.Similarity.ivfPqTopKStaleSql(
+      "embeddings", "vec_id", "embedding", dim, 1, 16, 2, 4, 8, 16, 2, 20,
+      trainPred = seedPred, queryPred = "TRUE",
+      encodePred = seedPred, queryRel = Some(repsRel))
+    private val admittedRel =
+      s"""WITH RECURSIVE $chain,
+         |top1 AS (
+         |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Sql) _t
+         |  WHERE cos_sim >= $thr)
+         |SELECT s.vec_id, s.embedding FROM surv s
+         |JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id
+         |LEFT JOIN top1 t ON t.query_id = s.vec_id
+         |WHERE t.query_id IS NULL""".stripMargin
+    private val manifestSql = graft.operators.Similarity.pqListManifestSql(
+      "embeddings", "vec_id", "embedding", dim, 16, 2, 8, 16, 2,
+      trainPred = seedPred, rowsRel = admittedRel)
+    val baseAudit: String =
+      s"""WITH RECURSIVE $chain,
+         |top1 AS (
+         |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Sql) _t
+         |  WHERE cos_sim >= $thr),
+         |decided AS (
+         |  SELECT g.vec_id,
+         |    CASE WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
+         |         WHEN r.rep <> g.vec_id
+         |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
+         |         WHEN t.neighbor_id IS NOT NULL
+         |           THEN 'corpus_dup:' || CAST(t.neighbor_id AS VARCHAR)
+         |         ELSE NULL END AS reject_reason,
+         |    t.cos_sim AS dup_cos
+         |  FROM gated g
+         |  LEFT JOIN reps r ON r.id = g.vec_id
+         |  LEFT JOIN top1 t ON t.query_id = g.vec_id)
+         |SELECT 'vec' AS kind, CAST(vec_id AS VARCHAR) AS key,
+         |  'admitted' AS detail, CAST(NULL AS BIGINT) AS n1,
+         |  CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS x
+         |FROM decided WHERE reject_reason IS NULL
+         |UNION ALL
+         |SELECT 'vec', CAST(vec_id AS VARCHAR), reject_reason,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), dup_cos
+         |FROM decided WHERE reject_reason IS NOT NULL
+         |UNION ALL
+         |SELECT 'list', CAST(list_id AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  n_codes, code0_checksum, CAST(id_checksum AS DOUBLE)
+         |FROM ($manifestSql) _m""".stripMargin
+    /** m16 = baseAudit + the monitor verdict replay, assembled as ONE
+      * statement whose shared relations are defined once and MATERIALIZED
+      * (DuckDB inlines a plain CTE per reference — the monitor touches the
+      * admitted chain ~7×, and naive textual nesting replays the whole
+      * recursive-CC + stale-IVF-PQ chain each time, which runs DuckDB out
+      * of memory at sf0.01; materializing admitted/served/sample collapses
+      * the blowup to one evaluation each). The embedded generator outputs
+      * (stale serve, exact top-k, manifest) reference those CTEs from
+      * their outer scope via the *Rel hooks. Monitor semantics: approx =
+      * stale-codebook serve over seed ∪ admitted at monitorK, exact =
+      * brute-force cosine over the same corpus, MICRO-averaged recall
+      * (integer sums, one division — bit-comparable) vs the 0.7 target.
+      */
+    val m16Audit: String = {
+      val fromAdm = "SELECT vec_id, embedding FROM m16adm"
+      val fromSrv = "SELECT vec_id, embedding FROM m16srv"
+      val fromSmp = "SELECT vec_id, embedding FROM m16smp"
+      // reps-of-surv inline (references the OUTER chain's CTEs — one
+      // chain evaluation serves both the decision rows and this probe)
+      val repsInline =
+        "SELECT s.vec_id, s.embedding FROM surv s " +
+          "JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id"
+      val top1Shared = graft.operators.Similarity.ivfPqTopKStaleSql(
+        "embeddings", "vec_id", "embedding", dim, 1, 16, 2, 4, 8, 16, 2, 20,
+        trainPred = seedPred, queryPred = "TRUE",
+        encodePred = seedPred, queryRel = Some(repsInline))
+      val approxSql = graft.operators.Similarity.ivfPqTopKStaleSql(
+        "embeddings", "vec_id", "embedding", dim, 5, 16, 2, 4, 8, 16, 2, 20,
+        trainPred = seedPred, queryPred = "TRUE",
+        queryRel = Some(fromSmp), encodeRel = Some(fromSrv))
+      val exactSql = graft.operators.Similarity.cosineTopKSql(
+        "embeddings", "vec_id", "embedding", dim, 5, "TRUE",
+        corpusRel = Some(fromSrv), queryRel = Some(fromSmp))
+      val recallSql = graft.operators.Similarity.recallAtKSql(approxSql, exactSql)
+      val manifest16 = graft.operators.Similarity.pqListManifestSql(
+        "embeddings", "vec_id", "embedding", dim, 16, 2, 8, 16, 2,
+        trainPred = seedPred, rowsRel = fromAdm)
+      s"""WITH RECURSIVE $chain,
+         |top1 AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, cos_sim FROM ($top1Shared) _t
+         |  WHERE cos_sim >= $thr),
+         |decided AS (
+         |  SELECT g.vec_id,
+         |    CASE WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
+         |         WHEN r.rep <> g.vec_id
+         |           THEN 'batch_dup:' || CAST(r.rep AS VARCHAR)
+         |         WHEN t.neighbor_id IS NOT NULL
+         |           THEN 'corpus_dup:' || CAST(t.neighbor_id AS VARCHAR)
+         |         ELSE NULL END AS reject_reason,
+         |    t.cos_sim AS dup_cos
+         |  FROM gated g
+         |  LEFT JOIN reps r ON r.id = g.vec_id
+         |  LEFT JOIN top1 t ON t.query_id = g.vec_id),
+         |m16adm AS MATERIALIZED (
+         |  SELECT s.vec_id, s.embedding FROM surv s
+         |  JOIN reps r ON r.id = s.vec_id AND r.rep = s.vec_id
+         |  LEFT JOIN top1 t ON t.query_id = s.vec_id
+         |  WHERE t.query_id IS NULL),
+         |m16srv AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings WHERE $seedPred
+         |  UNION ALL
+         |  SELECT vec_id, embedding FROM m16adm),
+         |m16smp AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM m16adm ORDER BY vec_id LIMIT 50),
+         |rcl AS MATERIALIZED ($recallSql)
+         |SELECT 'vec' AS kind, CAST(vec_id AS VARCHAR) AS key,
+         |  'admitted' AS detail, CAST(NULL AS BIGINT) AS n1,
+         |  CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS x
+         |FROM decided WHERE reject_reason IS NULL
+         |UNION ALL
+         |SELECT 'vec', CAST(vec_id AS VARCHAR), reject_reason,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), dup_cos
+         |FROM decided WHERE reject_reason IS NOT NULL
+         |UNION ALL
+         |SELECT 'list', CAST(list_id AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  n_codes, code0_checksum, CAST(id_checksum AS DOUBLE)
+         |FROM ($manifest16) _m
+         |UNION ALL
+         |SELECT 'monitor', 'batch_0', CAST(fired AS VARCHAR),
+         |  n_queries, CAST(NULL AS BIGINT), mean_recall
+         |FROM (
+         |  SELECT COUNT(*) AS n_queries,
+         |    CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n_exact) AS DOUBLE) AS mean_recall,
+         |    (CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n_exact) AS DOUBLE)) < 0.7 AS fired
+         |  FROM rcl) _mon""".stripMargin
+    }
+  }
 }

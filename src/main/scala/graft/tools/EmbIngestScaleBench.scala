@@ -21,17 +21,26 @@ import graft.operators.{AnnIndex, Similarity}
   * bounded rerank), while the exact scan pays O(corpus·batch) dot
   * products per batch.
   *
-  * Honest cost notes baked into the readout: (a) the codes scan is
-  * corpus-linear in BYTES (m small codes per row) though shuffle-free —
-  * at fleet scale the codes table is additionally bucketed by list_id
-  * so nprobe prunes the scan itself; (b) the recall monitor's exact
-  * side is corpus-linear by definition (bounded here by monitorMax=10
-  * sampled queries, the production cadence knob).
+  * Two runs per corpus point: the STREAM (headline per-batch wall time,
+  * the real foreachBatch loop), then a direct per-batch drive on fresh
+  * dirs with the stage TIMER on — per-stage seconds (admit / reject /
+  * append / monitor) so the dominant per-batch term is named, not
+  * guessed.
+  *
+  * Honest cost notes baked into the readout: (a) the codes table is
+  * hive-partitioned by list_id, so a probe physically prunes the scan
+  * to its nprobe lists' files — scan bytes track nprobe/nlist of the
+  * corpus (the admit-stage curve across corpus points measures exactly
+  * this); (b) the recall monitor's exact side is corpus-linear by
+  * definition — it runs CADENCED (monitorEvery, default 2 here: the
+  * production pattern), and its per-batch cost is reported as its own
+  * stage so the amortization is visible in the record.
   *
   * Vectors are synthetic 64-dim floats: corpus ids anchor on id%32
   * even-ish dims with deterministic noise; batch composition per
   * micro-batch: ~25% corpus dups (exact copies of seed vectors), ~25%
-  * intra-batch dup pairs, ~50% novel random vectors.
+  * intra-batch dup pairs (rows i%4==3 copy the same batch's i-1 novel
+  * row), ~50% novel random vectors.
   *
   *   sbt "runMain graft.tools.EmbIngestScaleBench 100000,300000,1000000"
   */
@@ -81,9 +90,11 @@ object EmbIngestScaleBench {
     // ~sqrt(N) on a fleet; the local expression-tree coarse assign caps
     // nlist here, so the residual corpus-linearity of the scan is the
     // honest readout, against the exact scan's full-corpus dots.)
+    val monitorEvery = sys.env.getOrElse("SPARK_GRAFT_MONITOR_EVERY", "2").toInt
     val p = Params(dim = Dim, threshold = 0.99999, nlist = 64,
       itersCoarse = 1, m = 4, ksub = 16, itersPq = 1, nprobe = 2,
-      rerank = 32, monitorK = 5, monitorMax = 10, recallTarget = 0.0)
+      rerank = 32, monitorK = 5, monitorMax = 10, recallTarget = 0.0,
+      monitorEvery = monitorEvery)
 
     def r3(v: Double) = math.rint(v * 1000) / 1000
     for (n <- sizes) {
@@ -100,8 +111,8 @@ object EmbIngestScaleBench {
           val vid = 10000000L + b * batchRows + i
           val vec =
             if (i % 4 == 0) corpusVec((vid * 31) % n) // corpus dup (exact copy)
-            else if (i % 4 == 1) novelVec(vid - 2)    // intra dup of row i-2
-            else novelVec(vid)                        // novel
+            else if (i % 4 == 3) novelVec(vid - 1)    // intra dup of row i-1
+            else novelVec(vid)                        // novel (i%4 ∈ {1,2})
           Row(vid, vec)
         }
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
@@ -123,12 +134,40 @@ object EmbIngestScaleBench {
       val probe = q.recentProgress.toSeq.filter(_.numInputRows > 0)
         .map(_.batchDuration / 1000.0)
 
+      val files = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+
+      // per-stage breakdown: the same DAG driven batch-by-batch on fresh
+      // dirs with the ingestBatch timer on — names the dominant term
+      // (admit = gate+dedup+probe+land; append = the exactly-once code
+      // append; monitor = the cadenced recall check)
+      val out2 = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"embscale_out2_$n").toString
+      val idx2 = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"embscale_idx2_$n").toString
+      EmbIngestPipeline.rebuildIndex(spark, seed, out2, idx2, p, through = -1L)
+      val stageNames = Seq("admit", "reject", "append", "monitor")
+      val stageSecs = files.toSeq.zipWithIndex.map { case (f, b) =>
+        val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+        EmbIngestPipeline.ingestBatch(
+          spark.read.schema(schema).parquet(f.toString), seed, p, out2,
+          b.toLong, () => idx2,
+          timer = (name, fn) => {
+            val s0 = System.nanoTime()
+            fn()
+            m(name) = (System.nanoTime() - s0) / 1e9
+          })
+        m.toMap
+      }
+      val stageJson = stageNames.map { st =>
+        s""""${st}_batch_sec":[${
+          stageSecs.map(m => r3(m.getOrElse(st, 0.0))).mkString(",")}]"""
+      }.mkString(",")
+
       // contrast: the exact-scan admit alone (top-1 cosine of one
       // batch's rows against the seed corpus) — the O(corpus·batch)
       // term the index probe replaces. One batch suffices: the cost is
       // corpus-linear by construction and batch-invariant.
-      val files = new java.io.File(src).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
       // SPARK_GRAFT_EXACT_MAX_CORPUS skips the contrast above a size —
       // it is corpus-linear by construction, so measured small points
       // pin the slope without paying the large ones' full scan
@@ -142,11 +181,12 @@ object EmbIngestScaleBench {
         (System.nanoTime() - t0) / 1e9
       }
       println(s"""{"metric":"emb_ingest_scale","corpus":$n,"batch_rows":$batchRows,""" +
-        s""""n_batches":${probe.size},""" +
+        s""""n_batches":${probe.size},"monitor_every":$monitorEvery,""" +
         s""""probe_pipeline_batch_sec":[${probe.map(r3).mkString(",")}],""" +
+        stageJson + "," +
         s""""exact_admit_batch_sec":[${exact.map(r3).mkString(",")}]}""")
       seed.unpersist()
-      Seq(src, out, ckpt, idx).foreach(d =>
+      Seq(src, out, ckpt, idx, out2, idx2).foreach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
     }
     spark.stop()

@@ -287,6 +287,85 @@ class AnnIndexSpec extends SparkSpec {
       s"rebuild made the monitor worse: stale $rOod vs rebuilt $rRebuilt")
   }
 
+  test("the codes scan is partition-pruned to the probed lists") {
+    import org.apache.spark.sql.functions.col
+    val c = corpus
+    val q = c.filter(col("vec_id") < 2)
+    val root = tmpRoot("annindex_prune")
+    AnnIndex.buildIvfPq(c, "vec_id", "embedding", dim,
+      nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root)
+    // list_id is a hive PARTITION column: one directory per coarse list,
+    // one data file per list per write (the file-count contract)
+    val listDirs = new java.io.File(s"$root/codes").listFiles()
+      .filter(_.getName.startsWith("list_id=")).toSeq
+    assert(listDirs.size >= 2, s"expected list_id partitions, got $listDirs")
+    assert(listDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "each list partition must hold exactly one file per write")
+    // and the probe turns its probed-list set into a PartitionFilter, so
+    // the scan physically reads ONLY those directories — the IVF promise
+    // (work ∝ nprobe/nlist) applied to scan BYTES, not just join width
+    val res = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding", dim,
+      k = 3, nprobe = 1, rerank = 8, dir = root)
+    val plan = res.queryExecution.executedPlan.toString
+    val codesScan = plan.linesIterator
+      .find(l => l.contains(s"codes") && l.contains("PartitionFilters"))
+    assert(codesScan.exists(_.matches(""".*PartitionFilters: \[[^\]]*list_id[^\]]*IN[^\]]*\].*""")),
+      s"codes scan is not partition-pruned by the probed lists:\n$plan")
+  }
+
+  test("codes compaction folds batch partitions into the base without changing answers") {
+    import org.apache.spark.sql.functions.col
+    val c = corpus
+    val root = tmpRoot("annindex_compact")
+    AnnIndex.buildIvfPq(c.filter(col("vec_id") < 60), "vec_id", "embedding",
+      dim, nlist = 4, itersCoarse = 2, m = 4, ksub = 4, itersPq = 2, root,
+      ingestBatch = Some(-1L))
+    AnnIndex.appendIvfPq(c.filter(col("vec_id") >= 60 && col("vec_id") < 70),
+      "vec_id", "embedding", dim, root, ingestBatch = Some(0L))
+    AnnIndex.appendIvfPq(c.filter(col("vec_id") >= 70),
+      "vec_id", "embedding", dim, root, ingestBatch = Some(1L))
+    val q = c.filter(col("vec_id") < 6)
+    def ans(dir: String) = AnnIndex.queryIvfPq(c, q, "vec_id", "embedding",
+        dim, k = 3, nprobe = 2, rerank = 20, dir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    def manifest(dir: String) = AnnIndex.readCodes(spark, dir)
+      .groupBy(col("list_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("neighbor_id")).as("ids"),
+        org.apache.spark.sql.functions.sum(col("code0")).as("c0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def parts(dir: String) = new java.io.File(s"$dir/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch=")).toSet
+    val before = ans(root)
+    val manifestBefore = manifest(root)
+    assert(parts(root) == Set("ingest_batch=-1", "ingest_batch=0", "ingest_batch=1"))
+    // full fold: every committed batch collapses into the bootstrap
+    // partition; probes and the whole-index manifest are bit-unchanged
+    val v2 = tmpRoot("annindex_compact_v2")
+    AnnIndex.compactCodes(spark, root, v2, through = 1L)
+    assert(parts(v2) == Set("ingest_batch=-1"))
+    assert(ans(v2) == before, "compaction changed probe answers")
+    assert(manifest(v2) == manifestBefore, "compaction changed the codes manifest")
+    // partial fold: batches past the watermark keep their own partitions
+    // (they may still replay), and a replayed batch on the compacted
+    // index stays exactly-once via its surviving partition
+    val v3 = tmpRoot("annindex_compact_v3")
+    AnnIndex.compactCodes(spark, root, v3, through = 0L)
+    assert(parts(v3) == Set("ingest_batch=-1", "ingest_batch=1"))
+    assert(ans(v3) == before)
+    AnnIndex.appendIvfPq(c.filter(col("vec_id") >= 70),
+      "vec_id", "embedding", dim, v3, ingestBatch = Some(1L))
+    assert(AnnIndex.readCodes(spark, v3).count() == 80,
+      "replayed batch duplicated rows after partial compaction")
+    assert(ans(v3) == before)
+    // the old directory is untouched (the versioned-dir crash-safety)
+    assert(ans(root) == before && manifest(root) == manifestBefore)
+  }
+
   test("querying an index built for another dim fails loudly") {
     val root = tmpRoot("annindex_dim")
     AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", dim,

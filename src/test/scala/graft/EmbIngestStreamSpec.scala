@@ -72,9 +72,10 @@ class EmbIngestStreamSpec extends SparkSpec {
     */
   private def runStream(src: String, ckpt: String, out: String, p: Params,
       index: () => String, killInBatch: Option[Int]): Unit = {
-    val q = EmbIngestPipeline.stream(spark, src, seedVecs(), p, ckpt, out,
-      killingThunk(killInBatch.map(_ + 1), index))
-    driveStream(q, expectKill = killInBatch.isDefined)
+    val kt = killingThunk(killInBatch.map(_ + 1), index)
+    val q = EmbIngestPipeline.stream(spark, src, seedVecs(), p, ckpt, out, kt)
+    driveStream(q, expectKill = killInBatch.isDefined,
+      kill = killInBatch.map(_ => kt))
   }
 
   private def auditRows(out: String, idx: String): Set[(String, String, String, Any, Any, Any)] =
@@ -190,6 +191,78 @@ class EmbIngestStreamSpec extends SparkSpec {
       s"rebuilt recall ($recall1) must exceed stale recall ($recall0)")
     assert(!mon1.getAs[Boolean]("fired"),
       s"rebuilt recall ($recall1) must clear the target")
+  }
+
+  test("monitor cadence: monitorEvery=2 lands verdicts only on monitored batches") {
+    val p = params().copy(monitorEvery = 2)
+    val src = tmpDir("eingest_src_cad")
+    writeSource(src)
+    val out = tmpDir("eingest_out_cad")
+    val idx = newIndex("eingest_idx_cad", out, p, -1L)
+    runStream(src, tmpDir("eingest_ckpt_cad"), out, p, () => idx, None)
+    // batches 0 and 2 are monitored; batch 1 lands NO monitor row — the
+    // cadence is a pure function of batchId, so replays agree
+    val mon = spark.read.parquet(s"$out/monitor")
+      .collect().map(_.getAs[String]("batch")).toSet
+    assert(mon == Set("batch_0", "batch_2"), s"got $mon")
+    // the admit decisions are cadence-independent: same vec rows as the
+    // monitorEvery=1 baseline run
+    val outB = tmpDir("eingest_out_cadB")
+    val idxB = newIndex("eingest_idx_cadB", outB, params(), -1L)
+    runStream(src, tmpDir("eingest_ckpt_cadB"), outB, params(), () => idxB, None)
+    def vecRows(o: String, i: String) =
+      auditRows(o, i).filter(_._1 != "monitor")
+    assert(vecRows(out, idx) == vecRows(outB, idxB))
+  }
+
+  test("a kill between codes compaction and the index swap stays exactly-once") {
+    // the d31-race analog for the ANN index: compaction writes a NEW
+    // versioned directory, so a crash before the operator swaps the
+    // thunk leaves the OLD index exactly as it was — the restarted
+    // stream replays its in-flight batch against the old dir, lands
+    // byte-identical audit rows, and the swap (with a re-compaction
+    // covering the late batch) can happen any time later.
+    val p = params()
+    val src = tmpDir("eingest_src_race")
+    writeSource(src)
+    val out = tmpDir("eingest_out_race")
+    val idx = newIndex("eingest_idx_race", out, p, -1L)
+    val ckpt = tmpDir("eingest_ckpt_race")
+    // batches 0,1 commit; the stream dies INSIDE batch 2
+    runStream(src, ckpt, out, p, () => idx, killInBatch = Some(2))
+    // compaction lands while the operator is down — folds the two
+    // COMMITTED batches; the in-flight batch 2 must not be folded
+    val v1 = tmpDir("eingest_idx_race_v1")
+    graft.operators.AnnIndex.compactCodes(spark, idx, v1, through = 1L)
+    // crash before the swap: the restart still resolves the OLD dir and
+    // replays batch 2 against it
+    runStream(src, ckpt, out, p, () => idx, killInBatch = None)
+    // the interrupted+compaction-raced run is byte-identical to an
+    // uninterrupted, never-compacted one
+    val outB = tmpDir("eingest_out_raceB")
+    val idxB = newIndex("eingest_idx_raceB", outB, p, -1L)
+    runStream(src, tmpDir("eingest_ckpt_raceB"), outB, p, () => idxB, None)
+    assert(auditRows(out, idx) == auditRows(outB, idxB))
+    // the operator completes the cycle later: re-compact through the
+    // late batch and swap — the compacted index serves the same answers
+    // and carries every admitted code exactly once
+    val v2 = tmpDir("eingest_idx_race_v2")
+    graft.operators.AnnIndex.compactCodes(spark, idx, v2, through = 2L)
+    val codesV2 = graft.operators.AnnIndex.readCodes(spark, v2)
+    assert(codesV2.filter(col("ingest_batch") >= 0).count() == 0)
+    assert(codesV2.filter(col("neighbor_id") < 100).collect()
+      .map(_.getAs[Long]("neighbor_id")).sorted.toSeq == Seq(2L, 5L, 8L))
+    // audit over the swapped index equals the old one's, monitor rows
+    // aside (the 'list' manifest filters ingest_batch >= 0 by contract —
+    // after a FULL fold the appended-since-bootstrap set is empty, which
+    // is the correct reading: everything is now base)
+    val qv = df(Seq(50L -> oneHot(1)))
+    def top(dirI: String) = graft.operators.AnnIndex.queryIvfPq(
+        EmbIngestPipeline.corpusVecs(spark, seedVecs(), out, 3L), qv,
+        "vec_id", "embedding", dim, k = 2, nprobe = 4, rerank = 200,
+        dir = dirI)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(top(v2) == top(idx), "swap changed serve answers")
   }
 
   test("an all-rejected batch lands a fired=NULL monitor verdict instead of wedging") {

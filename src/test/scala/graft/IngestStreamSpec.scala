@@ -55,10 +55,12 @@ class IngestStreamSpec extends SparkSpec {
       killInBatch: Option[Int],
       admitIndex: () => Option[IngestPipeline.BandIndexState] =
         () => None): Unit = {
+    val kt = killingThunk(killInBatch.map(_ + 1), admitIndex)
     val q = IngestPipeline.stream(spark, src, seedSig(), trained(),
       bands = 4, radius = 3, nShards = 4, ckpt, out,
-      admitIndex = killingThunk(killInBatch.map(_ + 1), admitIndex))
-    driveStream(q, expectKill = killInBatch.isDefined)
+      admitIndex = kt)
+    driveStream(q, expectKill = killInBatch.isDefined,
+      kill = killInBatch.map(_ => kt))
   }
 
   private def auditRows(out: String): Set[(String, String, String, Any, Any, Any)] =

@@ -63,11 +63,13 @@ class TextIngestStreamSpec extends SparkSpec {
       killInBatch: Option[Int],
       admitIndex: () => Option[TextIngestPipeline.TextIndexState] =
         () => None): Unit = {
+    val kt = killingThunk(killInBatch.map(_ + 1), admitIndex)
     val q = TextIngestPipeline.stream(spark, src, seedDocs(), trained(),
       n = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.8,
       minTokens = 5L, maxTokens = 30L, nShards = 4, ckpt, out,
-      admitIndex = killingThunk(killInBatch.map(_ + 1), admitIndex))
-    driveStream(q, expectKill = killInBatch.isDefined)
+      admitIndex = kt)
+    driveStream(q, expectKill = killInBatch.isDefined,
+      kill = killInBatch.map(_ => kt))
   }
 
   private def auditRows(out: String): Set[(String, String, String, Any, Any, Any)] =
