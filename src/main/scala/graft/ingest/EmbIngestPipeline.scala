@@ -138,8 +138,16 @@ object EmbIngestPipeline {
       timer: (String, () => Unit) => Unit = (_, f) => f()): Unit = {
     val spark = batch.sparkSession
     val idxDir = index()
+    // a micro-batch arrives as ONE source file (1-2 splits): everything
+    // derived from it — the quadratic intra-batch dedup above all —
+    // would run at that parallelism. Spread it across the session's
+    // shuffle width first (hash on the unique id: deterministic, no
+    // round-robin sort; explicit count so AQE's few-MB view of the
+    // exchange can't coalesce it back under the expanding self-join).
+    val spread = batch.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
     // 1. gate — size check BEFORE any norm is computed on a bad vector
-    val gated = batch
+    val gated = spread
       .select(col("vec_id"), col("embedding"),
         when(col("embedding").isNull || size(col("embedding")) =!= p.dim,
           lit("bad_vector")).as("g1"))
@@ -197,13 +205,22 @@ object EmbIngestPipeline {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
         .parquet(s"$outDir/$sub")
-    // 4. land the corpus growth, then append its codes exactly-once
+    // 4. land the decisions, then the corpus growth, then its codes.
+    // REJECTED lands FIRST, deliberately: `decided` is persisted, but its
+    // plan READS $outDir/admitted (the corpus probe), so the admitted
+    // write invalidates that cache entry (Spark recaches by path) — in
+    // the old admitted-first order every later landing recomputed the
+    // whole gate→dedup→probe chain (measured: +21 s per batch, the full
+    // decide cost paid twice). Rejected-first materializes the chain
+    // into the cache once ("decide"), admitted rides it ("admit"), and
+    // the invalidation fires only after the last reader.
+    timer("decide", () => land(decided
+      .filter(col("reject_reason").isNotNull)
+      .select(col("vec_id"), col("reject_reason"), col("dup_cos")),
+      "rejected"))
     val admitted = decided.filter(col("reject_reason").isNull)
       .select(col("vec_id"), col("embedding"))
     timer("admit", () => land(admitted, "admitted"))
-    timer("reject", () => land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("vec_id"), col("reject_reason"), col("dup_cos")),
-      "rejected"))
     timer("append", () => AnnIndex.appendIvfPq(
       IngestPipeline.read(spark, s"$outDir/admitted", AdmittedSchema)
         .filter(col("ingest_batch") === batchId)

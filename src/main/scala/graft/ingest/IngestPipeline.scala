@@ -247,7 +247,14 @@ object IngestPipeline {
         graft.plans.DHashBmp(_),
       admitIndex: () => Option[BandIndexState] = () => None): Unit = {
     val spark = batch.sparkSession
+    // a micro-batch arrives as ONE source file (1-2 splits): the per-row
+    // decode below — the batch's heaviest narrow step — would run at
+    // that parallelism. Spread to the session's shuffle width first
+    // (hash on the unique id: deterministic; explicit count so AQE
+    // can't coalesce the small exchange back down).
     val sig = batch
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("pair_id"))
       .select(col("pair_id"), col("img_name"), col("caption"),
         signature(col("payload")).as("dh"))
       .select(col("pair_id"), col("img_name"), col("caption"),
@@ -276,6 +283,17 @@ object IngestPipeline {
         .select(col("pair_id"), col("img_name"), col("caption"),
           col("hi"), col("lo"),
           lit("quarantined_undecodable").as("reject_reason")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // REJECTED lands FIRST, deliberately: decided's plan READS
+    // $outDir/admitted (the corpus side of the admit join), so the
+    // admitted write invalidates its cache entry (Spark recaches by
+    // path) — admitted-first would recompute the whole dedup+admit
+    // chain for the rejected landing, every batch. coalesceTo=4
+    // (Frame.land's file-count contract): admitted is already
+    // width-controlled by the shard repartition, rejected is not.
+    Frame.land(decided.filter(col("reject_reason").isNotNull)
+      .select(col("pair_id"), col("img_name"), col("reject_reason")),
+      outDir, "rejected", batchId, coalesceTo = Some(4))
     // 4+6. score admitted captions, shard, land (one shuffle keyed by shard)
     val admitted = Dsir.withScore(
         decided.filter(col("reject_reason").isNull), "caption",
@@ -286,11 +304,6 @@ object IngestPipeline {
         col("lo"), col("n_tokens"), col("dsir_score"), col("shard"))
       .repartition(nShards, col("shard"))
     Frame.land(admitted, outDir, "admitted", batchId, Seq("shard"))
-    // coalesceTo=4 (Frame.land's file-count contract): admitted is
-    // already width-controlled by the shard repartition, rejected is not
-    Frame.land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("pair_id"), col("img_name"), col("reject_reason")),
-      outDir, "rejected", batchId, coalesceTo = Some(4))
     // 5. drift gate over the WHOLE batch's captions (the firehose
     // distribution, not just survivors). allowEmpty: a zero-token batch
     // lands a drifted=NULL row instead of throwing — a throw inside
@@ -300,7 +313,7 @@ object IngestPipeline {
       trained.dist, trained.distTotal, trained.buckets,
       trained.driftThreshold, s"batch_$batchId", allowEmpty = true),
       outDir, "drift", batchId)
-    sig.unpersist()
+    decided.unpersist(); sig.unpersist()
   }
 
   /** The streaming wrapper: a parquet file stream of pair batches driven

@@ -188,8 +188,14 @@ object TextIngestPipeline {
       nShards: Int, outDir: String, batchId: Long,
       admitIndex: () => Option[TextIndexState] = () => None): Unit = {
     val spark = batch.sparkSession
+    // a micro-batch arrives as ONE source file (1-2 splits) — spread to
+    // the session's shuffle width before the per-row gate and the banded
+    // dedup (hash on the unique id: deterministic; explicit count so AQE
+    // can't coalesce the small exchange back down)
+    val spread = batch.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
     // 1. quality gate — integer-exact decisions; langId stamped as metadata
-    val gated = batch
+    val gated = spread
       .select(col("doc_id"), col("text"),
         TextFns.tokenCount(col("text")).as("n_tokens"),
         TextFns.langId(col("text")).as("lang"))
@@ -220,6 +226,16 @@ object TextIngestPipeline {
       .unionByName(gated.filter(col("gate_reason").isNotNull)
         .select(col("doc_id"), col("text"),
           col("gate_reason").as("reject_reason")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // REJECTED lands FIRST, deliberately: decided's plan READS
+    // $outDir/admitted (the corpus side of the admit join), so the
+    // admitted write invalidates its cache entry (Spark recaches by
+    // path) — admitted-first would recompute the whole dedup+admit
+    // chain for the rejected landing, every batch. coalesceTo=4
+    // (Frame.land's file-count contract).
+    Frame.land(decided.filter(col("reject_reason").isNotNull)
+      .select(col("doc_id"), col("reject_reason")),
+      outDir, "rejected", batchId, coalesceTo = Some(4))
     // 4+6. score admitted docs, shard, land (one shuffle keyed by shard)
     val admitted = Dsir.withScore(
         decided.filter(col("reject_reason").isNull), "text",
@@ -231,17 +247,13 @@ object TextIngestPipeline {
         col("dsir_score"), col("shard"))
       .repartition(nShards, col("shard"))
     Frame.land(admitted, outDir, "admitted", batchId, Seq("shard"))
-    // coalesceTo=4 (Frame.land's file-count contract)
-    Frame.land(decided.filter(col("reject_reason").isNotNull)
-      .select(col("doc_id"), col("reject_reason")),
-      outDir, "rejected", batchId, coalesceTo = Some(4))
     // 5. drift gate over the WHOLE batch's text (the firehose
     // distribution, not just survivors); allowEmpty — see scaladoc
     Frame.land(Dsir.driftStat(gated.select(col("text")), "text",
       trained.dist, trained.distTotal, trained.buckets,
       trained.driftThreshold, s"batch_$batchId", allowEmpty = true),
       outDir, "drift", batchId)
-    gated.unpersist()
+    decided.unpersist(); gated.unpersist()
   }
 
   /** The streaming wrapper: a parquet file stream of document batches

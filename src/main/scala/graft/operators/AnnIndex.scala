@@ -238,9 +238,14 @@ object AnnIndex {
     val dsub = books.head.head._2.length
     var codes = readCodes(spark, dir)
     scanPred.foreach { p => codes = codes.filter(p) }
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
-      .withColumn("qq", KMeans.quantize(col("qvec")))
+    // the per-query ADC LUTs ride the (broadcast) query side: the
+    // corpus-sized scan below pays m array lookups per candidate instead
+    // of decoding codewords per row — see Similarity.lutCol
+    val q0 = Similarity.withLuts(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+        .withColumn("qq", KMeans.quantize(col("qvec"))),
+      books, dsub)
     val probes = Similarity.probeLists(q0, cents, nprobe)
     // prune the codes SCAN to the probed lists: the equi-join below
     // already filters on list_id logically, but only a literal predicate
@@ -252,8 +257,24 @@ object AnnIndex {
     val probedLists = probes.select(col("probe_list")).distinct()
       .collect().map(_.getLong(0)).sorted
     codes = codes.filter(col("list_id").isin(probedLists: _*))
-    for (j <- books.indices)
-      codes = codes.withColumn(s"_recon$j", Similarity.reconCol(books(j), s"code$j"))
+    // decouple COMPUTE parallelism from the file layout: the pruned scan
+    // may be as few as nprobe files (one per list — the layout's
+    // file-count contract), but everything downstream of it in this
+    // stage (ADC scoring per joined row, the candidate-rank sort) is the
+    // probe's actual compute, and without this exchange it runs at
+    // file-count parallelism (measured: the same probe work at 4-way
+    // took 8× the wall time of 32-way). The exchange moves only the
+    // narrow pruned code rows — a subset of what the candidate window
+    // must shuffle anyway. Hash on (list_id, neighbor_id): deterministic
+    // spread, no round-robin local sort. The partition count is EXPLICIT
+    // because this exchange feeds an EXPANDING probe join (rows × the
+    // queries probing each list): AQE sizes coalescing by the exchange's
+    // own few-MB output and would fold it right back to file-count width
+    // (measured: 2 tasks, 600 CPU-seconds — the coalesce-before-
+    // expanding-join trap).
+    codes = codes.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("list_id"), col("neighbor_id"))
     val scored = codes.join(broadcast(probes),
         col("neighbor_id") =!= col("query_id") &&
           col("list_id") === col("probe_list"))

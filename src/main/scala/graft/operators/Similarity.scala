@@ -661,9 +661,11 @@ object Similarity {
       .withColumn("cnorm", VectorFns.norm(col("cvec"), dim))
       .withColumn("cq", KMeans.quantize(col("cvec")))
     val enc = pqEncode(cBase, books, dsub)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
-      .withColumn("qq", KMeans.quantize(col("qvec")))
+    val q = withLuts(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+        .withColumn("qq", KMeans.quantize(col("qvec"))),
+      books, dsub)
     val scored = enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("qscore", pqScore(m, dsub))
     val wq = Window.partitionBy(col("query_id"))
@@ -673,10 +675,9 @@ object Similarity {
     rerankExactCosine(cands, dim, k)
   }
 
-  /** Append each subspace's staged-argmin code (`code$j`) and its decoded
-    * codeword (`_recon$j`, a ksub-arm constant decode — empty clusters
-    * simply have no id to match) to `df`, which carries the quantized
-    * vector as `cq`. All narrow, all constants, zero shuffle.
+  /** Append each subspace's staged-argmin code (`code$j`) to `df`, which
+    * carries the quantized vector as `cq`. All narrow, all constants,
+    * zero shuffle.
     */
   private[operators] def pqEncode(df: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
       dsub: Int): DataFrame = {
@@ -685,32 +686,54 @@ object Similarity {
       enc = KMeans.withNearestCluster(
         enc.withColumn(s"_sub$j", slice(col("cq"), j * dsub + 1, dsub)),
         s"_sub$j", books(j), s"code$j")
-      enc = enc.withColumn(s"_recon$j", reconCol(books(j), s"code$j"))
     }
     enc
   }
 
-  /** The ksub-arm constant decode of one subspace's code column back to
-    * its codeword (arms are mutually exclusive, so arm order is free;
-    * empty clusters simply have no id to match).
+  /** Subspace `j`'s ADC LOOKUP TABLE for one query row: position c+1
+    * holds qq_slice_j ⋅ codeword_c (the inner left fold in dim order).
+    * Computed ONCE per (query, subspace) — ksub·dsub multiplies — so the
+    * corpus-sized scoring below pays m array lookups per candidate
+    * instead of re-deriving m·dsub products per row through a ksub-arm
+    * codeword decode (the decode allocated a dsub-double array per
+    * candidate row — measured as the dominant term of the probed scan).
+    * Empty clusters leave 0.0 gap slots that no code ever references
+    * (codes were assigned by argmin over existing book entries).
     */
-  private[operators] def reconCol(book: Seq[(Long, Array[Double])],
-      codeCol: String): Column =
-    book.foldRight(lit(null).cast("array<double>")) {
-      case ((cid, cent), els) =>
-        when(col(codeCol) === cid, typedlit(cent.toSeq)).otherwise(els)
-    }
+  private[operators] def lutCol(book: Seq[(Long, Array[Double])], j: Int,
+      dsub: Int): Column = {
+    val byCid = book.toMap
+    val maxCid = book.map(_._1).max
+    array((0L to maxCid).map { c =>
+      byCid.get(c) match {
+        case Some(cw) =>
+          (1 to dsub).foldLeft(lit(0.0)) { (acc, i) =>
+            acc + element_at(col("qq"), j * dsub + i).cast("double") *
+              lit(cw(i - 1))
+          }
+        case None => lit(0.0)
+      }
+    }: _*)
+  }
 
-  /** The asymmetric PQ score: quantized query (`qq`) ⋅ reconstructed
-    * corpus vector (`_recon*`), one global left fold in (subspace, dim)
-    * order — the oracle emits the identical parenthesis tree.
+  /** Attach every subspace's LUT (`_lut$j`) to a query-side frame that
+    * carries the quantized vector as `qq`.
+    */
+  private[operators] def withLuts(q: DataFrame,
+      books: Seq[Seq[(Long, Array[Double])]], dsub: Int): DataFrame =
+    books.indices.foldLeft(q)((d, j) =>
+      d.withColumn(s"_lut$j", lutCol(books(j), j, dsub)))
+
+  /** The asymmetric PQ score via the per-query LUTs: the outer left fold
+    * over subspaces of `_lut$j[code$j + 1]` — each LUT entry is itself
+    * the inner fold in dim order, so the full parenthesis tree is
+    * (subspace-grouped) deterministic and the oracle emits the identical
+    * grouping. m lookups + m adds per candidate row.
     */
   private[operators] def pqScore(m: Int, dsub: Int): Column =
-    (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
-      .foldLeft(lit(0.0)) { case (acc, (j, i)) =>
-        acc + element_at(col("qq"), j * dsub + i).cast("double") *
-          element_at(col(s"_recon$j"), i)
-      }
+    (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+      acc + element_at(col(s"_lut$j"), (col(s"code$j") + 1).cast("int"))
+    }
 
   /** Exact-cosine rerank of a candidate relation carrying (query_id,
     * neighbor_id, qvec, cvec, qnorm, cnorm): top `k` per query.
@@ -757,9 +780,11 @@ object Similarity {
       .withColumn("cq", KMeans.quantize(col("cvec")))
     val enc = pqEncode(withCoarseList(c0, "cvec", "cnorm", cents, "list_id"),
       books, dsub)
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
-      .withColumn("qq", KMeans.quantize(col("qvec")))
+    val q0 = withLuts(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .withColumn("qnorm", VectorFns.norm(col("qvec"), dim))
+        .withColumn("qq", KMeans.quantize(col("qvec"))),
+      books, dsub)
     val probes = probeLists(q0, cents, nprobe)
     val scored = enc.join(broadcast(probes),
         col("neighbor_id") =!= col("query_id") &&
@@ -795,10 +820,16 @@ object Similarity {
       .map(j => s"JOIN s${j}_centd$iters r$j ON codes.code$j = r$j.cluster")
       .mkString(" ")
     val reconCols = (0 until m).map(j => s"r$j.cent AS recon$j").mkString(", ")
-    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
-      .foldLeft("0.0") { case (acc, (j, i)) =>
-        s"($acc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
+    // subspace-grouped fold, mirroring the engine's ADC LUTs: each inner
+    // chain is one LUT entry (dim order), the outer chain adds the m
+    // looked-up entries — the parenthesis tree must match the engine's
+    // or the last-ulp rounding diverges
+    val qscore = (0 until m).foldLeft("0.0") { (acc, j) =>
+      val inner = (1 to dsub).foldLeft("0.0") { (iacc, i) =>
+        s"($iacc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
       }
+      s"($acc + $inner)"
+    }
     s"""WITH $chains,
        |c AS (
        |  SELECT $idCol AS neighbor_id, $vecCol AS cvec,
@@ -862,10 +893,16 @@ object Similarity {
       .map(j => s"JOIN s${j}_centd$itersPq r$j ON codes.code$j = r$j.cluster")
       .mkString(" ")
     val reconCols = (0 until m).map(j => s"r$j.cent AS recon$j").mkString(", ")
-    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
-      .foldLeft("0.0") { case (acc, (j, i)) =>
-        s"($acc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
+    // subspace-grouped fold, mirroring the engine's ADC LUTs: each inner
+    // chain is one LUT entry (dim order), the outer chain adds the m
+    // looked-up entries — the parenthesis tree must match the engine's
+    // or the last-ulp rounding diverges
+    val qscore = (0 until m).foldLeft("0.0") { (acc, j) =>
+      val inner = (1 to dsub).foldLeft("0.0") { (iacc, i) =>
+        s"($iacc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
       }
+      s"($acc + $inner)"
+    }
     s"""WITH $coarseCtes,
        |cents AS (
        |  SELECT cluster AS cent_id, cent AS cvec2,
@@ -970,10 +1007,16 @@ object Similarity {
       .map(j => s"JOIN s${j}_centd$itersPq r$j ON codes.code$j = r$j.cluster")
       .mkString(" ")
     val reconCols = (0 until m).map(j => s"r$j.cent AS recon$j").mkString(", ")
-    val qscore = (0 until m).flatMap(j => (1 to dsub).map(i => (j, i)))
-      .foldLeft("0.0") { case (acc, (j, i)) =>
-        s"($acc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
+    // subspace-grouped fold, mirroring the engine's ADC LUTs: each inner
+    // chain is one LUT entry (dim order), the outer chain adds the m
+    // looked-up entries — the parenthesis tree must match the engine's
+    // or the last-ulp rounding diverges
+    val qscore = (0 until m).foldLeft("0.0") { (acc, j) =>
+      val inner = (1 to dsub).foldLeft("0.0") { (iacc, i) =>
+        s"($iacc + CAST(q.qq[${j * dsub + i}] AS DOUBLE) * rc.recon$j[$i])"
       }
+      s"($acc + $inner)"
+    }
     s"""WITH $coarseCtes,
        |cents AS (
        |  SELECT cluster AS cent_id, cent AS cvec2,

@@ -80,7 +80,8 @@ object EmbIngestScaleBench {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
 
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
@@ -139,14 +140,16 @@ object EmbIngestScaleBench {
 
       // per-stage breakdown: the same DAG driven batch-by-batch on fresh
       // dirs with the ingestBatch timer on — names the dominant term
-      // (admit = gate+dedup+probe+land; append = the exactly-once code
-      // append; monitor = the cadenced recall check)
+      // (decide = gate+dedup+probe materialized into the cache + the
+      // rejected landing; admit = the cache-riding admitted landing;
+      // append = the exactly-once code append; monitor = the cadenced
+      // recall check)
       val out2 = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), s"embscale_out2_$n").toString
       val idx2 = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), s"embscale_idx2_$n").toString
       EmbIngestPipeline.rebuildIndex(spark, seed, out2, idx2, p, through = -1L)
-      val stageNames = Seq("admit", "reject", "append", "monitor")
+      val stageNames = Seq("decide", "admit", "append", "monitor")
       val stageSecs = files.toSeq.zipWithIndex.map { case (f, b) =>
         val m = scala.collection.mutable.LinkedHashMap[String, Double]()
         EmbIngestPipeline.ingestBatch(
