@@ -32,12 +32,14 @@ object LoopSf1Bench {
 
   /** Land the stream source: batch b = every nBatches-th row by id order
     * (round-robin keeps batch composition homogeneous), one file per
-    * batch, mtime-ordered.
+    * batch, mtime-ordered. The pool is the id%5=0 split, so the dealing
+    * key is id/5 (dealing on the raw id would put the whole pool in
+    * batch 0 — every pool id is ≡0 mod 5).
     */
   private def writeSource(pool: DataFrame, idCol: String,
       nBatches: Int, dir: String): Unit =
     for (b <- 0 until nBatches) {
-      pool.filter(pmod(col(idCol), lit(nBatches.toLong)) === b)
+      pool.filter(pmod(col(idCol) / 5, lit(nBatches.toLong)) === b)
         .coalesce(1).write.mode("append").parquet(dir)
       Thread.sleep(1100)
     }

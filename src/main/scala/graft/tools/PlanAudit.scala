@@ -27,8 +27,16 @@ object PlanAudit {
         // whole-stage codegen spans print as "*(n)" stage markers
         val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq
           .distinct.size
-        val scans = "ReadSchema: struct<([^>]*)>".r
-          .findAllMatchIn(plan).map(_.group(1).count(_ == ':')).toSeq
+        // bound at end-of-line: Spark TRUNCATES long ReadSchema strings
+        // (no closing '>'), and an unbounded [^>]* would gobble plan text
+        // until some later '>' and inflate the count; a truncated schema
+        // is reported as "N+" (N fields visible before the cut)
+        val scans = "ReadSchema: struct<([^>\n]*)".r
+          .findAllMatchIn(plan).map { mm =>
+            val g = mm.group(1)
+            val n = g.count(_ == ':')
+            if (g.endsWith("...")) s"$n+" else s"$n"
+          }.toSeq
           .groupBy(identity).toSeq.sortBy(_._1)
           .map { case (w, xs) => if (xs.size > 1) s"$w x${xs.size}" else s"$w" }
         println(f"$name%-35s joins[$joins] shuffles=$exchanges codegenSpans=$wsc scanCols=[${scans.mkString(", ")}]")
