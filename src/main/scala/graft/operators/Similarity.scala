@@ -284,10 +284,17 @@ object Similarity {
     val carried = df.columns.toIndexedSeq
     val staged = stagedSims(df, vec, nrm, cents)
     val simCols = cents.indices.map(i => col(s"_s$i"))
-    val mx = if (simCols.size == 1) simCols.head else greatest(simCols: _*)
-    val listId = cents.map(_._1).zip(simCols).foldRight(lit(cents.head._1)) {
-      case ((cid, s), els) => when(s === mx, lit(cid)).otherwise(els)
-    }.cast("long")
+    // O(nlist) argmax: pack the staged sims into ONE array, take the
+    // first position achieving the max, look the centroid id up in a
+    // constant array. Value-identical to the old greatest/when fold
+    // (first-index tie-break, same IEEE comparisons — every oracle
+    // unchanged), but the fold was O(nlist²) in expression-TREE size and
+    // blew past janino's method limits at nlist=64, falling back to
+    // interpreted eval — the documented "expression-tree coarse assign
+    // caps nlist" limitation, now lifted.
+    val sims = array(simCols: _*)
+    val listId = element_at(typedlit(cents.map(_._1)),
+      array_position(sims, array_max(sims)).cast("int")).cast("long")
     staged.select(carried.map(col) :+ listId.as(outCol): _*)
   }
 
@@ -703,26 +710,24 @@ object Similarity {
   private[operators] def lutCol(book: Seq[(Long, Array[Double])], j: Int,
       dsub: Int): Column = {
     val byCid = book.toMap
-    val maxCid = book.map(_._1).max
-    array((0L to maxCid).map { c =>
-      byCid.get(c) match {
-        case Some(cw) =>
-          (1 to dsub).foldLeft(lit(0.0)) { (acc, i) =>
-            acc + element_at(col("qq"), j * dsub + i).cast("double") *
-              lit(cw(i - 1))
-          }
-        case None => lit(0.0)
-      }
-    }: _*)
+    val maxCid = book.map(_._1).max.toInt
+    // DENSE slot table (gaps = zero rows, fold = exactly 0.0), compiled
+    // into ONE expression node — a literal-folded array column computed
+    // the identical values but cost ~4 s of Catalyst analysis per serve
+    // query at m=8/ksub=16 (see plans.AdcLut)
+    val dense = Array.tabulate(maxCid + 1)(c =>
+      byCid.getOrElse(c.toLong, Array.fill(dsub)(0.0)))
+    graft.plans.AdcLut(col("qq"), j * dsub, dense)
   }
 
   /** Attach every subspace's LUT (`_lut$j`) to a query-side frame that
-    * carries the quantized vector as `qq`.
+    * carries the quantized vector as `qq` — ONE select (a withColumn
+    * chain re-analyzes the whole growing plan per column).
     */
   private[operators] def withLuts(q: DataFrame,
       books: Seq[Seq[(Long, Array[Double])]], dsub: Int): DataFrame =
-    books.indices.foldLeft(q)((d, j) =>
-      d.withColumn(s"_lut$j", lutCol(books(j), j, dsub)))
+    q.select(col("*") +: books.indices.map(j =>
+      lutCol(books(j), j, dsub).as(s"_lut$j")): _*)
 
   /** The asymmetric PQ score via the per-query LUTs: the outer left fold
     * over subspaces of `_lut$j[code$j + 1]` — each LUT entry is itself

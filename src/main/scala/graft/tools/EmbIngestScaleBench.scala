@@ -86,14 +86,19 @@ object EmbIngestScaleBench {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    // nlist=64/nprobe=2: the probed candidate set per batch is
-    // corpus/32 — the ADC-scan term the curve isolates. (nlist scales
-    // ~sqrt(N) on a fleet; the local expression-tree coarse assign caps
-    // nlist here, so the residual corpus-linearity of the scan is the
-    // honest readout, against the exact scan's full-corpus dots.)
+    // Default nlist=64/nprobe=2: the probed candidate set per batch is
+    // corpus/32 — the ADC-scan term the curve isolates. The defaults
+    // stay pinned for cross-round curve comparability; SPARK_GRAFT_NLIST
+    // / SPARK_GRAFT_NPROBE override them for the fleet-scale readout
+    // (nlist grows ~sqrt(N) on a real deployment — the old
+    // expression-tree coarse assign capped nlist locally, lifted by the
+    // O(nlist) array argmax in withCoarseList, so larger-nlist points
+    // are now measurable: candidate set per probe = corpus·nprobe/nlist).
     val monitorEvery = sys.env.getOrElse("SPARK_GRAFT_MONITOR_EVERY", "2").toInt
-    val p = Params(dim = Dim, threshold = 0.99999, nlist = 64,
-      itersCoarse = 1, m = 4, ksub = 16, itersPq = 1, nprobe = 2,
+    val nlist = sys.env.getOrElse("SPARK_GRAFT_NLIST", "64").toInt
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "2").toInt
+    val p = Params(dim = Dim, threshold = 0.99999, nlist = nlist,
+      itersCoarse = 1, m = 4, ksub = 16, itersPq = 1, nprobe = nprobe,
       rerank = 32, monitorK = 5, monitorMax = 10, recallTarget = 0.0,
       monitorEvery = monitorEvery)
 
@@ -185,6 +190,7 @@ object EmbIngestScaleBench {
       }
       println(s"""{"metric":"emb_ingest_scale","corpus":$n,"batch_rows":$batchRows,""" +
         s""""n_batches":${probe.size},"monitor_every":$monitorEvery,""" +
+        s""""nlist":$nlist,"nprobe":$nprobe,""" +
         s""""probe_pipeline_batch_sec":[${probe.map(r3).mkString(",")}],""" +
         stageJson + "," +
         s""""exact_admit_batch_sec":[${exact.map(r3).mkString(",")}]}""")
