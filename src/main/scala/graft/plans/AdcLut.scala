@@ -19,8 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Replaces a literal-folded `array(…)` column of ksub × dsub
   * `element_at·cast·multiply·lit` nodes: the VALUES were identical, but
   * at m=8 subspaces × ksub=16 × dsub=8 the expression TREE was ~4k nodes
-  * per plan, and Catalyst re-analyzed it on every plan build (三 plans
-  * per serve call, once per bench run) — measured as ~4 s of pure
+  * per plan, and Catalyst re-analyzed it on every plan build (three
+  * plans per serve call, once per bench run) — measured as ~4 s of pure
   * DRIVER time per serve query at sf0.1. This node is O(1) in tree size
   * with the table compiled in as a `double[][]`, the NearestClusterConst
   * pattern.
