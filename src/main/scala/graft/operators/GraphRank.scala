@@ -192,12 +192,19 @@ object GraphRank {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // LAZY checkpoint: the convergence probe is the round's first action
+      // over `next`, and its join's map stage computes every partition of
+      // `next` — so the checkpoint materializes inside the job the round
+      // already pays instead of costing an eager second job per round.
+      // `state` is unpersisted only after that probe has run (the lazy
+      // checkpoint reads its parent — which includes `state` — on first
+      // compute).
       val next = state.as("s")
         .join(state.select(col("node").as("anc"), col("anc").as("anc2"),
           col("d").as("d2")).as("t"), Seq("anc"))
         .select(col("node"), col("anc2").as("anc"),
           (col("d") + col("d2")).as("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = next.as("a").join(state.as("b"), Seq("node"))
         .filter(col("a.anc") =!= col("b.anc")).isEmpty
       state.unpersist()

@@ -91,6 +91,18 @@ object SqlQueries {
 
     // The SQL entry point itself: spark.sql over registered views, CTE +
     // window + join — TPC-H Q3-shaped.
+    //
+    // The rank window's ORDER BY is a TOTAL order (o_orderkey is unique
+    // per revenue row), so RANK() can never tie and `rnk <= 10` selects
+    // exactly the first 10 rows of that order. The inner ORDER BY/LIMIT
+    // prefix therefore yields IDENTICAL output while compiling to
+    // TakeOrderedAndProject (per-partition top-k heaps) instead of an
+    // unpartitioned RANK over EVERY per-order revenue row — the classic
+    // single-partition window Spark itself warns about ("No Partition
+    // Defined for Window"), which at fleet scale moves billions of
+    // aggregated rows through one task. The window then ranks only the
+    // 10 survivors. The ORACLE keeps the original global-window form —
+    // the hash gate is what proves the rewrite equivalent.
     Q("q19_sql_api_topk_orders",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -105,12 +117,13 @@ object SqlQueries {
             |  FROM customer JOIN orders ON c_custkey = o_custkey
             |  JOIN lineitem ON l_orderkey = o_orderkey
             |  WHERE c_mktsegment = 'BUILDING'
-            |  GROUP BY o_orderkey, c_mktsegment)
-            |SELECT o_orderkey, rev, rnk FROM (
-            |  SELECT o_orderkey, rev,
-            |    CAST(RANK() OVER (ORDER BY rev DESC, o_orderkey ASC) AS BIGINT) AS rnk
-            |  FROM revenue)
-            |WHERE rnk <= 10""".stripMargin)
+            |  GROUP BY o_orderkey, c_mktsegment),
+            |top10 AS (
+            |  SELECT o_orderkey, rev FROM revenue
+            |  ORDER BY rev DESC, o_orderkey ASC LIMIT 10)
+            |SELECT o_orderkey, rev,
+            |  CAST(RANK() OVER (ORDER BY rev DESC, o_orderkey ASC) AS BIGINT) AS rnk
+            |FROM top10""".stripMargin)
       },
       Some("""WITH revenue AS (
              |  SELECT o_orderkey, c_mktsegment,
