@@ -197,7 +197,9 @@ object Chunker {
     val P = 1000000007L
     def poly(arr: org.apache.spark.sql.Column) =
       aggregate(arr, lit(0L), (h, x) => pmod(h * 31 + x, lit(P)))
-    val spans = df
+    // per-token md5 + rolling polynomial hashing is expensive stage-1 work
+    // — spread an underpartitioned local scan (util.Spread: no-op at scale)
+    val spans = graft.util.Spread(df)
       .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("tk"))
       .withColumn("hs", transform(col("tk"), t => TextFns.md5Hash32(t)))
       .withColumn("n", size(col("tk")))

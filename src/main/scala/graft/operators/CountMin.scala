@@ -45,7 +45,11 @@ object CountMin {
     * `df`. One narrow explode (depth structs per token) + one aggregation.
     */
   def sketch(df: DataFrame, tokCol: String, depth: Int, width: Int): DataFrame =
-    df.select(explode(cells(col(tokCol), depth, width)).as("c"))
+    // depth engine-portable md5 hashes per token is expensive stage-1 work
+    // — spread an underpartitioned local scan so it runs parallel
+    // (util.Spread: no-op at scale, where the source arrives split)
+    graft.util.Spread(df)
+      .select(explode(cells(col(tokCol), depth, width)).as("c"))
       .groupBy(col("c.seed").as("seed"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 

@@ -117,10 +117,7 @@ object Dedup {
   // serialize the shingle+hash work on a single core; spread it first.
   // At scale the input already has >= defaultParallelism partitions and
   // this is a no-op (no shuffle added).
-  private def spread(df: DataFrame): DataFrame = {
-    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread(df)
 
   /** Eagerly materialize `result` (localCheckpoint: computes now, severs
     * lineage — pair results are small next to their inputs), then release
@@ -147,10 +144,19 @@ object Dedup {
     }
   }
 
-  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** Per-doc deduplicated shingle ARRAY (id, arr, n_sh) — a pure narrow
+    * projection (array_distinct inside the row, never an exploded
+    * DISTINCT: the round-12 form removed that exchange — the shingles
+    * derive from the doc row itself, so deduplicating them through a
+    * corpus-wide shuffle was paying an exchange for row-local work) with
+    * the set size carried alongside so consumers never re-aggregate or
+    * join for it. Consumers explode out of the cache per use — the cache
+    * holds one row per DOC (smaller than the exploded form it replaced).
+    */
+  private def shingleArrs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(df).select(col(idCol).as("id"),
-        explode(TextFns.shingles(col(textCol), n)).as("sh"))
-      .distinct()
+        array_distinct(TextFns.shingles(col(textCol), n)).as("arr"))
+      .withColumn("n_sh", size(col("arr")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Per-doc deduplicated shingle array as `ks: array<struct<k:long,
@@ -184,22 +190,26 @@ object Dedup {
       n: Int, threshold: Double, maxRows: Long = 100000): DataFrame = {
     Similarity.guardSmallSide(df, "ngramJaccardPairs",
       "ngramJaccardPairsPrefix or minhashLshPairs", maxRows)
-    val sh = shingleSet(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // set sizes ride the inverted-index join (every row of a pair's group
+    // carries the same n_sh, so min() recovers it exactly) — the separate
+    // sizes aggregation and its two equi-joins are gone (round 12: the
+    // naive candidate generation is the PROOF and stays; the bookkeeping
+    // around it does not have to cost three extra exchanges)
+    val arrs = shingleArrs(df, idCol, textCol, n)
+    val sh = arrs.select(col("id"), col("n_sh"), explode(col("arr")).as("sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
     materializeAndRelease(
       common
-        .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-        .join(sizes.as("sb"), col("id_b") === col("sb.id"))
         .select(col("id_a"), col("id_b"), col("n_common"),
           (col("n_common").cast("double") /
-            (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
             .as("jaccard"))
         .filter(col("jaccard") >= threshold),
-      sh)
+      arrs)
   }
 
   def ngramJaccardPairsSql(table: String, idCol: String, textCol: String,
@@ -239,12 +249,15 @@ object Dedup {
       n: Int, threshold: Double, maxRows: Long = 100000): DataFrame = {
     Similarity.guardSmallSide(df, "containmentPairs",
       "a prefix-filtered containment join (one-sided length bound)", maxRows)
-    val sh = shingleSet(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // set sizes ride the inverted-index join (the ngramJaccardPairs
+    // round-12 form: no separate sizes aggregation, no size joins)
+    val arrs = shingleArrs(df, idCol, textCol, n)
+    val sh = arrs.select(col("id"), col("n_sh"), explode(col("arr")).as("sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
     // a pair can qualify in SOME direction only if n_common >= t·min(|a|,|b|)
     // — prune the (large, every-pair-sharing-one-shingle) relation before
     // widening it. Pruning bound only, so it is loosened by an epsilon
@@ -252,10 +265,6 @@ object Dedup {
     // filter below decides membership.
     val Eps = 1e-9
     val sized = common
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"))
       .filter(col("n_common").cast("double") >=
         lit(threshold) * least(col("n_a"), col("n_b")).cast("double") - Eps)
     // both directions from ONE pass over the pair relation (a union of two
@@ -272,7 +281,7 @@ object Dedup {
             .as("containment")))).as("p"))
       .select(col("p.id_inner"), col("p.id_outer"), col("p.n_common"),
         col("p.containment"))
-    materializeAndRelease(bothDirs.filter(col("containment") >= threshold), sh)
+    materializeAndRelease(bothDirs.filter(col("containment") >= threshold), arrs)
   }
 
   def containmentPairsSql(table: String, idCol: String, textCol: String,

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * DECIMAL, mirrored as HUGEINT arithmetic in DuckDB), and no float until
   * the one display division num / (n·Σx).
   *
-  * Scale: one scan to per-value counts (map-side combined), cumulative
-  * (C, S) via [[PrefixSum.runningSums]] — never a single-partition
-  * window — and one decimal aggregation. Same three-job shape as p17.
+  * Scale: one scan to per-value counts (map-side combined), then the
+  * cumulative (C, S) terms via [[PrefixSum.localRunningSums]] fused with
+  * the numerator aggregation into one per-bucket job — never a
+  * single-partition window. Same two-job shape as p17.
   */
 object Gini {
 
@@ -45,16 +46,42 @@ object Gini {
     require(maxAbs.toDouble * n < 9e15,
       s"Gini inner-term bound maxAbs(v)*n = $maxAbs*$n exceeds the exact " +
         "DECIMAL(16,0) regime — widen the numerator decimals before scaling further")
-    val cum = PrefixSum.runningSums(counts, "v", Seq("c", "s"), numBuckets,
-      bounds = Some((s0.getLong(0), s0.getLong(1))))
-    // prev-cumulative = inclusive − own; inner term ≤ maxV·n ≈ 10¹⁵,
-    // times c as DECIMAL keeps the product exact
-    val inner = (col("v") * (col("c_cum") - col("c")) -
-      (col("s_cum") - col("s"))).cast("decimal(16,0)")
-    val num = cum
-      .agg(sum(col("c").cast("decimal(10,0)") * inner).as("num"))
-      .collect()(0).getDecimal(0)
+    // SECOND AND LAST job — the fused per-bucket pass (the p17 shape).
+    // The numerator decomposes per range bucket: with lC/lS the LOCAL
+    // (within-bucket) inclusive cumulatives and (offC, offS) the bucket's
+    // exclusive offsets, inner = v·(C_prev−c) − (S_prev−s) splits as
+    // innerLocal + v·offC − offS, so
+    //   Σ_bucket c·inner = Σ c·innerLocal + offC·Σ(c·v) − offS·Σc
+    //                    = partial + offC·s_tot − offS·c_tot
+    // — ONE window+aggregate job collects (c_tot, s_tot, partial) per
+    // bucket and the driver folds offsets into the exact numerator,
+    // replacing runningSums' two jobs and their broadcast join.
+    // innerLocal = Σ_{u<v in bucket} (v−u)·c_u ∈ [0, 2·maxAbs·n] — same
+    // envelope as the global inner; cast DECIMAL(20,0) (guarded exact by
+    // the maxAbs·n require above), times c as DECIMAL keeps the product
+    // exact; the driver fold is BigInt/BigDecimal, also exact.
+    val local = PrefixSum.localRunningSums(counts, "v", Seq("c", "s"),
+      numBuckets, (s0.getLong(0), s0.getLong(1)))
+    val innerLocal = (col("v") * (col("c_lcum") - col("c")) -
+      (col("s_lcum") - col("s"))).cast("decimal(20,0)")
+    val rows = local.groupBy(col("_psb"))
+      .agg(sum(col("c")).as("c_t"), sum(col("s")).as("s_t"),
+        sum(col("c").cast("decimal(10,0)") * innerLocal).as("part"))
+      .collect().toVector.map { r =>
+        require(!r.isNullAt(0),
+          "Gini: the value column contains NULLs — filter them out")
+        (r.getLong(0), IndexedSeq(r.getLong(1), r.getLong(2)),
+          BigDecimal(r.getDecimal(3)))
+      }
     counts.unpersist()
+    val folded = PrefixSum.exclusiveOffsets(rows.map(t => (t._1, t._2)),
+      numBuckets)
+    var acc = BigDecimal(0)
+    folded.zip(rows.sortBy(_._1)).foreach { case ((_, tots, off), (_, _, part)) =>
+      acc += part + BigDecimal(BigInt(off(0)) * BigInt(tots(1)) -
+        BigInt(off(1)) * BigInt(tots(0)))
+    }
+    val num = acc.bigDecimal
     df.sparkSession.range(1).select(lit(n).as("n"),
       lit(total).as("total_cents"),
       round(lit(num).cast("double") /

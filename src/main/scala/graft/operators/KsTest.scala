@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: one tagged union + one per-value aggregation (map-side combined)
   * reduce the data to |distinct values| rows; the global cumulative counts
-  * use [[PrefixSum.runningSums]] — range-bucketed two-level prefix sums,
-  * NO single-partition window. The cross-multiplied numerator needs
+  * use [[PrefixSum.localRunningSums]] — range-bucketed two-level prefix
+  * sums fused with the sup aggregation into one per-bucket job, NO
+  * single-partition window. The cross-multiplied numerator needs
   * n₁·n₂ < 2⁶³ (each slice ≲ 2·10⁹ rows) — guarded loudly; past it, swap
   * the numerator arithmetic to DECIMAL(38,0), same shape.
   */
@@ -45,8 +46,8 @@ object KsTest {
       when(predA, 0L).otherwise(1L).as("cb")), numBuckets)
 
   private def fromTagged(tagged: DataFrame, numBuckets: Int): DataFrame = {
-    // the counts relation backs THREE driver actions (scalars, bucket
-    // totals, the sup aggregate) — persist it once or the per-value
+    // the counts relation backs TWO driver actions (scalars, then the
+    // fused per-bucket pass) — persist it once or the per-value
     // aggregation recomputes per action (measured: 4.3 s -> 3.0 s at
     // sf0.1; p17 is job-count-bound, not data-bound)
     val counts = tagged
@@ -58,19 +59,42 @@ object KsTest {
       sum(col("ca")), sum(col("cb"))).collect()(0)
     require(!s0.isNullAt(0), "KS needs both slices non-empty (no values)")
     val (n1, n2) = (s0.getLong(2), s0.getLong(3))
-    val cum = PrefixSum.runningSums(counts, "v", Seq("ca", "cb"), numBuckets,
-      bounds = Some((s0.getLong(0), s0.getLong(1))))
     require(n1 > 0 && n2 > 0, s"KS needs both slices non-empty ($n1, $n2)")
     require(n1 <= Long.MaxValue / math.max(n2, 1L),
       s"n1*n2 overflows long ($n1 x $n2): switch the numerator to " +
         "DECIMAL(38,0) for slices beyond ~2e9 rows")
-    // the sup is ONE long — collect it (third and last job), release the
-    // cache, and emit the 1-row result as literals THROUGH Spark
-    // expressions so the display rounding stays engine-identical
-    val sup = cum
-      .agg(max(abs(col("ca_cum") * n2 - col("cb_cum") * n1)).as("ks_num"))
-      .collect()(0).getLong(0)
+    // SECOND AND LAST job — the fused per-bucket pass. The sup decomposes
+    // per range bucket: with g(v) = lca(v)·n2 − lcb(v)·n1 over the LOCAL
+    // (within-bucket) running counts and C_b = offA·n2 − offB·n1 the
+    // bucket's constant from the exclusive offsets, the global term at v
+    // is exactly g(v) + C_b, and max|g+C| over a bucket is attained at
+    // g's extremes (x ↦ |x+C| is convex) — so ONE window+aggregate job
+    // collects (bucket totals, min g, max g) ≤ numBuckets rows and the
+    // driver folds offsets and takes the sup, replacing runningSums' two
+    // jobs (bucket-totals collect + offset-joined global pass) and their
+    // broadcast join. Every value stays a realized |cum·n| ≤ n1·n2 long —
+    // same overflow envelope as before, exact integer throughout.
+    val local = PrefixSum.localRunningSums(counts, "v", Seq("ca", "cb"),
+      numBuckets, (s0.getLong(0), s0.getLong(1)))
+    val g = col("ca_lcum") * n2 - col("cb_lcum") * n1
+    val rows = local.groupBy(col("_psb"))
+      .agg(sum(col("ca")).as("ca_t"), sum(col("cb")).as("cb_t"),
+        max(g).as("g_max"), min(g).as("g_min"))
+      .collect().toVector.map { r =>
+        require(!r.isNullAt(0),
+          "ksTwoSample: the value column contains NULLs — a null value " +
+            "has no CDF position; filter them out")
+        (r.getLong(0), IndexedSeq(r.getLong(1), r.getLong(2)),
+          (r.getLong(3), r.getLong(4)))
+      }
     counts.unpersist()
+    val folded = PrefixSum.exclusiveOffsets(rows.map(t => (t._1, t._2)),
+      numBuckets)
+    var sup = 0L
+    folded.zip(rows.sortBy(_._1)).foreach { case ((_, _, off), (_, _, gs)) =>
+      val c = off(0) * n2 - off(1) * n1
+      sup = math.max(sup, math.max(math.abs(gs._1 + c), math.abs(gs._2 + c)))
+    }
     counts.sparkSession.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
       lit(sup).as("ks_num"),
       round(lit(sup).cast("double") /

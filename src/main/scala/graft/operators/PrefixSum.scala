@@ -25,6 +25,67 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Within-bucket (LOCAL) running sums: adds `_psb` (the range-bucket id)
+    * and `<v>_lcum` (inclusive running sum of v within its bucket, ordered
+    * by `keyCol`) — the fused-pass building block behind [[runningSums]].
+    *
+    * A caller that only needs per-bucket AGGREGATES of the global running
+    * sums (a global max, a global weighted total — anything that
+    * decomposes as f(local, bucket offset)) can `groupBy("_psb")` directly
+    * on this frame — the window's hashpartitioning(`_psb`) already
+    * satisfies the aggregation, so no second exchange (guide §2.4) — and
+    * fold the per-bucket offsets on the DRIVER from the same collected
+    * rows: ONE job and ONE pass where the runningSums route costs two jobs
+    * (bucket-totals collect, then the offset-joined global pass) plus a
+    * broadcast join. Global cum at any row = `<v>_lcum` + its bucket's
+    * exclusive offset (Σ of earlier buckets' totals, which the caller has
+    * because the per-bucket totals ride the same collect).
+    *
+    * `keyCol` must be DISTINCT and non-null with values inside `bounds`
+    * (callers compute bounds alongside their other scalars); exact integer
+    * arithmetic, bit-equal to the one-partition window.
+    */
+  def localRunningSums(df: DataFrame, keyCol: String, valueCols: Seq[String],
+      numBuckets: Int, bounds: (Long, Long)): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns")
+    require(numBuckets > 0, s"numBuckets ($numBuckets) must be positive")
+    val (lo, hi) = bounds
+    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    // Column./ is DOUBLE division — DIV keeps the bucket id exact integer
+    val bucketed = df.withColumn("_psb",
+      expr(s"(CAST(`$keyCol` AS BIGINT) - ${lo}L) DIV ${width}L"))
+    val w = Window.partitionBy(col("_psb")).orderBy(col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.select(
+      (col("_psb") +: col(keyCol) +: valueCols.map(col)) ++
+        valueCols.map(v => sum(col(v)).over(w).as(s"${v}_lcum")): _*)
+  }
+
+  /** Driver-side companion of [[localRunningSums]]: per-bucket EXCLUSIVE
+    * offsets from collected (bucketId, per-value totals) rows. Returns the
+    * rows sorted by bucket id, each paired with the exclusive prefix of
+    * the totals — with the same loud null-key / bounds-coverage checks as
+    * [[runningSums]] (a null or out-of-range bucket id means the caller's
+    * precondition was violated and the fold would silently misorder).
+    */
+  def exclusiveOffsets(totals: Seq[(Long, IndexedSeq[Long])],
+      numBuckets: Int): Seq[(Long, IndexedSeq[Long], IndexedSeq[Long])] = {
+    val sorted = totals.sortBy(_._1)
+    sorted.headOption.foreach { h =>
+      val (bMin, bMax) = (h._1, sorted.last._1)
+      require(bMin >= 0 && bMax < numBuckets,
+        s"localRunningSums: bucket ids [$bMin, $bMax] escape [0, $numBuckets)" +
+          " — the supplied bounds do not cover the key range")
+    }
+    val nVals = sorted.headOption.map(_._2.length).getOrElse(0)
+    var acc = IndexedSeq.fill(nVals)(0L)
+    sorted.map { case (b, tots) =>
+      val off = acc
+      acc = acc.indices.map(i => acc(i) + tots(i))
+      (b, tots, off)
+    }
+  }
+
   /** Adds `<v>_cum` (inclusive running sum ordered by `keyCol`) for every
     * column in `valueCols` to a frame whose `keyCol` values are DISTINCT
     * (pre-aggregate first — a running sum over duplicate keys has no

@@ -37,9 +37,20 @@ object PrepPipeline {
       rowsPerBand: Int, threshold: Double, contamFrac: Double,
       trainFrac: Double, validFrac: Double): DataFrame = {
     val evalDocs = docs.filter(col(idCol) < evalBelow)
-    val corpus = docs.filter(col(idCol) >= evalBelow)
+    // the gated corpus (scan + tokenize-count + filter) feeds FOUR
+    // consumers — the LSH dedup, the decontaminate shingle pass, its sizes
+    // branch, and the final split/label join. Each is a separate subtree
+    // (two of them materialize eagerly inside their operators), so without
+    // a persist the corpus scan+tokenization re-runs once per consumer
+    // (guide §5: persist what several consumers read, inside the query).
+    // Released via materializeAndRelease once the funnel's counts exist.
+    // spread BEFORE tokenize+persist: the cache inherits the partitioning,
+    // so every consumer's shingle/minhash stage-1 runs parallel out of it
+    // (util.Spread: no-op at scale)
+    val corpus = graft.util.Spread(docs.filter(col(idCol) >= evalBelow))
       .select(col(idCol), col(textCol),
         size(TextFns.tokens(col(textCol))).cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pass = corpus.filter(col("n_tok") >= minTokens)
       .select(col(idCol), col(textCol))
     val dupIds = Dedup
@@ -49,15 +60,17 @@ object PrepPipeline {
     val contam = Decontaminate
       .overlapFlags(pass, evalDocs, idCol, textCol, n, contamFrac)
       .select(col("id").as(idCol), col("contaminated"))
-    Sampling.split(corpus, idCol, trainFrac, validFrac)
-      .join(dupIds, Seq(idCol), "left")
-      .join(contam, Seq(idCol), "left")
-      .select(
-        when(col("n_tok") < minTokens, "10_dropped_gate")
-          .when(col("is_dup"), "20_dropped_dup")
-          .when(col("contaminated"), "30_dropped_contaminated")
-          .otherwise(concat(lit("40_kept_"), col("split"))).as("stage"))
-      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    Dedup.materializeAndRelease(
+      Sampling.split(corpus, idCol, trainFrac, validFrac)
+        .join(dupIds, Seq(idCol), "left")
+        .join(contam, Seq(idCol), "left")
+        .select(
+          when(col("n_tok") < minTokens, "10_dropped_gate")
+            .when(col("is_dup"), "20_dropped_dup")
+            .when(col("contaminated"), "30_dropped_contaminated")
+            .otherwise(concat(lit("40_kept_"), col("split"))).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n")),
+      corpus)
   }
 
   /** The MULTIMODAL twin of [[funnel]]: the image-corpus prep chain

@@ -1135,7 +1135,11 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, maxRows: Long = 100000): DataFrame = {
     guardSmallSide(df, "cosineNearDupPairs", "lshNearDupPairs", maxRows)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("avec"))
+    // the O(n²) dot products run in the BNL join's STREAMED-side tasks —
+    // spread that side or an underpartitioned local scan serializes the
+    // whole quadratic scoring on one core (util.Spread: no-op at scale)
+    val a = graft.util.Spread(df)
+      .select(col(idCol).as("id_a"), col(vecCol).as("avec"))
       .withColumn("anorm", VectorFns.norm(col("avec"), dim))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("bvec"))
       .withColumn("bnorm", VectorFns.norm(col("bvec"), dim))

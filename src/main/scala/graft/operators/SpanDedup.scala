@@ -44,7 +44,9 @@ object SpanDedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String, width: Int,
       minCount: Long = 2): DataFrame = {
     require(width >= 2, s"width=$width: a 1-token span is a stopword filter")
-    val g = df.select(col(idCol).as("id"),
+    // shingling + per-gram md5 is expensive stage-1 work — spread an
+    // underpartitioned local scan (util.Spread: no-op at scale)
+    val g = graft.util.Spread(df).select(col(idCol).as("id"),
         posexplode(TextFns.shingles(col(textCol), width)).as(Seq("pos0", "gram")))
       .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
         md5(col("gram")).as("gh"))

@@ -47,7 +47,9 @@ object TextQueries {
     Q("t02_lang_id",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.documents
+        // langId's per-doc char-class scoring is expensive stage-1 work —
+        // spread an underpartitioned local scan (no-op at scale)
+        graft.util.Spread(t.documents)
           .groupBy(col("lang"), TextFns.langId(col("text")).as("lang_pred"))
           .agg(count(lit(1)).as("n"))
       },

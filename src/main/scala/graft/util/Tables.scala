@@ -11,20 +11,22 @@ import org.apache.spark.sql.functions._
   * at a partitioned data-lake root instead of a flat directory.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  /** On a real cluster a table scan arrives split across many files/row
-    * groups and every core works stage 1; the local testdata is one
-    * single-row-group file per table, so the scan is ONE task and all
-    * pre-shuffle work (regex scoring, shingling, join-probe levenshtein,
-    * dot products) serializes on one core. Spread underpartitioned scans to
-    * defaultParallelism — a few-MB local shuffle — so local stage-1 math
-    * runs parallel like a cluster's would. No-op (guard is false) whenever
-    * the source is properly split, i.e. always at scale.
+  /** Round 12: the spread-underpartitioned-scans guard moved OUT of here
+    * into [[graft.util.Spread]], applied by the few operators whose
+    * stage-1 per-row work is genuinely expensive (Dedup's shingling,
+    * CountMin's md5 family). Baked into every table read it cost a
+    * round-robin exchange — plus sortBeforeRepartition's full local sort
+    * of the table in the ONE source task — on every uncached scan of
+    * every query, measured at 0.9–1.7 s per query at sf0.1 for queries
+    * whose stage-1 is a cheap projection (the majority). At scale both
+    * forms are no-ops (the guard is false on any properly split source);
+    * locally only the compute-bound operators keep it, so their scale
+    * curves still exercise parallel stage-1 math.
     */
   def table(name: String): DataFrame = {
     // Session-scoped source catalog: every `spark.read.parquet` call pays
-    // driver-side file listing + a footer read for schema inference, and
-    // the split-count probe below pays a plan→RDD conversion — per CALL,
-    // though the answer is a pure function of (session, dir, name) and the
+    // driver-side file listing + a footer read for schema inference — per
+    // CALL, though the answer is a pure function of (session, dir, name) and the
     // scale-factor directories are immutable for a session's lifetime.
     // Across a 226-query bench sweep that is thousands of redundant
     // listings (guide §7.3: driver work is wall-clock too). The resolved
@@ -37,12 +39,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     val view = "graft_src_" + (s"$dir/$name").map(c =>
       if (c.isLetterOrDigit) c else '_')
     if (!spark.catalog.tableExists(view)) {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      val defaultPar = spark.sparkContext.defaultParallelism
-      val out =
-        if (df.rdd.getNumPartitions < defaultPar) df.repartition(defaultPar)
-        else df
-      out.createOrReplaceTempView(view)
+      spark.read.parquet(s"$dir/$name.parquet").createOrReplaceTempView(view)
     }
     spark.table(view)
   }

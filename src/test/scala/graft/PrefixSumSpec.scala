@@ -65,6 +65,36 @@ class PrefixSumSpec extends SparkSpec {
     assert(math.abs(g - expect) < 5e-7, s"$g vs $expect")
   }
 
+  test("localRunningSums + exclusiveOffsets reconstruct the global sums") {
+    val keys = Seq.tabulate(300)(i => (i.toLong * 53) % 4999).distinct
+    val df = frame(keys)
+    val local = PrefixSum.localRunningSums(df, "k", Seq("a", "b"),
+      numBuckets = 16, bounds = (keys.min, keys.max))
+    // the fused-consumer shape: per-bucket totals off the same frame, then
+    // the driver-side exclusive fold
+    val totals = local.groupBy(col("_psb"))
+      .agg(sum(col("a")).as("at"), sum(col("b")).as("bt")).collect()
+      .map(r => (r.getLong(0), IndexedSeq(r.getLong(1), r.getLong(2)))).toSeq
+    val off = PrefixSum.exclusiveOffsets(totals, 16)
+      .map(t => t._1 -> t._3).toMap
+    val got = local.collect().map { r =>
+      val o = off(r.getLong(0))
+      (r.getLong(1), r.getLong(4) + o(0), r.getLong(5) + o(1))
+    }.sortBy(_._1)
+    val w = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.select(col("k"),
+        sum(col("a")).over(w).as("ac"), sum(col("b")).over(w).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // bounds that do not cover the range must fail in the offset fold
+    val bad = Seq((-3L, IndexedSeq(1L)), (5L, IndexedSeq(2L)))
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.exclusiveOffsets(bad, 16)
+    }
+    assert(e.getMessage.contains("bounds"))
+  }
+
   test("runningSums fails loudly on null keys and non-covering bounds") {
     import spark.implicits._
     // null keys: the null bucket would silently duplicate bucket 0 rows
