@@ -78,6 +78,16 @@ object Bpe {
       steps: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Round-12 A/B, examined and left alone: the loop runs 2 jobs/step
+    // under AQE (shuffle stage + result) — scoping AQE OFF for the loop
+    // halves the jobs (23→12 for t26) but un-coalesces each step's
+    // pair-counts shuffle to the session's full partition count
+    // (tasks 32→652, wall 2.35→2.73 s at sf0.1): AQE's extra per-step job
+    // is cheaper than the tiny-task storm it prevents, locally and on a
+    // cluster alike. The 10 sequential driver round trips are the
+    // algorithm's inherent depth (step k's counts depend on step k-1's
+    // rewrite); the encode side is already a single hash join on the
+    // trained word types, not a per-rule join chain.
     // LAZY checkpoints: each step needs syms materialized anyway to pick
     // its top pair, so let THAT collect do the materialization instead of
     // paying a second job per step for an eager checkpoint (measured:

@@ -271,9 +271,13 @@ object GraphRank {
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
     }
-    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-    lab.join(sizes, Seq("label"))
-      .select(col("node"), col("label").as("community"), col("csize"))
+    // community size via ONE window over the label exchange — an
+    // agg+join tail would reference `lab` twice and re-evaluate the whole
+    // (unmaterialized) iteration chain per branch (the dupWeights lesson;
+    // round 12: d22 carried its double evaluation here)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    lab.select(col("node"), col("label").as("community"),
+      count(lit(1)).over(w).as("csize"))
   }
 
   /** Bounded-depth BFS from a seed set over the undirected graph
@@ -293,7 +297,19 @@ object GraphRank {
     val ed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
+    // Every round references the previous `reached` TWICE (frontier filter
+    // + min-fold union), and nothing materializes between rounds — left
+    // unshared, the seeds subtree (a full shingle + broadcast-semi-join
+    // chain in d24) re-expands 2^maxDepth times inside the one final
+    // action (Catalyst does not CSE across plan branches). Persisting each
+    // round turns both references into scans of ONE InMemoryRelation —
+    // no extra jobs (the caches materialize inside the final action) —
+    // and materializeAndRelease drops them once the result is computed.
+    // (Round 12: d24 taskSec 11.9 → see OPTIMIZATION_r12.md.)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reached = seeds.select(col(seedCol).as("id"), lit(0).as("depth"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached += reached
     for (k <- 1 to maxDepth) {
       val frontier = reached.filter(col("depth") === k - 1)
         .select(col("id").as("fid"))
@@ -301,8 +317,10 @@ object GraphRank {
         .select(col("dst").as("id"), lit(k).as("depth"))
       reached = reached.union(next)
         .groupBy(col("id")).agg(min(col("depth")).as("depth"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += reached
     }
-    reached
+    Dedup.materializeAndRelease(reached, cached.toSeq: _*)
   }
 
   /** DuckDB mirror of [[bfsDepths]]: unrolled frontier-expand + min-fold
